@@ -1,0 +1,15 @@
+"""Repo-level pytest config: force a virtual 8-device CPU mesh for tests.
+
+Set before any jax import so sharding tests can build an 8-device Mesh without
+TPU hardware (bench.py / production code run on the real chip instead).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(__file__))

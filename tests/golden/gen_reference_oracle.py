@@ -29,6 +29,7 @@ def bootstrap_reference():
     sub = types.ModuleType("vmas.simulator")
     sub.__path__ = [os.path.join(REF, "vmas", "simulator")]
     sys.modules["vmas.simulator"] = sub
+    pkg.simulator = sub  # joints.py references vmas.simulator.utils attribute-style
 
     # The reference's Color enum has a duplicate YELLOW member, which Python
     # 3.12's enum rejects. Pre-load a patched copy of vmas.simulator.utils.
@@ -40,6 +41,7 @@ def bootstrap_reference():
     utils_mod.__file__ = utils_path
     sys.modules["vmas.simulator.utils"] = utils_mod
     exec(compile(src, utils_path, "exec"), utils_mod.__dict__)
+    sub.utils = utils_mod
 
 
 def gen_geometry(seed=0, n=4096):

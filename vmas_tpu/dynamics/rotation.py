@@ -1,0 +1,13 @@
+"""Reference: /root/reference/vmas/simulator/dynamics/roatation.py (upstream
+filename typo corrected here)."""
+
+from vmas_tpu.dynamics.common import Dynamics
+
+
+class Rotation(Dynamics):
+    @property
+    def needed_action_size(self) -> int:
+        return 1
+
+    def process_action(self, world, state):
+        return self.agent.set_torque(state, self.agent.u(state)[:, 0])

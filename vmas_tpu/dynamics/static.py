@@ -1,0 +1,12 @@
+"""Reference: /root/reference/vmas/simulator/dynamics/static.py."""
+
+from vmas_tpu.dynamics.common import Dynamics
+
+
+class Static(Dynamics):
+    @property
+    def needed_action_size(self) -> int:
+        return 0
+
+    def process_action(self, world, state):
+        return state

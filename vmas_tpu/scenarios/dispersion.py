@@ -1,0 +1,118 @@
+"""Dispersion scenario.
+
+Behavioral reference: /root/reference/vmas/scenarios/dispersion.py.
+N sphere agents start at the origin and must spread to eat food landmarks;
+reward is split among co-located eaters (or shared). The reference's
+per-landmark python attributes (eaten/just_eaten/how_many_on_food,
+dispersion.py:77-130) become ``[B, F]`` scratch arrays, and its
+``is_first``/``is_last`` reward blocks become the pre/post_rewards hooks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vmas_tpu.core import Agent, Color, Landmark, Sphere, World
+from vmas_tpu.core.utils import safe_norm
+from vmas_tpu.scenario import BaseScenario
+from vmas_tpu.utils import ScenarioUtils
+
+
+class Scenario(BaseScenario):
+    def make_world(self, batch_dim: int, device=None, **kwargs):
+        n_agents = kwargs.pop("n_agents", 4)
+        self.share_reward = kwargs.pop("share_reward", False)
+        self.penalise_by_time = kwargs.pop("penalise_by_time", False)
+        self.food_radius = kwargs.pop("food_radius", 0.05)
+        self.pos_range = kwargs.pop("pos_range", 1.0)
+        n_food = kwargs.pop("n_food", n_agents)
+        ScenarioUtils.check_kwargs_consumed(kwargs)
+
+        world = World(batch_dim, device, x_semidim=self.pos_range, y_semidim=self.pos_range)
+        for i in range(n_agents):
+            world.add_agent(Agent(name=f"agent_{i}", collide=False, shape=Sphere(radius=0.035)))
+        for i in range(n_food):
+            world.add_landmark(
+                Landmark(
+                    name=f"food_{i}", collide=False,
+                    shape=Sphere(radius=self.food_radius), color=Color.GREEN,
+                )
+            )
+        self.n_food = n_food
+        return world
+
+    # ------------------------------------------------------------------
+    def reset_world_at(self, state, key):
+        # Agents spawn at the origin (state is already zeroed).
+        keys = jax.random.split(key, self.n_food)
+        for i, food in enumerate(self.world.landmarks):
+            pos = jax.random.uniform(
+                keys[i], (state.batch_dim, 2), minval=-self.pos_range, maxval=self.pos_range
+            )
+            state = food.set_pos(state, pos)
+            state = food.set_rendering(state, True)
+        B, F = state.batch_dim, self.n_food
+        scratch = dict(state.scenario)
+        scratch["eaten"] = jnp.zeros((B, F), bool)
+        scratch["just_eaten"] = jnp.zeros((B, F), bool)
+        return state.replace(scenario=scratch)
+
+    # ------------------------------------------------------------------
+    def _food_pos(self, state):
+        idx = [f.index for f in self.world.landmarks]
+        return state.pos[:, jnp.asarray(idx)]  # [B, F, 2]
+
+    def _agents_on_food(self, state):
+        """[B, A, F] bool: agent within eating range of food."""
+        a_idx = jnp.asarray([a.index for a in self.world.agents])
+        a_pos = state.pos[:, a_idx]  # [B, A, 2]
+        dist = safe_norm(a_pos[:, :, None, :] - self._food_pos(state)[:, None, :, :])
+        radii = jnp.asarray(
+            [a.shape.radius + self.food_radius for a in self.world.agents], jnp.float32
+        )
+        return dist < radii[None, :, None]
+
+    def pre_rewards(self, state):
+        on = self._agents_on_food(state)  # [B, A, F]
+        how_many = on.sum(axis=1)  # [B, F]
+        scratch = dict(state.scenario)
+        scratch["how_many_on_food"] = how_many
+        scratch["just_eaten"] = scratch["just_eaten"] | (how_many > 0)
+        return state.replace(scenario=scratch)
+
+    def reward(self, agent, state):
+        s = state.scenario
+        eaten, just_eaten = s["eaten"], s["just_eaten"]
+        how_many = s["how_many_on_food"]
+        if self.share_reward:
+            rews = (just_eaten & ~eaten).sum(axis=-1).astype(jnp.float32)
+        else:
+            on = self._agents_on_food(state)[:, agent.slot]  # [B, F]
+            eating_rew = jnp.where(how_many > 0, 1.0 / jnp.where(how_many > 0, how_many, 1), 0.0)
+            rews = jnp.where(on & ~eaten, eating_rew, 0.0).sum(axis=-1)
+        if self.penalise_by_time:
+            rews = jnp.where(rews == 0, -0.01, rews)
+        return rews
+
+    def post_rewards(self, state):
+        scratch = dict(state.scenario)
+        eaten = scratch["eaten"] | scratch["just_eaten"]
+        scratch["eaten"] = eaten
+        scratch["just_eaten"] = jnp.zeros_like(eaten)
+        # Eaten food stops rendering (reference dispersion.py:130).
+        f_idx = jnp.asarray([f.index for f in self.world.landmarks])
+        rendering = state.rendering.at[:, f_idx].set(~eaten)
+        return state.replace(scenario=scratch, rendering=rendering)
+
+    # ------------------------------------------------------------------
+    def observation(self, agent, state):
+        rel = self._food_pos(state) - agent.pos(state)[:, None, :]  # [B, F, 2]
+        eaten = state.scenario["eaten"].astype(jnp.int32)[..., None]  # [B, F, 1]
+        per_food = jnp.concatenate([rel, eaten.astype(jnp.float32)], axis=-1).reshape(
+            state.batch_dim, -1
+        )
+        return jnp.concatenate([agent.pos(state), agent.vel(state), per_food], axis=-1)
+
+    def done(self, state):
+        return jnp.all(state.scenario["eaten"], axis=-1)

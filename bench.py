@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Throughput benchmark — BASELINE.json north-star config.
+
+transport scenario, 4096 envs, 4 agents, continuous random actions; measures
+steady-state env-steps/s/chip of the compiled rollout (lax.scan over full env
+steps: action decode + dynamics + physics + obs/rew/done). Prints ONE JSON
+line to stdout.
+
+vs_baseline: ratio against the PyTorch reference running the equivalent
+transport physics+outputs loop on this host's CPU, measured by
+tests/golden/measure_reference_cpu.py (336,910 env-steps/s on the 1-vCPU
+bench host, 2026-08-16). Re-run that script to refresh the denominator.
+"""
+
+import json
+import sys
+import time
+
+REFERENCE_CPU_ENV_STEPS_PER_S = 336_910.0
+
+NUM_ENVS = 4096
+N_AGENTS = 4
+HORIZON = 100
+ITERS = 5
+
+
+def main():
+    import jax
+
+    from vmas_tpu import make_env
+    from vmas_tpu.parallel.rollout import rollout_fn
+
+    env = make_env("transport", num_envs=NUM_ENVS, n_agents=N_AGENTS, seed=0)
+    run = jax.jit(rollout_fn(env, horizon=HORIZON))
+    key = jax.random.PRNGKey(0)
+
+    # compile + warmup
+    state, steps, traj = run(env.state, env.steps, key)
+    jax.block_until_ready(traj["rewards"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, steps, traj = run(state, steps, jax.random.fold_in(key, i))
+    jax.block_until_ready(traj["rewards"])
+    dt = time.perf_counter() - t0
+
+    value = NUM_ENVS * HORIZON * ITERS / dt
+    print(
+        f"[bench] transport {NUM_ENVS} envs x {HORIZON * ITERS} steps in {dt:.3f}s "
+        f"on {jax.devices()[0].platform}:{jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "transport_env_steps_per_s_per_chip",
+                "value": round(value, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(value / REFERENCE_CPU_ENV_STEPS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

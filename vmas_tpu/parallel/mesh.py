@@ -1,0 +1,54 @@
+"""Env-axis sharding over TPU meshes.
+
+This is the data parallelism of an environment simulator (SURVEY.md section
+2.13): a 1D ``Mesh(('env',))`` over all chips, every ``[B, ...]`` state leaf
+sharded on its leading env axis with ``NamedSharding(P('env'))``. Because JAX
+computation follows data, sharding the state pytree once makes every jitted
+step/reset run SPMD across chips with XLA inserting any needed collectives;
+multi-host (DCN) works identically via ``jax.distributed.initialize``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def env_mesh(devices: Optional[Sequence] = None, n_devices: Optional[int] = None) -> Mesh:
+    """1D mesh over the env axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("env",))
+
+
+def shard_state(tree, mesh: Mesh):
+    """Place every leading-[B] leaf of a state pytree on the env axis."""
+    sharding = NamedSharding(mesh, P("env"))
+
+    def place(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(place, tree)
+
+
+def distribute(env, mesh: Optional[Mesh] = None):
+    """Shard a live Environment's state over a mesh (in place).
+
+    After this, every ``env.step`` runs SPMD over the mesh — each chip steps
+    its ``B / n_devices`` env shard in lockstep.
+    """
+    if mesh is None:
+        mesh = env_mesh()
+    n = mesh.devices.size
+    assert env.num_envs % n == 0, (
+        f"num_envs={env.num_envs} must divide evenly over {n} devices"
+    )
+    env.state = shard_state(env.state, mesh)
+    env.steps = jax.device_put(env.steps, NamedSharding(mesh, P("env")))
+    env.mesh = mesh
+    return env

@@ -49,15 +49,21 @@ class VelocityController:
             else:
                 warnings.warn("Force limits not specified. Integrator can wind up!")
 
-    def reset(self, state: WorldState) -> WorldState:
-        """Zero the PID memory for all envs (the env's reset mask keeps other
-        envs' memory via blending)."""
+    def reset(self, state: WorldState, env_mask=None) -> WorldState:
+        """Zero the PID memory; with ``env_mask`` ([B] bool) only masked envs
+        are zeroed (reference VelocityController.reset(index),
+        velocity_controller.py:76-88)."""
         B = state.batch_dim
-        scratch = dict(state.scenario)
-        scratch[self.key] = {
+        zeros = {
             "accum_errs": jnp.zeros((B, 2), jnp.float32),
             "prev_err": jnp.zeros((B, 2), jnp.float32),
         }
+        scratch = dict(state.scenario)
+        if env_mask is not None and self.key in scratch:
+            old = scratch[self.key]
+            m = env_mask[:, None]
+            zeros = {k: jnp.where(m, zeros[k], old[k]) for k in zeros}
+        scratch[self.key] = zeros
         return state.replace(scenario=scratch)
 
     def process_force(self, state: WorldState) -> WorldState:

@@ -62,6 +62,10 @@ def blend(mask: jnp.ndarray, new_state: WorldState, old_state: WorldState) -> Wo
     """
 
     def _sel(new, old):
+        # Leaves without a leading env axis (e.g. PRNG keys in scenario
+        # scratch) can't be masked per-env; the fresh value wins.
+        if new.ndim == 0 or new.shape[0] != mask.shape[0]:
+            return new
         m = mask.reshape(mask.shape + (1,) * (new.ndim - 1))
         return jnp.where(m, new, old)
 

@@ -1,0 +1,197 @@
+"""Discovery scenario (cover targets with k agents; targets respawn).
+
+Behavioral reference: /root/reference/vmas/scenarios/discovery.py. Target
+respawns (the reference's is_last block, discovery.py:180-210) happen in
+post_rewards using a PRNG key held in scratch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from vmas_tpu.core import Agent, Color, Landmark, Sphere, World
+from vmas_tpu.core.utils import safe_norm
+from vmas_tpu.scenario import BaseScenario
+from vmas_tpu.sensors import Lidar
+from vmas_tpu.utils import ScenarioUtils
+
+
+class Scenario(BaseScenario):
+    def make_world(self, batch_dim: int, device=None, **kwargs):
+        self.n_agents = kwargs.pop("n_agents", 5)
+        self.n_targets = kwargs.pop("n_targets", 7)
+        self.x_semidim = kwargs.pop("x_semidim", 1)
+        self.y_semidim = kwargs.pop("y_semidim", 1)
+        self._min_dist_between_entities = kwargs.pop("min_dist_between_entities", 0.2)
+        self._lidar_range = kwargs.pop("lidar_range", 0.35)
+        self._covering_range = kwargs.pop("covering_range", 0.25)
+        self.use_agent_lidar = kwargs.pop("use_agent_lidar", False)
+        self.n_lidar_rays_entities = kwargs.pop("n_lidar_rays_entities", 15)
+        self.n_lidar_rays_agents = kwargs.pop("n_lidar_rays_agents", 12)
+        self._agents_per_target = kwargs.pop("agents_per_target", 2)
+        self.targets_respawn = kwargs.pop("targets_respawn", True)
+        self.shared_reward = kwargs.pop("shared_reward", False)
+        self.agent_collision_penalty = kwargs.pop("agent_collision_penalty", 0)
+        self.covering_rew_coeff = kwargs.pop("covering_rew_coeff", 1.0)
+        self.time_penalty = kwargs.pop("time_penalty", 0)
+        ScenarioUtils.check_kwargs_consumed(kwargs)
+
+        self._comms_range = self._lidar_range
+        self.min_collision_distance = 0.005
+        self.agent_radius = 0.05
+        self.target_radius = self.agent_radius
+        self.viewer_zoom = 1
+        self.target_color = Color.GREEN
+
+        world = World(
+            batch_dim, device, x_semidim=self.x_semidim, y_semidim=self.y_semidim,
+            collision_force=500, substeps=2, drag=0.25,
+        )
+        entity_filter_agents = lambda e: e.name.startswith("agent")
+        entity_filter_targets = lambda e: e.name.startswith("target")
+        for i in range(self.n_agents):
+            world.add_agent(
+                Agent(
+                    name=f"agent_{i}", collide=True, shape=Sphere(radius=self.agent_radius),
+                    sensors=(
+                        [
+                            Lidar(
+                                world, n_rays=self.n_lidar_rays_entities,
+                                max_range=self._lidar_range,
+                                entity_filter=entity_filter_targets, render_color=Color.GREEN,
+                            )
+                        ]
+                        + (
+                            [
+                                Lidar(
+                                    world, angle_start=0.05, angle_end=2 * math.pi + 0.05,
+                                    n_rays=self.n_lidar_rays_agents, max_range=self._lidar_range,
+                                    entity_filter=entity_filter_agents, render_color=Color.BLUE,
+                                )
+                            ]
+                            if self.use_agent_lidar
+                            else []
+                        )
+                    ),
+                )
+            )
+        self._targets = []
+        for i in range(self.n_targets):
+            target = Landmark(
+                name=f"target_{i}", collide=True, movable=False,
+                shape=Sphere(radius=self.target_radius), color=self.target_color,
+            )
+            world.add_landmark(target)
+            self._targets.append(target)
+        return world
+
+    def reset_world_at(self, state, key):
+        B = state.batch_dim
+        k1, k2 = jax.random.split(key)
+        state = ScenarioUtils.spawn_entities_randomly(
+            self._targets + self.world.agents, self.world, state, k1,
+            self._min_dist_between_entities,
+            x_bounds=(-self.x_semidim, self.x_semidim),
+            y_bounds=(-self.y_semidim, self.y_semidim),
+        )
+        scratch = dict(state.scenario)
+        scratch["all_time_covered"] = jnp.zeros((B, self.n_targets), bool)
+        scratch["rng"] = k2
+        scratch["covered_targets"] = jnp.zeros((B, self.n_targets), bool)
+        scratch["covering_rew"] = jnp.zeros((B, self.n_agents), jnp.float32)
+        scratch["shared_covering_rew"] = jnp.zeros((B,), jnp.float32)
+        scratch["collision_rew"] = jnp.zeros((B, self.n_agents), jnp.float32)
+        scratch["time_rew"] = jnp.zeros((B,), jnp.float32)
+        return state.replace(scenario=scratch)
+
+    def _dists(self, state):
+        a_idx = jnp.asarray([a.index for a in self.world.agents])
+        t_idx = jnp.asarray([t.index for t in self._targets])
+        a_pos = state.pos[:, a_idx]  # [B, A, 2]
+        t_pos = state.pos[:, t_idx]  # [B, T, 2]
+        return safe_norm(a_pos[:, :, None, :] - t_pos[:, None, :, :])  # [B, A, T]
+
+    def pre_rewards(self, state):
+        scratch = dict(state.scenario)
+        B = state.batch_dim
+        dists = self._dists(state)
+        in_range = dists < self._covering_range  # [B, A, T]
+        agents_per_target = in_range.sum(axis=1)  # [B, T]
+        covered = agents_per_target >= self._agents_per_target
+        scratch["covered_targets"] = covered
+        scratch["agents_targets_dists"] = dists
+        scratch["time_rew"] = jnp.full((B,), float(self.time_penalty), jnp.float32)
+
+        covering_rew = (
+            (in_range & covered[:, None, :]).sum(-1).astype(jnp.float32) * self.covering_rew_coeff
+        )  # [B, A]
+        scratch["covering_rew"] = covering_rew
+        shared = covering_rew.sum(-1)
+        scratch["shared_covering_rew"] = jnp.where(shared != 0, shared / 2, shared)
+
+        coll = jnp.zeros((B, self.n_agents), jnp.float32)
+        if self.agent_collision_penalty != 0:
+            for i, agent in enumerate(self.world.agents):
+                for a in self.world.agents:
+                    if a is not agent:
+                        hit = self.world.get_distance(state, a, agent) < self.min_collision_distance
+                        coll = coll.at[:, i].add(self.agent_collision_penalty * hit.astype(jnp.float32))
+        scratch["collision_rew"] = coll
+        return state.replace(scenario=scratch)
+
+    def post_rewards(self, state):
+        """Target respawn / removal (reference is_last block)."""
+        scratch = dict(state.scenario)
+        covered = scratch["covered_targets"]
+        B = state.batch_dim
+        rng = scratch["rng"]
+        if self.targets_respawn:
+            a_idx = jnp.asarray([a.index for a in self.world.agents])
+            agents_pos = state.pos[:, a_idx]
+            for i, target in enumerate(self._targets):
+                others = jnp.stack(
+                    [o.pos(state) for o in self._targets if o is not target], axis=1
+                )
+                occupied = jnp.concatenate([agents_pos, others], axis=1)
+                rng, sub = jax.random.split(rng)
+                pos = ScenarioUtils.find_random_pos_for_entity(
+                    occupied, sub, self.world, self._min_dist_between_entities,
+                    (-self.x_semidim, self.x_semidim), (-self.y_semidim, self.y_semidim),
+                )
+                state = target.set_pos(state, pos[:, 0], env_mask=covered[:, i])
+        else:
+            scratch["all_time_covered"] = scratch["all_time_covered"] | covered
+            rng, sub = jax.random.split(rng)
+            outside = jax.random.uniform(
+                sub, (B, 2), minval=-1000 * self.x_semidim, maxval=-10 * self.x_semidim
+            )
+            for i, target in enumerate(self._targets):
+                state = target.set_pos(state, outside, env_mask=covered[:, i])
+        scratch["rng"] = rng
+        return state.replace(scenario=scratch)
+
+    def reward(self, agent, state):
+        s = state.scenario
+        covering = (
+            s["shared_covering_rew"] if self.shared_reward else s["covering_rew"][:, agent.slot]
+        )
+        return s["collision_rew"][:, agent.slot] + covering + s["time_rew"]
+
+    def observation(self, agent, state):
+        obs = [agent.pos(state), agent.vel(state), agent.sensors[0].measure(state)]
+        if self.use_agent_lidar:
+            obs.append(agent.sensors[1].measure(state))
+        return jnp.concatenate(obs, axis=-1)
+
+    def info(self, agent, state):
+        s = state.scenario
+        return {
+            "covering_reward": (
+                s["shared_covering_rew"] if self.shared_reward else s["covering_rew"][:, agent.slot]
+            ),
+            "collision_rew": s["collision_rew"][:, agent.slot],
+            "targets_covered": s["covered_targets"].sum(-1),
+        }

@@ -1,0 +1,65 @@
+"""MPE simple_reference (dim_c=10 communication).
+
+Behavioral reference: /root/reference/vmas/scenarios/mpe/simple_reference.py.
+Per-env goal landmark indices live in scratch (drawn per reset) instead of a
+host randint shared across envs; goal "color" observed is the landmark's
+static color gathered by that index.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vmas_tpu.core import Agent, Landmark, World
+from vmas_tpu.core.utils import safe_norm
+from vmas_tpu.scenario import BaseScenario
+from vmas_tpu.scenarios.mpe.simple import uniform_positions
+from vmas_tpu.utils import ScenarioUtils
+
+LANDMARK_COLORS = jnp.asarray(
+    [[0.75, 0.25, 0.25], [0.25, 0.75, 0.25], [0.25, 0.25, 0.75]], jnp.float32
+)
+
+
+class Scenario(BaseScenario):
+    def make_world(self, batch_dim: int, device=None, **kwargs):
+        ScenarioUtils.check_kwargs_consumed(kwargs)
+        world = World(batch_dim=batch_dim, device=device, dim_c=10)
+        for i in range(2):
+            world.add_agent(Agent(name=f"agent_{i}", collide=False, silent=False))
+        for i in range(3):
+            world.add_landmark(Landmark(name=f"landmark {i}", collide=False))
+        return world
+
+    def reset_world_at(self, state, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        state = uniform_positions(k1, state.batch_dim, self.world.agents, state)
+        state = uniform_positions(k2, state.batch_dim, self.world.landmarks, state)
+        scratch = dict(state.scenario)
+        # agent i wants the OTHER agent at landmark goal_b[i]
+        scratch["goal_b_0"] = jax.random.randint(k3, (state.batch_dim,), 0, 3)
+        scratch["goal_b_1"] = jax.random.randint(k4, (state.batch_dim,), 0, 3)
+        return state.replace(scenario=scratch)
+
+    def _goal_b_pos(self, state, i):
+        l_idx = jnp.asarray([lm.index for lm in self.world.landmarks])
+        l_pos = state.pos[:, l_idx]
+        idx = state.scenario[f"goal_b_{i}"]
+        return jnp.take_along_axis(l_pos, idx[:, None, None], axis=1)[:, 0]
+
+    def reward(self, agent, state):
+        # sum over agents of -dist(goal_a, goal_b); goal_a of agent i is the
+        # other agent (reference simple_reference.py:110-127)
+        rew = jnp.zeros((state.batch_dim,), jnp.float32)
+        for i, a in enumerate(self.world.agents):
+            goal_a = self.world.agents[1 - i]
+            rew = rew - safe_norm(goal_a.pos(state) - self._goal_b_pos(state, i))
+        return rew
+
+    def observation(self, agent, state):
+        i = agent.slot
+        goal_color = LANDMARK_COLORS[state.scenario[f"goal_b_{i}"]]  # [B, 3]
+        entity_pos = [lm.pos(state) - agent.pos(state) for lm in self.world.landmarks]
+        comm = [o.comm(state) for o in self.world.agents if o is not agent]
+        return jnp.concatenate([agent.vel(state), *entity_pos, goal_color, *comm], axis=-1)

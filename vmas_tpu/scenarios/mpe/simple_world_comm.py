@@ -1,0 +1,137 @@
+"""MPE simple_world_comm (leader adversary with comm, food, forests).
+
+Behavioral reference: /root/reference/vmas/scenarios/mpe/simple_world_comm.py.
+
+Note on fidelity: the reference has several chained-indexing no-ops
+(`in_forest[index][:, i] = 1` at simple_world_comm.py:282-285 and the first
+prey_forest block at :327-341 modify copies, never the tensor) and a
+self-distance in the adversary shaped reward (`a.state.pos - a.state.pos`,
+:240-257, identically zero). This port reproduces the NET behavior those lines
+actually produce: in_forest stays -1, forest visibility masks are always
+False (so non-leaders see zeros for other agents), and the adversary shaping
+term is zero.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vmas_tpu.core import Agent, Color, Landmark, Sphere, World
+from vmas_tpu.core.utils import safe_norm
+from vmas_tpu.scenario import BaseScenario
+from vmas_tpu.utils import ScenarioUtils
+
+
+class Scenario(BaseScenario):
+    def make_world(self, batch_dim: int, device=None, **kwargs):
+        num_good_agents = kwargs.pop("num_good_agents", 2)
+        num_adversaries = kwargs.pop("num_adversaries", 4)
+        num_landmarks = kwargs.pop("num_landmarks", 1)
+        num_food = kwargs.pop("num_food", 2)
+        num_forests = kwargs.pop("num_forests", 2)
+        ScenarioUtils.check_kwargs_consumed(kwargs)
+
+        world = World(batch_dim=batch_dim, device=device, x_semidim=1, y_semidim=1, dim_c=4)
+        for i in range(num_good_agents + num_adversaries):
+            adversary = i < num_adversaries
+            leader = i == 0
+            name = (
+                "lead_adversary_0" if leader
+                else (f"adversary_{i}" if adversary else f"agent_{i - num_adversaries}")
+            )
+            agent = Agent(
+                name=name, collide=True,
+                shape=Sphere(radius=0.075 if adversary else 0.045),
+                u_multiplier=3.0 if adversary else 4.0,
+                max_speed=1.0 if adversary else 1.3,
+                color=Color.RED if adversary else Color.GREEN,
+                adversary=adversary, silent=not leader,
+            )
+            agent.leader = leader
+            world.add_agent(agent)
+        self.obstacles = []
+        for i in range(num_landmarks):
+            lm = Landmark(name=f"landmark {i}", collide=True, shape=Sphere(radius=0.2))
+            self.obstacles.append(lm)
+            world.add_landmark(lm)
+        self.food = []
+        for i in range(num_food):
+            lm = Landmark(name=f"food {i}", collide=False, shape=Sphere(radius=0.03))
+            self.food.append(lm)
+            world.add_landmark(lm)
+        self.forests = []
+        for i in range(num_forests):
+            lm = Landmark(name=f"forest {i}", collide=False, shape=Sphere(radius=0.3))
+            self.forests.append(lm)
+            world.add_landmark(lm)
+        return world
+
+    def reset_world_at(self, state, key):
+        B = state.batch_dim
+        for i, agent in enumerate(self.world.agents):
+            state = agent.set_pos(
+                state, jax.random.uniform(jax.random.fold_in(key, i), (B, 2), minval=-1.0, maxval=1.0)
+            )
+        for i, lm in enumerate(self.world.landmarks):
+            state = lm.set_pos(
+                state,
+                jax.random.uniform(jax.random.fold_in(key, 1000 + i), (B, 2), minval=-0.9, maxval=0.9),
+            )
+        return state
+
+    def is_collision(self, state, a, b):
+        return safe_norm(a.pos(state) - b.pos(state)) < (a.shape.radius + b.shape.radius)
+
+    def good_agents(self):
+        return [a for a in self.world.agents if not a.adversary]
+
+    def adversaries(self):
+        return [a for a in self.world.agents if a.adversary]
+
+    def reward(self, agent, state):
+        if agent.adversary:
+            rew = jnp.zeros((state.batch_dim,), jnp.float32)
+            # shaped term is identically zero in the reference (self-distance)
+            if agent.collide:
+                for ag in self.good_agents():
+                    for adv in self.adversaries():
+                        rew = rew + 5.0 * self.is_collision(state, ag, adv).astype(jnp.float32)
+            return rew
+        rew = jnp.zeros((state.batch_dim,), jnp.float32)
+        if agent.collide:
+            for a in self.adversaries():
+                rew = rew - 5.0 * self.is_collision(state, a, agent).astype(jnp.float32)
+        for food in self.food:
+            rew = rew + 2.0 * self.is_collision(state, agent, food).astype(jnp.float32)
+        rew = rew - 0.05 * jnp.min(
+            jnp.stack([safe_norm(f.pos(state) - agent.pos(state)) for f in self.food], axis=1),
+            axis=-1,
+        )
+        return rew
+
+    def observation(self, agent, state):
+        B = state.batch_dim
+        entity_pos = [lm.pos(state) - agent.pos(state) for lm in self.world.landmarks]
+        in_forest = jnp.full((B, len(self.forests)), -1.0, jnp.float32)  # reference no-op writes
+
+        other_pos, other_vel = [], []
+        for other in self.world.agents:
+            if other is agent:
+                continue
+            for _ in range(len(self.forests)):
+                if agent.leader:
+                    pos = other.pos(state) - agent.pos(state)
+                    vel = other.vel(state) if not other.adversary else jnp.zeros((B, 2))
+                else:
+                    pos = jnp.zeros((B, 2))
+                    vel = jnp.zeros((B, 2))
+                other_pos.append(pos)
+                other_vel.append(vel)
+
+        comm = self.world.agents[0].comm(state)
+        return jnp.concatenate(
+            [agent.vel(state), agent.pos(state), *entity_pos, *other_pos, *other_vel, in_forest]
+            + ([comm] if (agent.adversary or agent.leader) else []),
+            axis=-1,
+        )

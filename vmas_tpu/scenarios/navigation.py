@@ -1,0 +1,198 @@
+"""Navigation scenario (goals + Lidar).
+
+Behavioral reference: /root/reference/vmas/scenarios/navigation.py.
+Per-agent shaping baselines / collision rewards become [B, A] scratch arrays.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vmas_tpu.core import Agent, Color, Landmark, Sphere, World
+from vmas_tpu.core.utils import safe_norm
+from vmas_tpu.scenario import BaseHeuristicPolicy, BaseScenario
+from vmas_tpu.sensors import Lidar
+from vmas_tpu.utils import ScenarioUtils
+
+
+class Scenario(BaseScenario):
+    def make_world(self, batch_dim: int, device=None, **kwargs):
+        self.plot_grid = False
+        self.n_agents = kwargs.pop("n_agents", 4)
+        self.collisions = kwargs.pop("collisions", True)
+        self.world_spawning_x = kwargs.pop("world_spawning_x", 1)
+        self.world_spawning_y = kwargs.pop("world_spawning_y", 1)
+        self.enforce_bounds = kwargs.pop("enforce_bounds", False)
+        self.agents_with_same_goal = kwargs.pop("agents_with_same_goal", 1)
+        self.split_goals = kwargs.pop("split_goals", False)
+        self.observe_all_goals = kwargs.pop("observe_all_goals", False)
+        self.lidar_range = kwargs.pop("lidar_range", 0.35)
+        self.agent_radius = kwargs.pop("agent_radius", 0.1)
+        self.comms_range = kwargs.pop("comms_range", 0)
+        self.n_lidar_rays = kwargs.pop("n_lidar_rays", 12)
+        self.shared_rew = kwargs.pop("shared_rew", True)
+        self.pos_shaping_factor = kwargs.pop("pos_shaping_factor", 1)
+        self.final_reward = kwargs.pop("final_reward", 0.01)
+        self.agent_collision_penalty = kwargs.pop("agent_collision_penalty", -1)
+        ScenarioUtils.check_kwargs_consumed(kwargs)
+
+        self.min_distance_between_entities = self.agent_radius * 2 + 0.05
+        self.min_collision_distance = 0.005
+
+        x_semidim = self.world_spawning_x if self.enforce_bounds else None
+        y_semidim = self.world_spawning_y if self.enforce_bounds else None
+
+        assert 1 <= self.agents_with_same_goal <= self.n_agents
+        if self.agents_with_same_goal > 1:
+            assert not self.collisions, "If agents share goals they cannot be collidables"
+        if self.split_goals:
+            assert (
+                self.n_agents % 2 == 0 and self.agents_with_same_goal == self.n_agents // 2
+            ), "Splitting the goals is allowed when the agents are even and half the team has the same goal"
+
+        world = World(batch_dim, device, substeps=2, x_semidim=x_semidim, y_semidim=y_semidim)
+
+        known_colors = [
+            (0.22, 0.49, 0.72), (1.00, 0.50, 0), (0.30, 0.69, 0.29),
+            (0.97, 0.51, 0.75), (0.60, 0.31, 0.64), (0.89, 0.10, 0.11), (0.87, 0.87, 0),
+        ]
+        entity_filter_agents = lambda e: isinstance(e, Agent)
+
+        self.goals = []
+        for i in range(self.n_agents):
+            color = known_colors[i % len(known_colors)]
+            agent = Agent(
+                name=f"agent_{i}", collide=self.collisions, color=color,
+                shape=Sphere(radius=self.agent_radius), render_action=True,
+                sensors=(
+                    [
+                        Lidar(
+                            world, n_rays=self.n_lidar_rays, max_range=self.lidar_range,
+                            entity_filter=entity_filter_agents,
+                        )
+                    ]
+                    if self.collisions
+                    else None
+                ),
+            )
+            world.add_agent(agent)
+            goal = Landmark(name=f"goal {i}", collide=False, color=color)
+            world.add_landmark(goal)
+            agent.goal = goal
+            self.goals.append(goal)
+        return world
+
+    def reset_world_at(self, state, key):
+        B = state.batch_dim
+        k1, k2 = jax.random.split(key)
+        state = ScenarioUtils.spawn_entities_randomly(
+            self.world.agents, self.world, state, k1,
+            self.min_distance_between_entities,
+            (-self.world_spawning_x, self.world_spawning_x),
+            (-self.world_spawning_y, self.world_spawning_y),
+        )
+        a_idx = jnp.asarray([a.index for a in self.world.agents])
+        occupied = state.pos[:, a_idx]
+        goal_poses = []
+        for i in range(self.n_agents):
+            pos = ScenarioUtils.find_random_pos_for_entity(
+                occupied, jax.random.fold_in(k2, i), self.world,
+                self.min_distance_between_entities,
+                (-self.world_spawning_x, self.world_spawning_x),
+                (-self.world_spawning_y, self.world_spawning_y),
+            )
+            goal_poses.append(pos[:, 0])
+            occupied = jnp.concatenate([occupied, pos], axis=1)
+
+        for i, agent in enumerate(self.world.agents):
+            if self.split_goals:
+                goal_index = int(i // self.agents_with_same_goal)
+            else:
+                goal_index = 0 if i < self.agents_with_same_goal else i
+            state = agent.goal.set_pos(state, goal_poses[goal_index])
+
+        pos_shaping = jnp.stack(
+            [
+                safe_norm(a.pos(state) - a.goal.pos(state)) * self.pos_shaping_factor
+                for a in self.world.agents
+            ],
+            axis=-1,
+        )
+        scratch = dict(state.scenario)
+        scratch["pos_shaping"] = pos_shaping  # [B, A]
+        scratch["pos_rew_per_agent"] = jnp.zeros((B, self.n_agents), jnp.float32)
+        scratch["collision_rew"] = jnp.zeros((B, self.n_agents), jnp.float32)
+        scratch["pos_rew"] = jnp.zeros((B,), jnp.float32)
+        scratch["final_rew"] = jnp.zeros((B,), jnp.float32)
+        return state.replace(scenario=scratch)
+
+    def pre_rewards(self, state):
+        scratch = dict(state.scenario)
+        dist = jnp.stack(
+            [safe_norm(a.pos(state) - a.goal.pos(state)) for a in self.world.agents], axis=-1
+        )  # [B, A]
+        on_goal = dist < jnp.asarray([a.goal.shape.radius for a in self.world.agents])[None]
+        pos_shaping = dist * self.pos_shaping_factor
+        per_agent = scratch["pos_shaping"] - pos_shaping
+        scratch["pos_shaping"] = pos_shaping
+        scratch["pos_rew_per_agent"] = per_agent
+        scratch["pos_rew"] = per_agent.sum(-1)
+        all_reached = jnp.all(on_goal, axis=-1)
+        scratch["final_rew"] = jnp.where(all_reached, self.final_reward, 0.0)
+
+        coll = jnp.zeros_like(per_agent)
+        for i, a in enumerate(self.world.agents):
+            for j, b in enumerate(self.world.agents):
+                if i <= j or not self.world.collides(a, b):
+                    continue
+                d = self.world.get_distance(state, a, b)
+                hit = (d <= self.min_collision_distance).astype(jnp.float32)
+                coll = coll.at[:, i].add(self.agent_collision_penalty * hit)
+                coll = coll.at[:, j].add(self.agent_collision_penalty * hit)
+        scratch["collision_rew"] = coll
+        return state.replace(scenario=scratch)
+
+    def reward(self, agent, state):
+        s = state.scenario
+        pos_reward = s["pos_rew"] if self.shared_rew else s["pos_rew_per_agent"][:, agent.slot]
+        return pos_reward + s["final_rew"] + s["collision_rew"][:, agent.slot]
+
+    def observation(self, agent, state):
+        if self.observe_all_goals:
+            goal_poses = [agent.pos(state) - a.goal.pos(state) for a in self.world.agents]
+        else:
+            goal_poses = [agent.pos(state) - agent.goal.pos(state)]
+        lidar = (
+            [agent.sensors[0].max_range - agent.sensors[0].measure(state)]
+            if self.collisions
+            else []
+        )
+        return jnp.concatenate([agent.pos(state), agent.vel(state)] + goal_poses + lidar, axis=-1)
+
+    def done(self, state):
+        return jnp.stack(
+            [
+                safe_norm(a.pos(state) - a.goal.pos(state)) < a.shape.radius
+                for a in self.world.agents
+            ],
+            axis=-1,
+        ).all(-1)
+
+    def info(self, agent, state):
+        s = state.scenario
+        return {
+            "pos_rew": s["pos_rew"] if self.shared_rew else s["pos_rew_per_agent"][:, agent.slot],
+            "final_rew": s["final_rew"],
+            "agent_collisions": s["collision_rew"][:, agent.slot],
+        }
+
+
+class HeuristicPolicy(BaseHeuristicPolicy):
+    """Proportional controller toward the goal (the reference's heuristic uses
+    cvxpylayers; this is the dependency-free equivalent used by tests)."""
+
+    def compute_action(self, observation, u_range):
+        # obs layout: pos(2), vel(2), pos - goal(2), ...
+        to_goal = -observation[:, 4:6]
+        return jnp.clip(to_goal * 2.0 - observation[:, 2:4] * 0.5, -u_range, u_range)

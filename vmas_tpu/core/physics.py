@@ -460,8 +460,10 @@ def physics_step(world, state: WorldState) -> WorldState:
             torques = torques + _friction_force(
                 state.ang_vel[..., None], spec.ang_fric, spec.moi, world.sub_dt
             )[..., 0]
-        if spec.has_world_gravity or spec.has_ent_gravity:
+        if spec.has_world_gravity or spec.has_ent_gravity or state.dyn_gravity is not None:
             g = jnp.asarray(world.gravity)[None, None, :] + spec.ent_gravity[None]
+            if state.dyn_gravity is not None:
+                g = g + state.dyn_gravity
             forces = forces + jnp.where(
                 spec.movable[None, :, None], spec.mass[None, :, None] * g, 0.0
             )

@@ -42,6 +42,10 @@ class WorldState:
     rendering: jnp.ndarray
     # Scenario scratch (shaping baselines, eaten flags, controller state, ...).
     scenario: Dict[str, Any]
+    # Optional per-env per-entity gravity override [B, E, 2] (None unless the
+    # world was built with dynamic_gravity=True; used by e.g. wind_flocking's
+    # per-env wind field, reference wind_flocking.py:143-148, 356-370).
+    dyn_gravity: Any = None
 
     @property
     def batch_dim(self) -> int:

@@ -159,6 +159,17 @@ class Entity:
             ang_vel = ang_vel[..., 0]
         return self._set(state, "ang_vel", ang_vel, (), env_mask)
 
+    def set_gravity(self, state: WorldState, value, env_mask=None) -> WorldState:
+        """Per-env gravity override (requires world.dynamic_gravity=True)."""
+        assert state.dyn_gravity is not None, (
+            "set world.dynamic_gravity = True in make_world to use per-env gravity"
+        )
+        value = _broadcast_value(value, state.dyn_gravity.shape[0], (2,))
+        if env_mask is not None:
+            m = env_mask[:, None]
+            value = jnp.where(m, value, state.dyn_gravity[:, self.index])
+        return state.replace(dyn_gravity=state.dyn_gravity.at[:, self.index].set(value))
+
     def set_rendering(self, state: WorldState, value, env_mask=None) -> WorldState:
         arr = state.rendering
         value = jnp.broadcast_to(jnp.asarray(value, dtype=bool), (arr.shape[0],))
@@ -406,6 +417,9 @@ class World:
         self.contact_margin = contact_margin
         self.gravity = tuple(np.asarray(gravity, dtype=np.float32).reshape(2))
 
+        # Set True (before finalize) to give the state a per-env, per-entity
+        # gravity override array (see WorldState.dyn_gravity).
+        self.dynamic_gravity = False
         self._agents: List[Agent] = []
         self._landmarks: List[Landmark] = []
         self._joint_objects: List = []
@@ -495,6 +509,7 @@ class World:
             ).astype(jnp.float32),
             rendering=jnp.ones((B, E), dtype=bool),
             scenario=scenario if scenario is not None else {},
+            dyn_gravity=z(B, E, 2) if self.dynamic_gravity else None,
         )
 
     def zeroed(self, state: WorldState) -> WorldState:

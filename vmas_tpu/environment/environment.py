@@ -90,7 +90,10 @@ class Environment:
         scenario = self.scenario
         world = self.world
 
-        def outputs(state: WorldState, steps, with_rewards: bool = True):
+        def outputs(state: WorldState, steps, obs_key, with_rewards: bool = True):
+            # Observation-noise key, available to scenarios as
+            # state.scenario["__obs_key"] (see BaseScenario.obs_key).
+            state = state.replace(scenario={**state.scenario, "__obs_key": obs_key})
             rews = None
             if with_rewards:
                 # Reward hooks may update scenario scratch; observations see
@@ -109,6 +112,7 @@ class Environment:
             return state, obs, rews, terminated, truncated, infos
 
         def reset_fn(state: WorldState, steps, key, mask):
+            key, obs_key = jax.random.split(key)
             fresh = scenario.env_reset_world_at(state, key)
             if mask is None:
                 state = fresh
@@ -116,10 +120,13 @@ class Environment:
             else:
                 state = blend(mask, fresh, state)
                 steps = jnp.where(mask, 0, steps)
-            state, obs, _, terminated, truncated, infos = outputs(state, steps, with_rewards=False)
+            state, obs, _, terminated, truncated, infos = outputs(
+                state, steps, obs_key, with_rewards=False
+            )
             return state, steps, obs, terminated, truncated, infos
 
         def step_fn(state: WorldState, steps, actions, key):
+            key, obs_key = jax.random.split(key)
             keys = jax.random.split(key, max(self.n_agents, 1))
             for i, agent in enumerate(self.agents):
                 state = self._decode_action(state, agent, actions[i], keys[i])
@@ -129,7 +136,7 @@ class Environment:
             state = world.step(state)
             state = scenario.post_step(state)
             steps = steps + 1
-            return outputs(state, steps) + (steps,)
+            return outputs(state, steps, obs_key) + (steps,)
 
         self._reset_full = jax.jit(lambda s, st, k: reset_fn(s, st, k, None))
         self._reset_masked = jax.jit(reset_fn)

@@ -110,6 +110,15 @@ class BaseScenario(ABC):
     def post_step(self, state: WorldState) -> WorldState:
         return state
 
+    @staticmethod
+    def obs_key(state: WorldState, i: int = 0):
+        """Per-step PRNG key for observation noise (injected by the
+        environment before observations are computed). Fold ``i`` for
+        independent per-agent streams."""
+        import jax
+
+        return jax.random.fold_in(state.scenario["__obs_key"], i)
+
     def extra_render(self, env_index: int = 0) -> List:
         return []
 

@@ -1,0 +1,91 @@
+"""Debug: heterogeneous mass.
+
+Behavioral reference: /root/reference/vmas/scenarios/debug/het_mass.py.
+The reference perturbs agent masses with host randomness at every reset
+(het_mass.py:47-53); mass is compile-time static in the TPU build, so the
+perturbation is drawn once at world construction — the scenario's purpose
+(testing heterogeneous-mass dynamics) is preserved.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from vmas_tpu.core import Agent, Color, World
+from vmas_tpu.core.utils import Y, safe_norm
+from vmas_tpu.scenario import BaseScenario
+from vmas_tpu.utils import ScenarioUtils
+
+
+class Scenario(BaseScenario):
+    def make_world(self, batch_dim: int, device=None, **kwargs):
+        self.green_mass = kwargs.pop("green_mass", 4)
+        self.blue_mass = kwargs.pop("blue_mass", 2)
+        self.mass_noise = kwargs.pop("mass_noise", 1)
+        ScenarioUtils.check_kwargs_consumed(kwargs)
+        self.plot_grid = True
+
+        rng = np.random.RandomState(0)
+        world = World(batch_dim, device)
+        self.green_agent = Agent(
+            name="agent 0", collide=False, color=Color.GREEN, render_action=True,
+            mass=float(self.green_mass + rng.uniform(-self.mass_noise, self.mass_noise)),
+            f_range=1,
+        )
+        world.add_agent(self.green_agent)
+        self.blue_agent = Agent(
+            name="agent 1", collide=False, render_action=True,
+            mass=float(self.blue_mass + rng.uniform(-self.mass_noise, self.mass_noise)),
+            f_range=1,
+        )
+        world.add_agent(self.blue_agent)
+        return world
+
+    def reset_world_at(self, state, key):
+        import jax
+
+        for i, agent in enumerate(self.world.agents):
+            state = agent.set_pos(
+                state,
+                jax.random.uniform(jax.random.fold_in(key, i), (state.batch_dim, 2), minval=-1, maxval=1),
+            )
+        scratch = dict(state.scenario)
+        scratch.setdefault("max_speed", jnp.zeros((state.batch_dim,), jnp.float32))
+        scratch.setdefault("energy_expenditure", jnp.zeros((state.batch_dim,), jnp.float32))
+        return state.replace(scenario=scratch)
+
+    def process_action(self, agent, state):
+        u = agent.u(state)
+        return agent.set_u(state, u.at[:, Y].set(0.0))
+
+    def pre_rewards(self, state):
+        scratch = dict(state.scenario)
+        scratch["max_speed"] = jnp.max(
+            jnp.stack([safe_norm(a.vel(state)) for a in self.world.agents], axis=1), axis=1
+        )
+        scratch["energy_expenditure"] = (
+            -jnp.stack(
+                [
+                    safe_norm(a.u(state)) / math.sqrt(self.world.dim_p * (1.0**2))
+                    for a in self.world.agents
+                ],
+                axis=1,
+            ).sum(-1)
+            * 0.17
+        )
+        return state.replace(scenario=scratch)
+
+    def reward(self, agent, state):
+        return state.scenario["max_speed"] + state.scenario["energy_expenditure"]
+
+    def observation(self, agent, state):
+        return jnp.concatenate([agent.pos(state), agent.vel(state)], axis=-1)
+
+    def info(self, agent, state):
+        return {
+            "max_speed": state.scenario["max_speed"],
+            "energy_expenditure": state.scenario["energy_expenditure"],
+        }

@@ -1,0 +1,96 @@
+"""Debug: waterfall (joint chains + box obstacles).
+
+Behavioral reference: /root/reference/vmas/scenarios/debug/waterfall.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from vmas_tpu.core import Agent, Box, Color, Joint, Landmark, Line, Sphere, World
+from vmas_tpu.core.utils import safe_norm
+from vmas_tpu.scenario import BaseScenario
+from vmas_tpu.utils import ScenarioUtils
+
+
+class Scenario(BaseScenario):
+    def make_world(self, batch_dim: int, device=None, **kwargs):
+        self.n_agents = kwargs.pop("n_agents", 5)
+        self.with_joints = kwargs.pop("joints", True)
+        ScenarioUtils.check_kwargs_consumed(kwargs)
+
+        self.agent_dist = 0.1
+        self.agent_radius = 0.04
+
+        world = World(batch_dim, device, dt=0.1, drag=0.25, substeps=5, collision_force=500)
+        for i in range(self.n_agents):
+            world.add_agent(
+                Agent(name=f"agent_{i}", shape=Sphere(radius=self.agent_radius),
+                      u_multiplier=0.7, rotatable=True)
+            )
+        if self.with_joints:
+            for i in range(self.n_agents - 1):
+                world.add_joint(
+                    Joint(
+                        world.agents[i], world.agents[i + 1],
+                        anchor_a=(1, 0), anchor_b=(-1, 0), dist=self.agent_dist,
+                        rotate_a=True, rotate_b=True, collidable=True, width=0, mass=1,
+                    )
+                )
+            landmark = Landmark(
+                name="joined landmark", collide=True, movable=True, rotatable=True,
+                shape=Box(length=self.agent_radius * 2, width=0.3), color=Color.GREEN,
+            )
+            world.add_landmark(landmark)
+            world.add_joint(
+                Joint(
+                    world.agents[-1], landmark,
+                    anchor_a=(1, 0), anchor_b=(-1, 0), dist=self.agent_dist,
+                    rotate_a=False, rotate_b=False, collidable=True, width=0, mass=1,
+                )
+            )
+        for i in range(5):
+            world.add_landmark(
+                Landmark(
+                    name=f"landmark {i}", collide=True, movable=True, rotatable=True,
+                    shape=Box(length=0.3, width=0.1), color=Color.RED,
+                )
+            )
+        world.add_landmark(
+            Landmark(name="floor", collide=True, movable=False, shape=Line(length=2), color=Color.BLACK)
+        )
+        return world
+
+    def reset_world_at(self, state, key):
+        joined = (
+            [self.world.landmarks[self.n_agents - 1]] if self.with_joints else []
+        )
+        for i, agent in enumerate(self.world.agents + joined):
+            state = agent.set_pos(
+                state,
+                jnp.asarray(
+                    [-0.2 + (self.agent_dist + 2 * self.agent_radius) * i, 1.0], jnp.float32
+                ),
+            )
+        boxes = self.world.landmarks[(self.n_agents + 1) if self.with_joints else 0 : -1]
+        for i, landmark in enumerate(boxes):
+            state = landmark.set_pos(
+                state, jnp.asarray([0.2 if i % 2 else -0.2, 0.6 - 0.3 * i], jnp.float32)
+            )
+            state = landmark.set_rot(
+                state, jnp.asarray(math.pi / 4 if i % 2 else -math.pi / 4, jnp.float32)
+            )
+        state = self.world.landmarks[-1].set_pos(state, jnp.asarray([0.0, -1.0], jnp.float32))
+        return state
+
+    def reward(self, agent, state):
+        return -safe_norm(agent.pos(state) - self.world.landmarks[-1].pos(state))
+
+    def observation(self, agent, state):
+        return jnp.concatenate(
+            [agent.pos(state), agent.vel(state)]
+            + [lm.pos(state) - agent.pos(state) for lm in self.world.landmarks],
+            axis=-1,
+        )

@@ -1,0 +1,76 @@
+"""Wrapper conformance (reference tests/test_wrappers/, 3 files)."""
+
+import numpy as np
+import pytest
+
+from vmas_tpu import make_env
+
+SCENARIOS = ["dispersion", "transport"]
+
+
+@pytest.mark.parametrize("scenario", SCENARIOS)
+@pytest.mark.parametrize("continuous", [True, False])
+def test_gym_wrapper(scenario, continuous):
+    env = make_env(scenario, num_envs=1, seed=0, continuous_actions=continuous, wrapper="gym")
+    obs = env.reset(seed=0)
+    assert len(obs) == env.env.n_agents
+    for o, space in zip(obs, env.observation_space.spaces):
+        assert np.asarray(o).shape == space.shape
+    acts = [np.asarray(a)[0] for a in env.env.get_random_actions()]
+    obs, rews, done, info = env.step(acts)
+    assert isinstance(done, bool)
+    assert all(isinstance(r, float) for r in rews)
+    assert set(info.keys()) == {a.name for a in env.env.agents}
+
+
+def test_gym_seeded_reset_determinism():
+    env1 = make_env("transport", num_envs=1, seed=3, wrapper="gym")
+    env2 = make_env("transport", num_envs=1, seed=3, wrapper="gym")
+    o1 = env1.reset(seed=3)
+    o2 = env2.reset(seed=3)
+    np.testing.assert_array_equal(np.asarray(o1[0]), np.asarray(o2[0]))
+
+
+@pytest.mark.parametrize("scenario", SCENARIOS)
+def test_gymnasium_wrapper(scenario):
+    env = make_env(
+        scenario, num_envs=1, seed=0, wrapper="gymnasium", terminated_truncated=True
+    )
+    obs, info = env.reset(seed=0)
+    acts = [np.asarray(a)[0] for a in env.unwrapped.get_random_actions()]
+    obs, rews, terminated, truncated, info = env.step(acts)
+    assert isinstance(terminated, bool) and isinstance(truncated, bool)
+
+
+@pytest.mark.parametrize("scenario", SCENARIOS)
+def test_gymnasium_vec_wrapper(scenario):
+    env = make_env(
+        scenario, num_envs=4, seed=0, wrapper="gymnasium_vec", terminated_truncated=True
+    )
+    obs, info = env.reset(seed=0)
+    assert np.asarray(obs[0]).shape[0] == 4
+    acts = [np.asarray(a) for a in env.unwrapped.get_random_actions()]
+    obs, rews, terminated, truncated, info = env.step(acts)
+    assert np.asarray(terminated).shape == (4,)
+
+
+def test_rllib_wrapper():
+    env = make_env("dispersion", num_envs=3, seed=0, wrapper="rllib")
+    obs = env.vector_reset()
+    assert len(obs) == 3 and len(obs[0]) == env.env.n_agents
+    actions = [
+        [np.asarray(a)[j] for a in env.env.get_random_actions()] for j in range(3)
+    ]
+    obs, rews, dones, infos = env.vector_step(actions)
+    assert len(rews) == 3 and isinstance(rews[0], float)
+    assert "rewards" in infos[0]
+    obs0 = env.reset_at(1)
+    assert len(obs0) == env.env.n_agents
+
+
+def test_render_rgb_array():
+    env = make_env("transport", num_envs=2, seed=0)
+    env.step(env.get_random_actions())
+    frame = env.render(mode="rgb_array", env_index=0)
+    assert frame.ndim == 3 and frame.shape[-1] == 3
+    assert frame.max() > 0

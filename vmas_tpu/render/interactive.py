@@ -1,0 +1,131 @@
+"""Interactive play with keyboard control.
+
+Behavioral reference: /root/reference/vmas/interactive_rendering.py (incl. the
+fork's comm-action digit keys, interactive_rendering.py:108-123). The pyglet
+key loop becomes matplotlib key events: arrows + M/N control agent 0, WASD +
+Q/E control agent 1 (with control_two_agents=True), TAB/LSHIFT cycle agents,
+R resets, digits 0-4 set the comm channel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vmas_tpu.make_env import make_env
+
+
+class InteractiveEnv:
+    def __init__(
+        self,
+        env,
+        control_two_agents: bool = False,
+        display_info: bool = True,
+        save_render: bool = False,
+        render_name: str = "interactive",
+    ):
+        self.env = env
+        self.control_two_agents = control_two_agents
+        self.display_info = display_info
+        self.save_render = save_render
+        self.render_name = render_name
+        self.n_agents = env.n_agents
+        self.agent_index = 0
+        self.agent2_index = 1 if self.n_agents > 1 else None
+        self.keys = set()
+        self.comm_value = 0
+        self.frames = []
+        self.reset()
+
+    def reset(self):
+        self.env.reset()
+
+    def _u_from_keys(self, up, down, left, right, rot_p, rot_m, agent):
+        u = np.zeros(agent.action_size, np.float32)
+        r = agent.u_range_array
+        if right in self.keys:
+            u[0] = r[0]
+        if left in self.keys:
+            u[0] = -r[0]
+        if up in self.keys:
+            u[1] = r[min(1, len(r) - 1)]
+        if down in self.keys:
+            u[1] = -r[min(1, len(r) - 1)]
+        if agent.action_size > 2:
+            if rot_p in self.keys:
+                u[2] = r[2]
+            if rot_m in self.keys:
+                u[2] = -r[2]
+        return u
+
+    def step(self):
+        actions = []
+        for i, agent in enumerate(self.env.agents):
+            if i == self.agent_index:
+                u = self._u_from_keys("up", "down", "left", "right", "m", "n", agent)
+            elif self.control_two_agents and i == self.agent2_index:
+                u = self._u_from_keys("w", "s", "a", "d", "e", "q", agent)
+            else:
+                u = np.zeros(agent.action_size, np.float32)
+            if self.env.world.dim_c > 0 and not agent.silent:
+                c = np.zeros(self.env.world.dim_c, np.float32)
+                c[min(self.comm_value, self.env.world.dim_c - 1)] = 1.0
+                u = np.concatenate([u, c])
+            actions.append(np.tile(u, (self.env.num_envs, 1)))
+        return self.env.step(actions)
+
+    def on_key_press(self, event):
+        key = event.key
+        if key == "r":
+            self.reset()
+        elif key == "tab":
+            self.agent_index = (self.agent_index + 1) % self.n_agents
+        elif key == "shift":
+            if self.agent2_index is not None:
+                self.agent2_index = (self.agent2_index + 1) % self.n_agents
+        elif key in "01234":
+            self.comm_value = int(key)
+        else:
+            self.keys.add(key)
+
+    def on_key_release(self, event):
+        self.keys.discard(event.key)
+
+    def run(self, max_steps: int = 10_000):
+        import matplotlib.pyplot as plt
+
+        plt.ion()
+        for _ in range(max_steps):
+            obs, rews, dones, infos = self.step()
+            frame = self.env.render(mode="rgb_array")
+            if self.save_render:
+                self.frames.append(frame)
+            fig = plt.gcf()
+            fig.canvas.mpl_connect("key_press_event", self.on_key_press)
+            fig.canvas.mpl_connect("key_release_event", self.on_key_release)
+            plt.pause(0.05)
+        if self.save_render and self.frames:
+            from vmas_tpu.render.video import save_video
+
+            save_video(self.render_name, self.frames, fps=1 / self.env.world.dt)
+
+
+def render_interactively(
+    scenario,
+    control_two_agents: bool = False,
+    display_info: bool = True,
+    save_render: bool = False,
+    **kwargs,
+):
+    """Reference render_interactively (interactive_rendering.py:328-429)."""
+    if isinstance(scenario, str) and scenario.endswith(".py"):
+        import os
+
+        scenario = os.path.basename(scenario)[:-3]
+    env = make_env(scenario=scenario, num_envs=1, seed=0, **kwargs)
+    InteractiveEnv(
+        env,
+        control_two_agents=control_two_agents,
+        display_info=display_info,
+        save_render=save_render,
+        render_name=str(scenario),
+    ).run()

@@ -1,0 +1,825 @@
+"""Football scenario: blue vs red teams, ball agent, goals, scripted team AI.
+
+Behavioral reference: /root/reference/vmas/scenarios/football.py (2346 lines).
+Structure preserved: ball is a scripted agent (ball_action_script,
+football.py:1617-1677); the team AI (AgentPolicy, football.py:1683-2273) is a
+functional port whose per-agent objectives/possession state live in scenario
+scratch as stacked [B, A, ...] arrays; hermite-spline trajectory evaluation
+(Splines, football.py:2279-2330) reduces to constant row-vector coefficients
+computed at build time.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vmas_tpu.core import Agent, Box, Color, Landmark, Line, Sphere, World
+from vmas_tpu.core.utils import JaxUtils, X, Y, safe_norm
+from vmas_tpu.dynamics import Holonomic, HolonomicWithRotation
+from vmas_tpu.scenario import BaseScenario
+from vmas_tpu.utils import ScenarioUtils
+
+
+def hermite_coeffs(u: float, deriv: int) -> np.ndarray:
+    """Row vector c so that spline(u) = c[0]*p0 + c[1]*p1 + c[2]*v0 + c[3]*v1
+    (reference Splines.hermite, football.py:2291-2320)."""
+    A = np.array(
+        [[2.0, -2.0, 1.0, 1.0], [-3.0, 3.0, -2.0, -1.0], [0.0, 0.0, 1.0, 0.0], [1.0, 0.0, 0.0, 0.0]]
+    )
+
+    def nPr(n, r):
+        if r > n:
+            return 0
+        ans = 1
+        for k in range(n, max(1, n - r), -1):
+            ans *= k
+        return ans
+
+    U = np.array(
+        [
+            nPr(3, deriv) * (u ** max(0, 3 - deriv)),
+            nPr(2, deriv) * (u ** max(0, 2 - deriv)),
+            nPr(1, deriv) * (u ** max(0, 1 - deriv)),
+            nPr(0, deriv),
+        ],
+        dtype=np.float32,
+    )
+    return U @ A
+
+
+def _norm_dir(v, eps_zero=True):
+    """Unit vector; zeros where the norm is zero."""
+    n = safe_norm(v)[..., None]
+    return jnp.where(n == 0, 0.0, v / jnp.where(n == 0, 1.0, n))
+
+
+class AgentPolicy:
+    """Functional port of the football team AI (football.py:1683-2273).
+
+    All mutable state (objectives, possession) lives in scenario scratch under
+    the key ``ai_{team}``; methods take and return the scratch dict.
+    """
+
+    def __init__(self, scenario, team, speed_strength=1.0, decision_strength=1.0,
+                 precision_strength=1.0, disabled=False):
+        self.scenario = scenario
+        self.team_name = team
+        self.speed_strength = speed_strength**2
+        self.decision_strength = decision_strength
+        self.precision_strength = precision_strength
+        self.strength_multiplier = 25.0
+        self.pos_lookahead = 0.01
+        self.vel_lookahead = 0.01
+        self.possession_lookahead = 0.5
+        self.dribble_speed = 0.16 + 0.16 * speed_strength
+        self.shooting_radius = 0.08
+        self.shooting_angle = math.pi / 2
+        self.take_shot_angle = math.pi / 4
+        self.max_shot_dist = 0.5
+        self.nsamples = 2
+        self.sigma = 0.5
+        self.replan_margin = 0.0
+        self.disabled = disabled
+        self.key = f"ai_{team}"
+        self.pos_coeffs = jnp.asarray(hermite_coeffs(min(self.pos_lookahead, 1), 0))
+        self.vel_coeffs = jnp.asarray(hermite_coeffs(min(self.vel_lookahead, 1), 1))
+
+    # -- wiring ----------------------------------------------------------
+    @property
+    def teammates(self):
+        return self.scenario.red_agents if self.team_name == "Red" else self.scenario.blue_agents
+
+    @property
+    def opposition(self):
+        return self.scenario.blue_agents if self.team_name == "Red" else self.scenario.red_agents
+
+    @property
+    def own_net(self):
+        return self.scenario.red_net if self.team_name == "Red" else self.scenario.blue_net
+
+    @property
+    def target_net(self):
+        return self.scenario.blue_net if self.team_name == "Red" else self.scenario.red_net
+
+    def slot_in_team(self, agent):
+        return self.teammates.index(agent)
+
+    def init_scratch(self, B):
+        A = len(self.teammates)
+        z = lambda *s: jnp.zeros(s, jnp.float32)
+        return {
+            "shot_power": z(B, A),
+            "target_ang": z(B, A),
+            "target_pos_rel": z(B, A, 2),
+            "target_pos": z(B, A, 2),
+            "target_vel": z(B, A, 2),
+            "start_pos": z(B, A, 2),
+            "start_vel": z(B, A, 2),
+            "agent_possession": jnp.zeros((B, A), bool),
+            "team_possession": jnp.zeros((B,), bool),
+        }
+
+    # -- helpers ----------------------------------------------------------
+    def _ai_key(self, state, salt):
+        base = state.scenario.get("__obs_key", jax.random.PRNGKey(0))
+        return jax.random.fold_in(base, salt)
+
+    def get_start_vel(self, pos, vel, start_pos, aggression):
+        """football.py:1966-1988; ``aggression`` may be scalar or [B]."""
+        vel_mag = 1.0 * aggression + safe_norm(vel) * (1 - aggression)
+        vel_dir = _norm_dir(vel)
+        goal_dist = safe_norm(pos - start_pos)
+        dist_behind_target = 0.6 * goal_dist
+        target_pos = pos - vel_dir * dist_behind_target[:, None]
+        start_vel_aug_dir = _norm_dir(target_pos - start_pos)
+        return start_vel_aug_dir * vel_mag[:, None]
+
+    def go_to(self, state, ai, agent, pos, vel=None, start_vel=None, aggression=1.0, mask=None):
+        """football.py:1929-1964; masked blend instead of indexed write."""
+        i = self.slot_in_team(agent)
+        start_pos = agent.pos(state)
+        if vel is None:
+            vel = jnp.zeros_like(pos)
+        if start_vel is None:
+            aggr = (safe_norm(pos - start_pos) > 0.1).astype(jnp.float32) * aggression
+            start_vel = self.get_start_vel(pos, vel, start_pos, aggr)
+        if self.precision_strength != 1:
+            diff = safe_norm(ai["target_pos"][:, i] - pos)[:, None]
+            exp_diff = jnp.exp(-diff)
+            k = self._ai_key(state, 1000 + i)
+            pos = pos + jax.random.normal(k, pos.shape) * 10 * (1 - self.precision_strength) * (1 - exp_diff)
+            vel = vel + jax.random.normal(jax.random.fold_in(k, 1), pos.shape) * 10 * (
+                1 - self.precision_strength
+            ) * (1 - exp_diff)
+
+        m = mask[:, None] if mask is not None else jnp.ones((pos.shape[0], 1), bool)
+        ball_pos = self.scenario.ball.pos(state)
+        upd = lambda arr, new: arr.at[:, i].set(jnp.where(m, new, arr[:, i]))
+        ai = dict(ai)
+        ai["target_pos_rel"] = upd(ai["target_pos_rel"], pos - ball_pos)
+        ai["target_pos"] = upd(ai["target_pos"], pos)
+        ai["target_vel"] = upd(ai["target_vel"], vel)
+        ai["start_pos"] = upd(ai["start_pos"], start_pos)
+        ai["start_vel"] = upd(ai["start_vel"], start_vel)
+        return ai
+
+    def update_dribble(self, state, ai, agent, pos, mask):
+        """football.py:1870-1891."""
+        agent_pos = agent.pos(state)
+        ball_pos = self.scenario.ball.pos(state)
+        ball_disp = pos - ball_pos
+        direction = _norm_dir(ball_disp)
+        hit_vel = direction * self.dribble_speed
+        start_vel = self.get_start_vel(ball_pos, hit_vel, agent_pos, aggression=0.0)
+        offset = _norm_dir(start_vel)
+        new_direction = _norm_dir(direction + 0.5 * offset)
+        hit_pos = ball_pos - new_direction * (
+            self.scenario.ball.shape.radius + agent.shape.radius
+        ) * 0.7
+        return self.go_to(state, ai, agent, hit_pos, hit_vel, start_vel=start_vel, mask=mask)
+
+    def check_possession(self, state, ai):
+        """football.py:2116-2145."""
+        team = self.teammates
+        all_agents = team + self.opposition
+        agents_pos = jnp.stack([a.pos(state) for a in all_agents], axis=1)
+        agents_vel = jnp.stack([a.vel(state) for a in all_agents], axis=1)
+        ball_pos = self.scenario.ball.pos(state)
+        ball_vel = self.scenario.ball.vel(state)
+        ball_disps = ball_pos[:, None, :] - agents_pos
+        relvels = ball_vel[:, None, :] - agents_vel
+        dists = safe_norm(ball_disps + relvels * self.possession_lookahead)
+        ai = dict(ai)
+        ai["team_possession"] = jnp.argmin(dists, axis=-1) < len(team)
+        net_disps = self.target_net.pos(state)[:, None, :] - agents_pos
+        side_dot_prod = jnp.sum(_norm_dir(ball_disps) * _norm_dir(net_disps), axis=-1)
+        dists = dists - 0.5 * side_dot_prod * self.decision_strength
+        if self.decision_strength != 1:
+            dists = dists + 0.5 * jax.random.normal(self._ai_key(state, 77), dists.shape) * (
+                1 - self.decision_strength
+            ) ** 2
+        mindist_agents = jnp.argmin(dists[:, : len(team)], axis=-1)
+        ai["agent_possession"] = mindist_agents[:, None] == jnp.arange(len(team))[None]
+        return ai
+
+    def clamp_pos(self, pos):
+        """football.py:2096-2114."""
+        s = self.scenario
+        agent_size = s.agent_size
+        pitch_y = s.pitch_width / 2 - agent_size
+        pitch_x = s.pitch_length / 2 - agent_size
+        goal_y = s.goal_size / 2 - agent_size
+        goal_x = s.goal_depth
+        y = jnp.clip(pos[..., Y], -pitch_y, pitch_y)
+        inside_goal_y = jnp.abs(y) < goal_y
+        x = jnp.where(
+            inside_goal_y,
+            jnp.clip(pos[..., X], -pitch_x - goal_x, pitch_x + goal_x),
+            jnp.clip(pos[..., X], -pitch_x, pitch_x),
+        )
+        return jnp.stack([x, y], axis=-1)
+
+    def get_pos_value(self, state, ai, pos, agent):
+        """football.py:2179-2231; pos [B, S, 2] -> [B, S]."""
+        s = self.scenario
+        ball_pos = s.ball.pos(state)[:, None]
+        target_net_pos = self.target_net.pos(state)[:, None]
+        own_net_pos = self.own_net.pos(state)[:, None]
+        ball_vec = _norm_dir(ball_pos - pos)
+
+        ball_dist = safe_norm(pos - ball_pos)
+        ball_dist_value = jnp.exp(-2 * ball_dist**4)
+
+        net_vec = _norm_dir(target_net_pos - pos)
+        side_dot_prod = jnp.sum(ball_vec * net_vec, axis=-1)
+        side_value = jnp.minimum(side_dot_prod + 1.25, 1.0)
+
+        own_net_vec = (own_net_pos - pos) / jnp.where(
+            safe_norm(target_net_pos - pos)[..., None] == 0, 1.0,
+            safe_norm(target_net_pos - pos)[..., None],
+        )
+        defend_dot_prod = jnp.sum(ball_vec * -own_net_vec, axis=-1)
+        defend_value = jnp.maximum(defend_dot_prod, 0.0)
+
+        team = self.teammates
+        if len(team) > 1:
+            i = self.slot_in_team(agent)
+            others = [a for a in team if a is not agent]
+            team_pos = jnp.stack([a.pos(state) for a in others], axis=1)  # [B, T-1, 2]
+            team_dists = safe_norm(team_pos[:, None] - pos[:, :, None])  # [B, S, T-1]
+            other_agent_value = -jnp.sqrt(jnp.sum(jnp.exp(-5 * team_dists) ** 2, axis=-1)) + 1
+        else:
+            other_agent_value = 0.0
+
+        # wall separations (football.py:2233-2244): norm over the two disp rows
+        top = -pos[..., Y] + s.pitch_width / 2
+        bottom = pos[..., Y] + s.pitch_width / 2
+        left = pos[..., X] + s.pitch_length / 2
+        right = -pos[..., X] + s.pitch_length / 2
+        v_dist = jnp.minimum(top, bottom)
+        h_dist = jnp.minimum(left, right)
+        wall_value = -jnp.sqrt(jnp.exp(-8 * v_dist) ** 2 + jnp.exp(-8 * h_dist) ** 2) + 1
+
+        value = (wall_value + other_agent_value + ball_dist_value + side_value + defend_value) / 5
+        if self.decision_strength != 1:
+            value = value + jax.random.normal(self._ai_key(state, 88), value.shape) * (
+                1 - self.decision_strength
+            )
+        return value
+
+    def check_better_positions(self, state, ai, agent):
+        """football.py:2147-2177."""
+        i = self.slot_in_team(agent)
+        B = state.batch_dim
+        ball_pos = self.scenario.ball.pos(state)
+        curr_target = ai["target_pos_rel"][:, i] + ball_pos
+        k = self._ai_key(state, 500 + i)
+        samples = jax.random.normal(k, (B, self.nsamples, 2)) * self.sigma * (
+            1 + 3 * (1 - self.decision_strength)
+        )
+        samples = samples.at[:, ::2].add(ball_pos[:, None])
+        samples = samples.at[:, 1::2].add(agent.pos(state)[:, None])
+        test_pos = jnp.concatenate([curr_target[:, None, :], samples], axis=1)
+        test_pos = self.clamp_pos(test_pos)
+        values = self.get_pos_value(state, ai, test_pos, agent)
+        values = values.at[:, 0].add(self.replan_margin + 3 * (1 - self.decision_strength))
+        best = jnp.argmax(values, axis=1)
+        return jnp.take_along_axis(test_pos, best[:, None, None], axis=1)[:, 0]
+
+    def get_action(self, state, ai, agent):
+        """football.py:1990-2038."""
+        i = self.slot_in_team(agent)
+        P = jnp.stack(
+            [ai["start_pos"][:, i], ai["target_pos"][:, i], ai["start_vel"][:, i], ai["target_vel"][:, i]],
+            axis=1,
+        )  # [B, 4, 2]
+        des_pos = jnp.einsum("k,bkd->bd", self.pos_coeffs, P)
+        des_vel = jnp.einsum("k,bkd->bd", self.vel_coeffs, P)
+        movement = 0.5 * (des_pos - agent.pos(state)) + 0.5 * (des_vel - agent.vel(state))
+        movement = movement * (self.speed_strength * self.strength_multiplier)
+        if agent.action_size == 2:
+            return movement
+        rel_ang = jnp.mod(ai["target_ang"][:, i] - agent.rot(state) + jnp.pi, 2 * jnp.pi) - jnp.pi
+        rot_ctrl = jnp.where(rel_ang > jnp.pi / 2, 1.0, jnp.where(rel_ang < -jnp.pi / 2, -1.0, jnp.sin(rel_ang)))
+        shooting = jnp.stack([rot_ctrl, ai["shot_power"][:, i]], axis=-1)
+        return jnp.concatenate([movement, shooting], axis=-1)
+
+    def run(self, agent, world, state):
+        """Scripted-agent entry (reference AgentPolicy.run, football.py:1841-1858)."""
+        if self.disabled:
+            return agent.set_u(state, jnp.zeros((state.batch_dim, agent.action_size)))
+        scratch = dict(state.scenario)
+        ai = dict(scratch[self.key])
+        if self.slot_in_team(agent) == 0:
+            ai = self.check_possession(state, ai)
+        # dribble_policy (football.py:1805-1815)
+        i = self.slot_in_team(agent)
+        possession_mask = ai["agent_possession"][:, i]
+        ai = self.update_dribble(state, ai, agent, self.target_net.pos(state), mask=possession_mask)
+        best_pos = self.check_better_positions(state, ai, agent)
+        ai = self.go_to(state, ai, agent, best_pos, aggression=1.0, mask=~possession_mask)
+        control = self.get_action(state, ai, agent)
+        control = jnp.clip(control, -agent.u_range_array[None], agent.u_range_array[None])
+        u = control * agent.u_multiplier_array[None]
+        scratch[self.key] = ai
+        state = state.replace(scenario=scratch)
+        return agent.set_u(state, u)
+
+
+def ball_action_script(ball, world, state):
+    """Ball anti-stall impulses (reference ball_action_script,
+    football.py:1617-1677)."""
+    s = world._football_scenario
+    dist_thres = s.agent_size * 2
+    vel_thres = 0.3
+    impulse = 0.05
+    pos, vel = ball.pos(state), ball.vel(state)
+    upper = 1 - jnp.minimum(s.pitch_width / 2 - pos[:, 1], dist_thres) / dist_thres
+    lower = 1 - jnp.minimum(s.pitch_width / 2 + pos[:, 1], dist_thres) / dist_thres
+    right = 1 - jnp.minimum(s.pitch_length / 2 - pos[:, 0], dist_thres) / dist_thres
+    left = 1 - jnp.minimum(s.pitch_length / 2 + pos[:, 0], dist_thres) / dist_thres
+    vertical_vel = 1 - jnp.minimum(jnp.abs(vel[:, 1]), vel_thres) / vel_thres
+    horizontal_vel = vertical_vel  # the reference uses vel[:, 1] for both
+    dist_action = jnp.stack([left - right, lower - upper], axis=1)
+    vel_action = jnp.stack([horizontal_vel, vertical_vel], axis=1)
+    actions = dist_action * vel_action * impulse
+    goal_mask = (pos[:, 1] < s.goal_size / 2) & (pos[:, 1] > -s.goal_size / 2)
+    actions = actions.at[:, 0].set(jnp.where(goal_mask, 0.0, actions[:, 0]))
+    return ball.set_u(state, actions)
+
+
+class Scenario(BaseScenario):
+    def init_params(self, **kwargs):
+        self.viewer_size = kwargs.pop("viewer_size", (1200, 800))
+        self.n_blue_agents = kwargs.pop("n_blue_agents", 3)
+        self.n_red_agents = kwargs.pop("n_red_agents", 3)
+        self.ai_red_agents = kwargs.pop("ai_red_agents", True)
+        self.ai_blue_agents = kwargs.pop("ai_blue_agents", False)
+        self.physically_different = kwargs.pop("physically_different", False)
+        self.spawn_in_formation = kwargs.pop("spawn_in_formation", False)
+        self.only_blue_formation = kwargs.pop("only_blue_formation", True)
+        self.formation_agents_per_column = kwargs.pop("formation_agents_per_column", 2)
+        self.randomise_formation_indices = kwargs.pop("randomise_formation_indices", False)
+        self.formation_noise = kwargs.pop("formation_noise", 0.2)
+        self.n_traj_points = kwargs.pop("n_traj_points", 0)
+        self.ai_speed_strength = kwargs.pop("ai_strength", 1.0)
+        self.ai_decision_strength = kwargs.pop("ai_decision_strength", 1.0)
+        self.ai_precision_strength = kwargs.pop("ai_precision_strength", 1.0)
+        self.disable_ai_red = kwargs.pop("disable_ai_red", False)
+        self.agent_size = kwargs.pop("agent_size", 0.025)
+        self.goal_size = kwargs.pop("goal_size", 0.35)
+        self.goal_depth = kwargs.pop("goal_depth", 0.1)
+        self.pitch_length = kwargs.pop("pitch_length", 3.0)
+        self.pitch_width = kwargs.pop("pitch_width", 1.5)
+        self.ball_mass = kwargs.pop("ball_mass", 0.25)
+        self.ball_size = kwargs.pop("ball_size", 0.02)
+        self.u_multiplier = kwargs.pop("u_multiplier", 0.1)
+        self.enable_shooting = kwargs.pop("enable_shooting", False)
+        self.u_rot_multiplier = kwargs.pop("u_rot_multiplier", 0.0003)
+        self.u_shoot_multiplier = kwargs.pop("u_shoot_multiplier", 0.6)
+        self.shooting_radius = kwargs.pop("shooting_radius", 0.08)
+        self.shooting_angle = kwargs.pop("shooting_angle", math.pi / 2)
+        self.max_speed = kwargs.pop("max_speed", 0.15)
+        self.ball_max_speed = kwargs.pop("ball_max_speed", 0.3)
+        self.dense_reward = kwargs.pop("dense_reward", True)
+        self.pos_shaping_factor_ball_goal = kwargs.pop("pos_shaping_factor_ball_goal", 10.0)
+        self.pos_shaping_factor_agent_ball = kwargs.pop("pos_shaping_factor_agent_ball", 0.1)
+        self.distance_to_ball_trigger = kwargs.pop("distance_to_ball_trigger", 0.4)
+        self.scoring_reward = kwargs.pop("scoring_reward", 100.0)
+        self.observe_teammates = kwargs.pop("observe_teammates", True)
+        self.observe_adversaries = kwargs.pop("observe_adversaries", True)
+        self.dict_obs = kwargs.pop("dict_obs", False)
+        if kwargs.pop("dense_reward_ratio", None) is not None:
+            raise ValueError(
+                "dense_reward_ratio in football is deprecated, please use `dense_reward`"
+            )
+        ScenarioUtils.check_kwargs_consumed(kwargs)
+
+    def make_world(self, batch_dim: int, device=None, **kwargs):
+        self.init_params(**kwargs)
+        self.visualize_semidims = False
+        world = World(
+            batch_dim, device, dt=0.1, drag=0.05,
+            x_semidim=self.pitch_length / 2 + self.goal_depth - self.agent_size,
+            y_semidim=self.pitch_width / 2 - self.agent_size,
+            substeps=2,
+        )
+        world._football_scenario = self
+        self._init_agents(world)
+        self._init_ball(world)
+        self._init_walls(world)
+        self._init_goals(world)
+
+        self.left_goal_pos = jnp.asarray(
+            [-self.pitch_length / 2 - self.ball_size / 2, 0.0], jnp.float32
+        )
+        self.right_goal_pos = -self.left_goal_pos
+        return world
+
+    # -- construction -----------------------------------------------------
+    def _agent_def(self, name, controller, u_mult_scale=0.0, shoot_scale=0.0,
+                   speed_delta=0.0, radius_delta=0.0, rot_mult_delta=0.0):
+        shooting = self.enable_shooting and controller is None
+        u_mult = self.u_multiplier + u_mult_scale
+        return Agent(
+            name=name,
+            shape=Sphere(radius=self.agent_size + radius_delta),
+            action_script=controller.run if controller is not None else None,
+            u_multiplier=(
+                [u_mult, u_mult]
+                if not shooting
+                else [u_mult, u_mult, self.u_rot_multiplier + rot_mult_delta,
+                      self.u_shoot_multiplier + shoot_scale]
+            ),
+            max_speed=self.max_speed + speed_delta,
+            dynamics=Holonomic() if not shooting else HolonomicWithRotation(),
+            action_size=2 if not shooting else 4,
+            color=self.blue_color if name.startswith("agent_blue") else self.red_color,
+            alpha=1,
+        )
+
+    def _init_agents(self, world):
+        self.blue_color = (0.22, 0.49, 0.72)
+        self.red_color = (0.89, 0.10, 0.11)
+        self.blue_agents = []
+        self.red_agents = []
+
+        def strength(v, idx):
+            return v[idx] if isinstance(v, tuple) else v
+
+        self.red_controller = (
+            AgentPolicy(
+                self, "Red", disabled=self.disable_ai_red,
+                speed_strength=strength(self.ai_speed_strength, 1),
+                precision_strength=strength(self.ai_precision_strength, 1),
+                decision_strength=strength(self.ai_decision_strength, 1),
+            )
+            if self.ai_red_agents else None
+        )
+        self.blue_controller = (
+            AgentPolicy(
+                self, "Blue",
+                speed_strength=strength(self.ai_speed_strength, 0),
+                precision_strength=strength(self.ai_precision_strength, 0),
+                decision_strength=strength(self.ai_decision_strength, 0),
+            )
+            if self.ai_blue_agents else None
+        )
+
+        if self.physically_different:
+            assert self.n_blue_agents == 5, "Physical differences only for 5 agents"
+            # 2 attackers, 2 defenders, 1 goalkeeper (football.py:300-385)
+            defs = [
+                dict(u_mult_scale=0.1, shoot_scale=-0.2, speed_delta=0.05, radius_delta=-0.005),
+                dict(u_mult_scale=0.1, shoot_scale=-0.2, speed_delta=0.05, radius_delta=-0.005),
+                dict(), dict(),
+                dict(u_mult_scale=-0.05, speed_delta=-0.1, radius_delta=0.01, rot_mult_delta=0.2),
+            ]
+            for i, d in enumerate(defs):
+                agent = self._agent_def(f"agent_blue_{i}", self.blue_controller, **d)
+                world.add_agent(agent)
+                self.blue_agents.append(agent)
+        else:
+            for i in range(self.n_blue_agents):
+                agent = self._agent_def(f"agent_blue_{i}", self.blue_controller)
+                world.add_agent(agent)
+                self.blue_agents.append(agent)
+        for i in range(self.n_red_agents):
+            agent = self._agent_def(f"agent_red_{i}", self.red_controller)
+            world.add_agent(agent)
+            self.red_agents.append(agent)
+
+    def _init_ball(self, world):
+        self.ball = Agent(
+            name="Ball", shape=Sphere(radius=self.ball_size),
+            action_script=ball_action_script,
+            max_speed=self.ball_max_speed, mass=self.ball_mass,
+            alpha=1, color=Color.BLACK,
+        )
+        world.add_agent(self.ball)
+
+    def _init_walls(self, world):
+        wall_len = self.pitch_width / 2 - self.agent_size - self.goal_size / 2
+        self.walls = {}
+        for name in ["Right Top Wall", "Left Top Wall", "Right Bottom Wall", "Left Bottom Wall"]:
+            lm = Landmark(name=name, collide=True, movable=False, shape=Line(length=wall_len), color=Color.WHITE)
+            world.add_landmark(lm)
+            self.walls[name] = lm
+
+    def _init_goals(self, world):
+        self.goal_parts = {}
+        for name, length in [
+            ("Right Goal Back", self.goal_size), ("Left Goal Back", self.goal_size),
+            ("Right Goal Top", self.goal_depth), ("Left Goal Top", self.goal_depth),
+            ("Right Goal Bottom", self.goal_depth), ("Left Goal Bottom", self.goal_depth),
+        ]:
+            lm = Landmark(name=name, collide=True, movable=False, shape=Line(length=length), color=Color.WHITE)
+            world.add_landmark(lm)
+            self.goal_parts[name] = lm
+        self.blue_net = Landmark(
+            name="Blue Net", collide=False, movable=False,
+            shape=Box(length=self.goal_depth, width=self.goal_size), color=(0.5, 0.5, 0.5),
+        )
+        world.add_landmark(self.blue_net)
+        self.red_net = Landmark(
+            name="Red Net", collide=False, movable=False,
+            shape=Box(length=self.goal_depth, width=self.goal_size), color=(0.5, 0.5, 0.5),
+        )
+        world.add_landmark(self.red_net)
+
+    # -- reset -------------------------------------------------------------
+    def _spawn_formation(self, state, agents, blue, key):
+        """football.py:416-462 (per-env formation index permutation omitted
+        when randomise_formation_indices is False, the default)."""
+        positions = []
+        endpoint = -(self.pitch_length / 2 + self.goal_depth) * (1 if blue else -1)
+        n_cols = len(agents) // self.formation_agents_per_column + 3
+        agent_index = 0
+        for x in np.linspace(0, endpoint, n_cols):
+            if agent_index >= len(agents):
+                break
+            if x == 0 or x == endpoint:
+                continue
+            n_this = len(agents[agent_index : agent_index + self.formation_agents_per_column])
+            for y in np.linspace(self.pitch_width / 2, -self.pitch_width / 2, n_this + 2):
+                if y == -self.pitch_width / 2 or y == self.pitch_width / 2:
+                    continue
+                positions.append((x, y))
+                agent_index += 1
+        for i, agent in enumerate(agents):
+            noise = (
+                jax.random.uniform(jax.random.fold_in(key, i), (state.batch_dim, 2)) - 0.5
+            ) * self.formation_noise
+            state = agent.set_pos(state, jnp.asarray(positions[i], jnp.float32) + noise)
+        return state
+
+    def reset_world_at(self, state, key):
+        B = state.batch_dim
+        ks = jax.random.split(key, 4)
+        reset_range = jnp.asarray([self.pitch_length / 2, self.pitch_width], jnp.float32)
+        offset_blue = jnp.asarray(
+            [-self.pitch_length / 2 + self.agent_size, -self.pitch_width / 2], jnp.float32
+        )
+        offset_red = jnp.asarray([-self.agent_size, -self.pitch_width / 2], jnp.float32)
+
+        if self.spawn_in_formation:
+            state = self._spawn_formation(state, self.blue_agents, True, ks[0])
+            if not self.only_blue_formation:
+                state = self._spawn_formation(state, self.red_agents, False, ks[1])
+        else:
+            for i, agent in enumerate(self.blue_agents):
+                r = jax.random.uniform(jax.random.fold_in(ks[0], i), (B, 2))
+                state = agent.set_pos(state, r * reset_range + offset_blue)
+        if (self.spawn_in_formation and self.only_blue_formation) or not self.spawn_in_formation:
+            for i, agent in enumerate(self.red_agents):
+                r = jax.random.uniform(jax.random.fold_in(ks[1], i), (B, 2))
+                state = agent.set_pos(state, r * reset_range + offset_red)
+                state = agent.set_rot(state, jnp.full((B,), jnp.pi))
+
+        # walls & goals (football.py:730-1018)
+        pw4 = self.pitch_width / 4 + self.goal_size / 4
+        half_pi = math.pi / 2
+        wall_defs = {
+            "Left Top Wall": ([-self.pitch_length / 2, pw4], half_pi),
+            "Left Bottom Wall": ([-self.pitch_length / 2, -pw4], half_pi),
+            "Right Top Wall": ([self.pitch_length / 2, pw4], half_pi),
+            "Right Bottom Wall": ([self.pitch_length / 2, -pw4], half_pi),
+        }
+        for name, (pos, rot) in wall_defs.items():
+            state = self.walls[name].set_pos(state, jnp.asarray(pos, jnp.float32))
+            state = self.walls[name].set_rot(state, jnp.asarray(rot, jnp.float32))
+        gl = self.pitch_length / 2
+        gd, gs, asz = self.goal_depth, self.goal_size, self.agent_size
+        goal_defs = {
+            "Left Goal Back": ([-gl - gd + asz, 0.0], half_pi),
+            "Right Goal Back": ([gl + gd - asz, 0.0], half_pi),
+            "Left Goal Top": ([-gl - gd / 2 + asz, gs / 2], 0.0),
+            "Left Goal Bottom": ([-gl - gd / 2 + asz, -gs / 2], 0.0),
+            "Right Goal Top": ([gl + gd / 2 - asz, gs / 2], 0.0),
+            "Right Goal Bottom": ([gl + gd / 2 - asz, -gs / 2], 0.0),
+        }
+        for name, (pos, rot) in goal_defs.items():
+            state = self.goal_parts[name].set_pos(state, jnp.asarray(pos, jnp.float32))
+            state = self.goal_parts[name].set_rot(state, jnp.asarray(rot, jnp.float32))
+        state = self.red_net.set_pos(state, jnp.asarray([gl + gd / 2 - asz / 2, 0.0], jnp.float32))
+        state = self.blue_net.set_pos(state, jnp.asarray([-gl - gd / 2 + asz / 2, 0.0], jnp.float32))
+
+        # shaping baselines + AI scratch
+        scratch = dict(state.scenario)
+        ball_pos = self.ball.pos(state)
+        min_blue = self._closest_agent_to_ball(state, self.blue_agents)
+        min_red = self._closest_agent_to_ball(state, self.red_agents)
+        scratch["min_agent_dist_to_ball_blue"] = min_blue
+        scratch["min_agent_dist_to_ball_red"] = min_red
+        scratch["pos_shaping_blue"] = (
+            safe_norm(ball_pos - self.right_goal_pos) * self.pos_shaping_factor_ball_goal
+        )
+        scratch["pos_shaping_agent_blue"] = min_blue * self.pos_shaping_factor_agent_ball
+        scratch["pos_shaping_red"] = (
+            safe_norm(ball_pos - self.left_goal_pos) * self.pos_shaping_factor_ball_goal
+        )
+        scratch["pos_shaping_agent_red"] = min_red * self.pos_shaping_factor_agent_ball
+        scratch["done"] = jnp.zeros((B,), bool)
+        scratch["sparse_blue"] = jnp.zeros((B,), jnp.float32)
+        scratch["dense_blue"] = jnp.zeros((B,), jnp.float32)
+        scratch["dense_red"] = jnp.zeros((B,), jnp.float32)
+        scratch["pos_rew_blue"] = jnp.zeros((B,), jnp.float32)
+        scratch["pos_rew_red"] = jnp.zeros((B,), jnp.float32)
+        scratch["pos_rew_agent_blue"] = jnp.zeros((B,), jnp.float32)
+        scratch["pos_rew_agent_red"] = jnp.zeros((B,), jnp.float32)
+        if self.enable_shooting:
+            scratch["kicking_action"] = jnp.zeros((B, 2), jnp.float32)
+        if self.red_controller is not None:
+            scratch[self.red_controller.key] = self.red_controller.init_scratch(B)
+        if self.blue_controller is not None:
+            scratch[self.blue_controller.key] = self.blue_controller.init_scratch(B)
+        return state.replace(scenario=scratch)
+
+    def _closest_agent_to_ball(self, state, team):
+        pos = jnp.stack([a.pos(state) for a in team], axis=1)
+        return jnp.min(safe_norm(pos - self.ball.pos(state)[:, None]), axis=1)
+
+    # -- actions ------------------------------------------------------------
+    def process_action(self, agent, state):
+        if agent is self.ball:
+            return state
+        blue = agent in self.blue_agents
+        if agent.action_script is None and not blue:
+            u = agent.u(state)
+            u = u.at[:, X].set(-u[:, X])
+            if self.enable_shooting:
+                u = u.at[:, 2].set(-u[:, 2])
+            state = agent.set_u(state, u)
+        if self.enable_shooting and agent.action_script is None:
+            agents_exclude_ball = [a for a in self.world.agents if a is not self.ball]
+            rel = jnp.stack([self.ball.pos(state) - a.pos(state) for a in agents_exclude_ball], axis=1)
+            dist = safe_norm(rel)
+            closest = dist == jnp.min(dist, axis=-1, keepdims=True)
+            i = agents_exclude_ball.index(agent)
+            rel_i = rel[:, i]
+            within_range = dist[:, i] <= self.shooting_radius
+            rel_angle = jnp.mod(
+                agent.rot(state) - jnp.arctan2(rel_i[:, Y], rel_i[:, X]) + jnp.pi, 2 * jnp.pi
+            ) - jnp.pi
+            within_angle = (-self.shooting_angle / 2 <= rel_angle) & (rel_angle <= self.shooting_angle / 2)
+            u = agent.u(state)
+            shoot_force_local = jnp.stack(
+                [u[:, -1] + self.u_shoot_multiplier, jnp.zeros_like(u[:, -1])], axis=-1
+            )
+            shoot_force = JaxUtils.rotate_vector(shoot_force_local, agent.rot(state))
+            shoot_force = jnp.where(
+                (within_angle & within_range & closest[:, i])[:, None], shoot_force, 0.0
+            )
+            scratch = dict(state.scenario)
+            scratch["kicking_action"] = scratch["kicking_action"] + shoot_force
+            state = state.replace(scenario=scratch)
+        return state
+
+    def pre_step(self, state):
+        if self.enable_shooting:
+            scratch = dict(state.scenario)
+            kick = scratch["kicking_action"]
+            state = self.ball.set_u(state, self.ball.u(state) + kick)
+            # re-run the ball dynamics so the kick reaches state.force
+            state = self.ball.dynamics.process_action(self.world, state)
+            scratch["kicking_action"] = jnp.zeros_like(kick)
+            state = state.replace(scenario=scratch)
+        return state
+
+    # -- rewards ------------------------------------------------------------
+    def pre_rewards(self, state):
+        scratch = dict(state.scenario)
+        ball_pos = self.ball.pos(state)
+        over_right = ball_pos[:, X] > self.pitch_length / 2 + self.ball_size / 2
+        over_left = ball_pos[:, X] < -self.pitch_length / 2 - self.ball_size / 2
+        goal_mask = (ball_pos[:, Y] <= self.goal_size / 2) & (ball_pos[:, Y] >= -self.goal_size / 2)
+        blue_score = over_right & goal_mask
+        red_score = over_left & goal_mask
+        scratch["sparse_blue"] = (
+            self.scoring_reward * blue_score.astype(jnp.float32)
+            - self.scoring_reward * red_score.astype(jnp.float32)
+        )
+        scratch["done"] = blue_score | red_score
+
+        dense_blue = jnp.zeros_like(scratch["sparse_blue"])
+        dense_red = jnp.zeros_like(dense_blue)
+        if self.dense_reward:
+            if not self.ai_blue_agents:
+                dense_blue, scratch = self._dense_reward(state, scratch, blue=True)
+            if not self.ai_red_agents:
+                dense_red, scratch = self._dense_reward(state, scratch, blue=False)
+        scratch["dense_blue"] = dense_blue
+        scratch["dense_red"] = dense_red
+        return state.replace(scenario=scratch)
+
+    def _dense_reward(self, state, scratch, blue):
+        tag = "blue" if blue else "red"
+        goal_pos = self.right_goal_pos if blue else self.left_goal_pos
+        ball_pos = self.ball.pos(state)
+        dist_goal = safe_norm(ball_pos - goal_pos)
+        pos_shaping = dist_goal * self.pos_shaping_factor_ball_goal
+        pos_rew = scratch[f"pos_shaping_{tag}"] - pos_shaping
+        scratch[f"pos_shaping_{tag}"] = pos_shaping
+        scratch[f"pos_rew_{tag}"] = pos_rew
+
+        min_dist = self._closest_agent_to_ball(state, self.blue_agents if blue else self.red_agents)
+        scratch[f"min_agent_dist_to_ball_{tag}"] = min_dist
+        agent_shaping = min_dist * self.pos_shaping_factor_agent_ball
+        ball_moving = safe_norm(self.ball.vel(state)) > 1e-6
+        close = min_dist < self.distance_to_ball_trigger
+        pos_rew_agent = jnp.where(
+            close | ball_moving, 0.0, scratch[f"pos_shaping_agent_{tag}"] - agent_shaping
+        )
+        scratch[f"pos_shaping_agent_{tag}"] = agent_shaping
+        scratch[f"pos_rew_agent_{tag}"] = pos_rew_agent
+        return pos_rew + pos_rew_agent, scratch
+
+    def reward(self, agent, state):
+        s = state.scenario
+        blue = agent in self.blue_agents
+        if blue:
+            return s["sparse_blue"] + s["dense_blue"]
+        return -s["sparse_blue"] + s["dense_red"]
+
+    # -- observations ---------------------------------------------------------
+    def observation(self, agent, state):
+        blue = agent in self.blue_agents
+        my_team, other_team = (
+            (self.blue_agents, self.red_agents) if blue else (self.red_agents, self.blue_agents)
+        )
+        goal_pos = self.right_goal_pos if blue else self.left_goal_pos
+        B = state.batch_dim
+
+        def flip(x):
+            return x.at[..., X].set(-x[..., X]) if not blue else x
+
+        agent_pos = flip(agent.pos(state))
+        agent_vel = flip(agent.vel(state))
+        agent_force = flip(agent.force(state))
+        agent_rot = agent.rot(state) - (jnp.pi if not blue else 0.0)
+        ball_pos = flip(self.ball.pos(state))
+        ball_vel = flip(self.ball.vel(state))
+        ball_force = flip(self.ball.force(state))
+        goal_pos_f = goal_pos.at[X].set(-goal_pos[X]) if not blue else goal_pos
+        goal_pos_f = jnp.broadcast_to(goal_pos_f[None], (B, 2))
+
+        obs = {
+            "obs": [
+                agent_force, agent_pos - ball_pos, agent_vel - ball_vel,
+                ball_pos - goal_pos_f, ball_vel, ball_force,
+            ],
+            "pos": [agent_pos - goal_pos_f],
+            "vel": [agent_vel],
+        }
+        if self.enable_shooting:
+            obs["obs"].append(agent_rot[:, None])
+
+        if self.observe_adversaries and len(other_team):
+            advs = []
+            for a in other_team:
+                a_pos, a_vel, a_force = flip(a.pos(state)), flip(a.vel(state)), flip(a.force(state))
+                advs.append(
+                    jnp.concatenate([agent_pos - a_pos, agent_vel - a_vel, a_vel, a_force], axis=-1)
+                )
+            obs["adversaries"] = [
+                jnp.stack(advs, axis=-2) if self.dict_obs else jnp.concatenate(advs, axis=-1)
+            ]
+        if self.observe_teammates:
+            mates = []
+            for a in my_team:
+                if a is agent:
+                    continue
+                a_pos, a_vel, a_force = flip(a.pos(state)), flip(a.vel(state)), flip(a.force(state))
+                mates.append(
+                    jnp.concatenate([agent_pos - a_pos, agent_vel - a_vel, a_vel, a_force], axis=-1)
+                )
+            obs["teammates"] = [
+                jnp.stack(mates, axis=-2) if self.dict_obs else jnp.concatenate(mates, axis=-1)
+            ]
+
+        out = {k: jnp.concatenate(v, axis=-1) for k, v in obs.items()}
+        if self.dict_obs:
+            return out
+        return jnp.concatenate(list(out.values()), axis=-1)
+
+    def done(self, state):
+        return state.scenario["done"]
+
+    def info(self, agent, state):
+        s = state.scenario
+        blue = agent in self.blue_agents
+        tag = "blue" if blue else "red"
+        return {
+            "sparse_reward": s["sparse_blue"] if blue else -s["sparse_blue"],
+            "ball_goal_pos_rew": s[f"pos_rew_{tag}"],
+            "all_agent_ball_pos_rew": s[f"pos_rew_agent_{tag}"],
+            "ball_pos": self.ball.pos(state),
+            "dist_ball_to_goal": s[f"pos_shaping_{tag}"] / self.pos_shaping_factor_ball_goal,
+            "min_agent_dist_to_ball": s[f"min_agent_dist_to_ball_{tag}"],
+            "touching_ball": s[f"min_agent_dist_to_ball_{tag}"]
+            <= self.agent_size + self.ball_size + 1e-2,
+        }

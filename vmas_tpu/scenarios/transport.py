@@ -131,3 +131,65 @@ class Scenario(BaseScenario):
 
     def done(self, state):
         return jnp.all(state.scenario["on_goal"], axis=-1)
+
+
+class HeuristicPolicy(BaseHeuristicPolicy):
+    """Hermite-spline dribbling policy (reference transport.py:193-347)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.lookahead = 0.0
+        self.start_vel_dist_from_target_ratio = 0.5
+        self.start_vel_behind_ratio = 0.5
+        self.start_vel_mag = 1.0
+        self.hit_vel_mag = 1.0
+        self.package_radius = 0.15 / 2
+        self.agent_radius = -0.02
+        self.dribble_slowdown_dist = 0.0
+        self.speed = 0.95
+
+    def compute_action(self, observation, u_range):
+        agent_pos = observation[:, :2]
+        package_pos = observation[:, 6:8] + agent_pos
+        goal_pos = -observation[:, 4:6] + package_pos
+        control = self.dribble(agent_pos, package_pos, goal_pos)
+        control = control * (self.speed * u_range)
+        return jnp.clip(control, -u_range, u_range)
+
+    @staticmethod
+    def _unit(v):
+        n = safe_norm(v)[:, None]
+        return jnp.where(n == 0, 0.0, v / jnp.where(n == 0, 1.0, n))
+
+    def dribble(self, agent_pos, package_pos, goal_pos):
+        package_disp = goal_pos - package_pos
+        direction = self._unit(package_disp)
+        hit_pos = package_pos - direction * (self.package_radius + self.agent_radius)
+        hit_vel = direction * self.hit_vel_mag
+        start_vel = self.get_start_vel(hit_pos, hit_vel, agent_pos, self.start_vel_mag * 2)
+        return self.get_action(
+            target_pos=hit_pos, target_vel=hit_vel, curr_pos=agent_pos, start_vel=start_vel
+        )
+
+    def get_start_vel(self, pos, vel, start_pos, start_vel_mag):
+        goal_disp = pos - start_pos
+        goal_dist = safe_norm(goal_disp)
+        vel_dir = self._unit(vel)
+        goal_dir = self._unit(goal_disp)
+        vel_dir_normal = jnp.stack([-vel_dir[:, 1], vel_dir[:, 0]], axis=1)
+        dot_prod = jnp.sum(goal_dir * vel_dir_normal, axis=1)
+        vel_dir_normal = jnp.where((dot_prod > 0)[:, None], -vel_dir_normal, vel_dir_normal)
+        dist_behind = self.start_vel_dist_from_target_ratio * goal_dist
+        point_dir = -vel_dir * self.start_vel_behind_ratio + vel_dir_normal * (
+            1 - self.start_vel_behind_ratio
+        )
+        target_pos = pos + point_dir * dist_behind[:, None]
+        start_vel_aug_dir = self._unit(target_pos - start_pos)
+        return start_vel_aug_dir * start_vel_mag
+
+    def get_action(self, target_pos, target_vel, curr_pos, start_vel):
+        # hermite spline at u=0: pos = start_pos, vel = start_vel
+        start_pos = curr_pos
+        des_curr_pos = start_pos
+        des_curr_vel = start_vel
+        return 0.5 * (des_curr_pos - curr_pos) + 0.5 * (des_curr_vel - 0.0)

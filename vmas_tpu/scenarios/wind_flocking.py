@@ -157,7 +157,7 @@ class Scenario(BaseScenario):
             )
             + 1
         )
-        d = jnp.clip(d, a_max=self.cover_angle_tolerance) + (1 - self.cover_angle_tolerance)
+        d = jnp.clip(d, max=self.cover_angle_tolerance) + (1 - self.cover_angle_tolerance)
         d = (d - 1 + self.cover_angle_tolerance) / self.cover_angle_tolerance
         return self.big_agent.set_gravity(state, self.wind_vec[None] * d[:, None])
 

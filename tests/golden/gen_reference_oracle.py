@@ -98,3 +98,40 @@ def gen_geometry(seed=0, n=4096):
 
 if __name__ == "__main__":
     gen_geometry()
+
+
+def gen_raycasts(seed=3, n=512):
+    """Golden data for the batched ray-cast kernels (reference core.py:1280-1625)."""
+    import torch
+
+    bootstrap_reference()
+    from vmas.simulator.core import Agent, Box, Landmark, Line, Sphere, World
+
+    g = torch.Generator().manual_seed(seed)
+
+    def rnd(*shape, lo=-1.0, hi=1.0):
+        return (torch.rand(*shape, generator=g) * (hi - lo) + lo).to(torch.float32)
+
+    B = n
+    w = World(B, "cpu")
+    w.add_agent(Agent("a0", shape=Sphere(0.05)))
+    w.add_landmark(Landmark("box", shape=Box(length=0.4, width=0.2)))
+    w.add_landmark(Landmark("sph", shape=Sphere(0.25)))
+    w.add_landmark(Landmark("lin", shape=Line(length=0.7)))
+    for i, e in enumerate(w.entities):
+        e.state.pos = rnd(B, 2)
+        e.state.rot = rnd(B, 1, lo=-3.14, hi=3.14)
+
+    agent = w.agents[0]
+    R = 16
+    angles = rnd(B, R, lo=-3.14, hi=3.14)
+    dist = w.cast_rays(agent, angles, max_range=2.0, entity_filter=lambda e: True)
+
+    data = {
+        "pos": torch.stack([e.state.pos for e in w.entities], 1).numpy(),
+        "rot": torch.stack([e.state.rot[:, 0] for e in w.entities], 1).numpy(),
+        "angles": angles.numpy(),
+        "dist": dist.numpy(),
+    }
+    np.savez_compressed(os.path.join(OUT, "raycast.npz"), **data)
+    print("wrote raycast.npz", dist.shape)

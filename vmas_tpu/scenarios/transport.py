@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from vmas_tpu.core import Agent, Box, Color, Landmark, Sphere, World
 from vmas_tpu.core.utils import safe_norm
-from vmas_tpu.scenario import BaseScenario
+from vmas_tpu.scenario import BaseHeuristicPolicy, BaseScenario
 from vmas_tpu.utils import ScenarioUtils
 
 

@@ -34,9 +34,20 @@ def main():
     run = jax.jit(rollout_fn(env, horizon=HORIZON))
     key = jax.random.PRNGKey(0)
 
-    # compile + warmup
+    # compile + warmup. The first few executions after compilation are up to
+    # 10x slow (device clock ramp / runtime warm-up), so warm up until the
+    # per-run time stabilizes before measuring steady state.
     state, steps, traj = run(env.state, env.steps, key)
     jax.block_until_ready(traj["rewards"])
+    prev = float("inf")
+    for w in range(10):
+        t0 = time.perf_counter()
+        state, steps, traj = run(state, steps, jax.random.fold_in(key, 1000 + w))
+        jax.block_until_ready(traj["rewards"])
+        cur = time.perf_counter() - t0
+        if cur > 0.8 * prev:
+            break
+        prev = cur
 
     t0 = time.perf_counter()
     for i in range(ITERS):

@@ -1,0 +1,61 @@
+"""Env-axis sharding, compiled rollouts and the data-parallel learner
+(runs on the virtual 8-device CPU mesh from conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vmas_tpu import make_env
+from vmas_tpu.parallel import distribute, env_mesh, rollout, rollout_fn
+from vmas_tpu.parallel.learner import init_mlp, make_train_step
+
+
+def test_distribute_and_step():
+    assert len(jax.devices()) == 8
+    env = make_env("transport", num_envs=16, seed=0)
+    distribute(env)
+    assert "env" in str(env.state.pos.sharding)
+    obs, rews, dones, infos = env.step(env.get_random_actions())
+    assert np.isfinite(np.asarray(obs[0])).all()
+    # sharded partial reset
+    env.reset_at(3)
+    assert int(env.steps[3]) == 0
+
+
+def test_sharded_matches_single_device():
+    """SPMD execution must be numerically identical to single-device."""
+    env1 = make_env("dispersion", num_envs=16, seed=7)
+    env2 = make_env("dispersion", num_envs=16, seed=7)
+    distribute(env2)
+    o1 = env1.reset(seed=7)
+    o2 = env2.reset(seed=7)
+    np.testing.assert_allclose(np.asarray(o1[0]), np.asarray(o2[0]), atol=1e-6)
+    acts = [jnp.full((16, 2), 0.3) for _ in env1.agents]
+    for _ in range(3):
+        r1 = env1.step(acts)
+        r2 = env2.step(acts)
+    np.testing.assert_allclose(np.asarray(r1[0][0]), np.asarray(r2[0][0]), atol=1e-5)
+
+
+def test_compiled_rollout():
+    env = make_env("transport", num_envs=8, seed=0)
+    traj = rollout(env, horizon=5)
+    assert traj["rewards"].shape == (5, 8, len(env.agents))
+    assert np.isfinite(np.asarray(traj["rewards"])).all()
+    assert int(env.steps[0]) == 5
+
+
+def test_learner_train_step():
+    # navigation's shaping reward is a dense function of agent positions, so
+    # gradients flow through the integrator even without any contacts
+    # (transport's reward would be exactly 0-gradient until the package is hit)
+    env = make_env("navigation", num_envs=8, seed=0)
+    distribute(env)
+    obs_dim = int(env.observation_space[0].shape[0])
+    params = init_mlp(jax.random.PRNGKey(0), [obs_dim, 16, env.agents[0].action_size])
+    train = jax.jit(make_train_step(env, horizon=2))
+    params2, state, steps, loss = train(params, env.state, env.steps, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    # params actually changed (gradients flowed through the physics)
+    delta = sum(float(jnp.abs(a["w"] - b["w"]).sum()) for a, b in zip(params, params2))
+    assert delta > 0

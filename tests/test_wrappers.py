@@ -74,3 +74,25 @@ def test_render_rgb_array():
     frame = env.render(mode="rgb_array", env_index=0)
     assert frame.ndim == 3 and frame.shape[-1] == 3
     assert frame.max() > 0
+
+
+def test_render_lidar_actions_and_field():
+    """Lidar fans, action arrows and a position-function overlay all render
+    (reference rendering.py:456-524, sensors.py:127-161, core.py:1063-1085)."""
+    env = make_env("flocking", num_envs=2, seed=0, n_agents=3)
+    env.step(env.get_random_actions())
+    frame = env.render(
+        mode="rgb_array",
+        env_index=0,
+        plot_position_function=lambda p: (p ** 2).sum(-1),
+        plot_position_function_range=1.5,
+        plot_position_function_precision=0.1,
+    )
+    assert frame.ndim == 3 and frame.shape[-1] == 3
+    assert frame.max() > 0
+
+
+def test_render_agent_focus():
+    env = make_env("dispersion", num_envs=2, seed=0)
+    frame = env.render(mode="rgb_array", env_index=1, agent_index_focus=0)
+    assert frame.ndim == 3

@@ -26,12 +26,26 @@ def env_mesh(devices: Optional[Sequence] = None, n_devices: Optional[int] = None
     return Mesh(np.asarray(devices), ("env",))
 
 
-def shard_state(tree, mesh: Mesh):
-    """Place every leading-[B] leaf of a state pytree on the env axis."""
-    sharding = NamedSharding(mesh, P("env"))
+def shard_state(tree, mesh: Mesh, batch_dim: Optional[int] = None):
+    """Place every leading-[B] leaf of a state pytree on the env axis.
+
+    Leaves whose leading dim is not the env axis (e.g. [2] uint32 PRNG keys in
+    scenario scratch) are replicated instead — same rule as
+    ``WorldState.blend``.
+    """
+    if batch_dim is None:
+        sizes = {}
+        for leaf in jax.tree.leaves(tree):
+            if getattr(leaf, "ndim", 0) > 0:
+                sizes[leaf.shape[0]] = sizes.get(leaf.shape[0], 0) + 1
+        batch_dim = max(sizes, key=sizes.get)
+    env_sharding = NamedSharding(mesh, P("env"))
+    replicated = NamedSharding(mesh, P())
 
     def place(x):
-        return jax.device_put(x, sharding)
+        if getattr(x, "ndim", 0) > 0 and x.shape[0] == batch_dim:
+            return jax.device_put(x, env_sharding)
+        return jax.device_put(x, replicated)
 
     return jax.tree.map(place, tree)
 
@@ -48,7 +62,7 @@ def distribute(env, mesh: Optional[Mesh] = None):
     assert env.num_envs % n == 0, (
         f"num_envs={env.num_envs} must divide evenly over {n} devices"
     )
-    env.state = shard_state(env.state, mesh)
+    env.state = shard_state(env.state, mesh, batch_dim=env.num_envs)
     env.steps = jax.device_put(env.steps, NamedSharding(mesh, P("env")))
     env.mesh = mesh
     return env

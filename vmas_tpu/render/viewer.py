@@ -55,12 +55,89 @@ def _entity_patches(env, state, env_index):
     return patches
 
 
+def _draw_sensors(ax, env, state, env_index):
+    """Lidar ray fans + hit dots (reference sensors.py:127-161)."""
+    import matplotlib.patches as mpatches
+
+    for agent in env.world.agents:
+        for sensor in getattr(agent, "sensors", []):
+            if not getattr(sensor, "_render", True):
+                continue
+            try:
+                meas = np.asarray(sensor.measure(state))[env_index]
+            except Exception:
+                continue
+            p = np.asarray(agent.pos(state)[env_index])
+            rot = float(np.asarray(agent.rot(state)[env_index]).reshape(-1)[0])
+            angles = np.asarray(sensor._angles) + rot
+            color = getattr(sensor, "render_color", (0.0, 0.0, 0.0))
+            if hasattr(color, "value"):
+                color = color.value
+            for ang, dist in zip(angles, meas):
+                end = p + dist * np.array([np.cos(ang), np.sin(ang)])
+                ax.plot([p[0], end[0]], [p[1], end[1]], color=color, lw=0.5, alpha=0.3)
+                if dist < sensor.max_range - 1e-6:
+                    ax.add_patch(mpatches.Circle(end, 0.01, color=color, alpha=0.6))
+
+
+def _draw_actions(ax, env, state, env_index):
+    """Force arrows on agents with render_action=True (reference core.py:1063-1085)."""
+    for agent in env.world.agents:
+        if not getattr(agent, "render_action", False):
+            continue
+        f = np.asarray(state.force[env_index, agent.index])
+        if np.linalg.norm(f) < 1e-6:
+            continue
+        p = np.asarray(state.pos[env_index, agent.index])
+        scale = 0.1 / max(np.linalg.norm(f), 1e-6) * min(np.linalg.norm(f), 1.0)
+        ax.annotate(
+            "", xy=p + f * scale, xytext=p,
+            arrowprops=dict(arrowstyle="->", color="black", lw=1.0),
+        )
+
+
+def render_function_util(f, plot_range, ax, cmap_range=None, cmap_alpha=0.5,
+                         precision=0.01, cmap_name="viridis"):
+    """Evaluate ``f`` over a meshgrid and draw it as an image overlay
+    (reference rendering.py:456-524). ``f`` maps [N,2] positions to [N] values
+    or [N,4] RGBA rows."""
+    if isinstance(plot_range, (int, float)):
+        x_min, x_max = -plot_range, plot_range
+        y_min, y_max = -plot_range, plot_range
+    else:
+        xr, yr = plot_range
+        x_min, x_max = (-xr, xr) if isinstance(xr, (int, float)) else xr
+        y_min, y_max = (-yr, yr) if isinstance(yr, (int, float)) else yr
+    xs = np.arange(x_min, x_max, precision, dtype=np.float32)
+    ys = np.arange(y_min, y_max, precision, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, ys)
+    pts = np.stack([gx.ravel(), gy.ravel()], -1)
+    vals = np.asarray(f(pts))
+    if vals.ndim == 2 and vals.shape[-1] == 4:
+        img = vals.reshape(len(ys), len(xs), 4)
+    else:
+        vals = vals.reshape(len(ys), len(xs)).astype(np.float32)
+        lo, hi = cmap_range if cmap_range is not None else (vals.min(), vals.max())
+        import matplotlib
+
+        norm = (vals - lo) / max(hi - lo, 1e-9)
+        img = matplotlib.colormaps[cmap_name](np.clip(norm, 0, 1))
+        img[..., 3] = cmap_alpha
+    ax.imshow(img, extent=(x_min, x_max, y_min, y_max), origin="lower", zorder=-1)
+
+
 def render_env(
     env,
     mode: str = "human",
     env_index: int = 0,
     agent_index_focus: int = None,
     visualize_when_rgb: bool = False,
+    plot_position_function=None,
+    plot_position_function_precision: float = 0.01,
+    plot_position_function_range: float = 1.0,
+    plot_position_function_cmap_range=None,
+    plot_position_function_cmap_alpha: float = 0.5,
+    plot_position_function_cmap_name: str = "viridis",
     **kwargs,
 ):
     """Render one env of a live Environment. Returns an RGB array for
@@ -77,8 +154,25 @@ def render_env(
     zoom = getattr(scenario, "viewer_zoom", VIEWER_DEFAULT_ZOOM)
 
     fig, ax = plt.subplots(figsize=(viewer_size[0] / 100, viewer_size[1] / 100), dpi=100)
+    if plot_position_function is not None:
+        render_function_util(
+            plot_position_function, plot_position_function_range, ax,
+            cmap_range=plot_position_function_cmap_range,
+            cmap_alpha=plot_position_function_cmap_alpha,
+            precision=plot_position_function_precision,
+            cmap_name=plot_position_function_cmap_name,
+        )
+    # scenario-specific extras (reference BaseScenario.extra_render)
+    extra = getattr(scenario, "extra_render", None)
+    if extra is not None:
+        try:
+            extra(env, ax, env_index)
+        except TypeError:
+            pass
     for patch in _entity_patches(env, state, env_index):
         ax.add_patch(patch)
+    _draw_sensors(ax, env, state, env_index)
+    _draw_actions(ax, env, state, env_index)
 
     # camera (reference environment.py:855-903)
     pos = np.asarray(state.pos[env_index])

@@ -1,0 +1,739 @@
+"""Road traffic scenario (CPM-lab map, kinematic-bicycle vehicles).
+
+Behavioral reference: /root/reference/vmas/scenarios/road_traffic.py (4030
+lines; from Xu et al. 2024, SigmaRL). TPU-native restructuring:
+
+* The XML map and the 40/24/4/4 reference paths are parsed and PACKED into
+  dense padded arrays at build time (road_traffic_map.py); per-agent path
+  data is gathered by ``path_id`` instead of copied per reset
+  (reference reset_agent_related_ref_path, road_traffic.py:1186-1270).
+* All per-agent loops in reward/observation (road_traffic.py:1418-2280)
+  become ``[B, A]``-vectorized computations; the curve-intersection collision
+  test (interX, road_traffic.py:3576-3655) is one batched kernel.
+* Per-(env,agent) resets in testing mode / map_type '3'
+  (road_traffic.py:2308-2340) are masked overwrites in post_rewards.
+* The reference's CircularBuffer machinery reduces to the entries actually
+  consumed (latest states + two steps of actions); the map-2 challenging
+  initial-state buffer is a fixed-size ring in scratch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vmas_tpu.core import Agent, Box, World
+from vmas_tpu.core.utils import X, Y, safe_norm
+from vmas_tpu.dynamics import KinematicBicycle
+from vmas_tpu.scenario import BaseScenario
+from vmas_tpu.scenarios import road_traffic_map as rtm
+from vmas_tpu.utils import ScenarioUtils
+
+
+def exponential_decreasing_fcn(x, x0, x1):
+    """Reference road_traffic.py:3528-3538."""
+    xc = jnp.clip(x, x0, x1)
+    e = math.e
+    return (jnp.exp(-(xc - x0) / (x1 - x0)) - 1 / e) / (1 - 1 / e)
+
+
+def angle_eliminate_two_pi(angle):
+    a = jnp.mod(angle, 2 * jnp.pi)
+    return jnp.where(a > jnp.pi, a - 2 * jnp.pi, a)
+
+
+def rectangle_vertices(center, yaw, width, length):
+    """[..., 5, 2] closed rectangle (reference road_traffic.py:3315-3392)."""
+    lh, wh = length / 2, width / 2
+    base = jnp.asarray(
+        [[lh, wh], [lh, -wh], [-lh, -wh], [-lh, wh], [lh, wh]], jnp.float32
+    )
+    cos, sin = jnp.cos(yaw), jnp.sin(yaw)
+    rot = jnp.stack(
+        [jnp.stack([cos, -sin], -1), jnp.stack([sin, cos], -1)], -2
+    )  # [..., 2, 2]
+    return jnp.einsum("...ij,vj->...vi", rot, base) + center[..., None, :]
+
+
+def perpendicular_distances(point, polyline, n_points):
+    """Min distance from point [..., 2] to padded polyline [..., M, 2]
+    (reference road_traffic.py:3395-3455). Returns (dist, adjusted index)."""
+    starts = polyline[..., :-1, :]
+    vecs = polyline[..., 1:, :] - starts
+    pv = point[..., None, :] - starts
+    ll = jnp.sum(vecs * vecs, -1) + 1e-8
+    t = jnp.clip(jnp.sum(pv * vecs, -1) / ll, 0, 1)
+    closest = starts + vecs * t[..., None]
+    d = safe_norm(closest - point[..., None, :])  # [..., M-1]
+    M1 = d.shape[-1]
+    seg_idx = jnp.arange(M1)
+    # segments at/after the polyline end inherit the end-segment distance
+    end_d = jnp.take_along_axis(d, jnp.maximum(n_points - 2, 0)[..., None], axis=-1)
+    d = jnp.where(seg_idx >= (n_points - 1)[..., None], end_d, d)
+    idx = jnp.argmin(d, axis=-1)
+    return jnp.take_along_axis(d, idx[..., None], -1)[..., 0], (idx + 1).astype(jnp.int32)
+
+
+def short_term_path(polyline, idx_closest, n_return, is_loop, n_points, sample_interval, n_points_shift):
+    """Reference road_traffic.py:3458-3525. Returns [..., n_return, 2]."""
+    fut = (
+        jnp.arange(n_return, dtype=jnp.int32) * sample_interval
+        + idx_closest[..., None]
+        + n_points_shift
+    )
+    n = n_points[..., None]
+    fut = jnp.where(is_loop[..., None] & (fut >= n - 1), (fut + 1) % n, fut)
+    fut = jnp.clip(fut, 0, polyline.shape[-2] - 1)
+    return jnp.take_along_axis(polyline, fut[..., None].repeat(2, -1), axis=-2), fut
+
+
+def interX_any(L1, L2):
+    """Batched polyline-intersection test (reference interX,
+    road_traffic.py:3576-3655, detection branch). L1 [..., n1, 2],
+    L2 [..., n2, 2] -> bool [...]. Zero-length padding segments are inert."""
+    x1, y1 = L1[..., 0], L1[..., 1]
+    x2, y2 = L2[..., 0], L2[..., 1]
+    dx1, dy1 = jnp.diff(x1, axis=-1), jnp.diff(y1, axis=-1)
+    dx2, dy2 = jnp.diff(x2, axis=-1), jnp.diff(y2, axis=-1)
+    S1 = dx1 * y1[..., :-1] - dy1 * x1[..., :-1]
+    S2 = dx2 * y2[..., :-1] - dy2 * x2[..., :-1]
+
+    # C1[i, j]: does segment i of L1 straddle the line of values at L2 points
+    v1 = dx1[..., :, None] * y2[..., None, :] - dy1[..., :, None] * x2[..., None, :]
+    C1 = (v1[..., :-1] - S1[..., :, None]) * (v1[..., 1:] - S1[..., :, None]) < 0
+    v2 = y1[..., :, None] * dx2[..., None, :] - x1[..., :, None] * dy2[..., None, :]
+    C2 = (v2[..., :-1, :] - S2[..., None, :]) * (v2[..., 1:, :] - S2[..., None, :]) < 0
+    return jnp.any(C1 & C2, axis=(-2, -1))
+
+
+class Scenario(BaseScenario):
+    def make_world(self, batch_dim: int, device=None, **kwargs):
+        self.init_params(batch_dim, **kwargs)
+        self.visualize_semidims = False
+        world = World(
+            batch_dim, device,
+            x_semidim=self.world_x_dim, y_semidim=self.world_y_dim,
+            dt=self.dt,
+        )
+        for i in range(self.n_agents):
+            world.add_agent(
+                Agent(
+                    name=f"agent_{i}",
+                    shape=Box(length=self.l_f + self.l_r, width=self.agent_width),
+                    color=tuple(np.random.default_rng(i).uniform(0, 1, 3).tolist()),
+                    collide=False,
+                    u_range=[self.max_speed, self.max_steering_angle],
+                    u_multiplier=[1, 1],
+                    max_speed=self.max_speed,
+                    dynamics=KinematicBicycle(
+                        world, width=self.agent_width, l_f=self.l_f, l_r=self.l_r,
+                        max_steering_angle=self.max_steering_angle, integration="rk4",
+                    ),
+                )
+            )
+        return world
+
+    def init_params(self, batch_dim, **kwargs):
+        self.world_x_dim = kwargs.pop("world_x_dim", 4.5)
+        self.world_y_dim = kwargs.pop("world_y_dim", 4.0)
+        self.agent_width = kwargs.pop("agent_width", 0.08)
+        self.agent_length = kwargs.pop("agent_length", 0.16)
+        self.l_f = kwargs.pop("l_f", self.agent_length / 2)
+        self.l_r = kwargs.pop("l_r", self.agent_length - self.l_f)
+        lane_width = kwargs.pop("lane_width", 0.15)
+
+        r_p = 100
+        self.reward_progress = kwargs.pop("reward_progress", 10) / r_p
+        self.reward_vel = kwargs.pop("reward_vel", 5) / r_p
+        self.reward_reach_goal = kwargs.pop("reward_reach_goal", 0) / r_p
+
+        self.threshold_deviate = kwargs.pop(
+            "threshold_deviate_from_ref_path", (lane_width - self.agent_width) / 2
+        )
+        self.threshold_reach_goal = kwargs.pop("threshold_reach_goal", self.agent_width / 2)
+        self.threshold_change_steering = math.radians(
+            kwargs.pop("threshold_change_steering", 10)
+        )
+        self.threshold_near_boundary_high = kwargs.pop(
+            "threshold_near_boundary_high", (lane_width - self.agent_width) / 2 * 0.9
+        )
+        self.threshold_near_boundary_low = kwargs.pop("threshold_near_boundary_low", 0)
+        self.threshold_near_agents_high = kwargs.pop(
+            "threshold_near_other_agents_c2c_high", self.agent_length + self.agent_width
+        )
+        self.threshold_near_agents_low = kwargs.pop(
+            "threshold_near_other_agents_c2c_low", (self.agent_length + self.agent_width) / 2
+        )
+        kwargs.pop("threshold_no_reward_if_too_close_to_boundaries", None)
+        kwargs.pop("threshold_no_reward_if_too_close_to_other_agents", None)
+        self.resolution_factor = kwargs.pop("resolution_factor", 200)
+
+        self.sample_interval = int(kwargs.pop("sample_interval_ref_path", 2))
+        kwargs.pop("max_ref_path_points", None)
+        self.noise_level = kwargs.pop("noise_level", 0.2 * self.agent_width)
+        kwargs.pop("n_stored_steps", None)
+        kwargs.pop("n_observed_steps", None)
+        self.render_origin = kwargs.pop(
+            "render_origin", [self.world_x_dim / 2, self.world_y_dim / 2]
+        )
+        self.viewer_size = kwargs.pop(
+            "viewer_size",
+            (int(self.world_x_dim * self.resolution_factor),
+             int(self.world_y_dim * self.resolution_factor)),
+        )
+        self.max_steering_angle = float(
+            kwargs.pop("max_steering_angle", math.radians(35))
+        )
+        self.max_speed = kwargs.pop("max_speed", 1.0)
+        self.viewer_zoom = kwargs.pop("viewer_zoom", 1.44)
+
+        # Parameters (reference Parameters class, road_traffic.py:2607-2693)
+        self.n_agents = kwargs.pop("n_agents", 20)
+        self.is_partial_observation = kwargs.pop("is_partial_observation", True)
+        self.is_testing_mode = kwargs.pop("is_testing_mode", False)
+        kwargs.pop("is_visualize_short_term_path", None)
+        self.map_type = str(kwargs.pop("map_type", "1"))
+        self.n_nearing_agents = kwargs.pop("n_nearing_agents_observed", 2)
+        kwargs.pop("is_real_time_rendering", None)
+        self.n_points_short_term = kwargs.pop("n_points_short_term", 3)
+        self.dt = kwargs.pop("dt", 0.05)
+        self.is_ego_view = kwargs.pop("is_ego_view", True)
+        self.is_apply_mask = kwargs.pop("is_apply_mask", True)
+        self.is_observe_vertices = kwargs.pop("is_observe_vertices", True)
+        self.is_observe_distance_to_agents = kwargs.pop("is_observe_distance_to_agents", True)
+        self.is_observe_distance_to_boundaries = kwargs.pop(
+            "is_observe_distance_to_boundaries", True
+        )
+        self.is_observe_distance_to_center_line = kwargs.pop(
+            "is_observe_distance_to_center_line", True
+        )
+        self.scenario_probabilities = kwargs.pop("scenario_probabilities", [1.0, 0.0, 0.0])
+        self.is_add_noise = kwargs.pop("is_add_noise", True)
+        self.is_observe_ref_path_other_agents = kwargs.pop(
+            "is_observe_ref_path_other_agents", False
+        )
+        kwargs.pop("is_visualize_extra_info", None)
+        kwargs.pop("render_title", None)
+        self.n_steps_stored = kwargs.pop("n_steps_stored", 10)
+        kwargs.pop("n_steps_before_recording", None)
+        self.n_points_nearing_boundary = kwargs.pop("n_points_nearing_boundary", 5)
+        self.probability_use_recording = kwargs.pop("probability_use_recording", 0.2)
+        map_file_path = kwargs.pop("map_file_path", None)
+        kwargs.pop("parameters", None)
+        ScenarioUtils.check_kwargs_consumed(kwargs)
+
+        if self.n_nearing_agents >= self.n_agents:
+            raise ValueError("n_nearing_agents_observed must be less than n_agents")
+
+        # Map + packed reference paths
+        self.map_data = rtm.parse_map(map_file_path)
+        paths_all, paths_inter, paths_mi, paths_mo = rtm.build_reference_paths(self.map_data)
+        n_extend = self.n_points_short_term * self.sample_interval
+        if self.map_type in ("1", "2"):
+            self.paths = rtm.pad_paths(paths_all, n_extend)
+            self.section_offsets = [0, len(paths_all)]
+        else:
+            combined = paths_inter + paths_mi + paths_mo
+            self.paths = rtm.pad_paths(combined, n_extend)
+            self.section_offsets = [
+                0, len(paths_inter), len(paths_inter) + len(paths_mi), len(combined)
+            ]
+        # jnp constants
+        self.P = SimpleNamespaceJnp(self.paths)
+
+        # normalizers (reference road_traffic.py:722-744)
+        self.norm_pos = jnp.asarray([self.agent_length * 10] * 2, jnp.float32)
+        self.norm_pos_world = jnp.asarray([self.world_x_dim, self.world_y_dim], jnp.float32)
+        self.norm_v = self.max_speed
+        self.norm_rot = 2 * math.pi
+        self.norm_action_steering = self.max_steering_angle
+        self.norm_action_vel = self.max_speed
+        self.norm_distance_lanelet = lane_width * 3
+        self.norm_distance_ref = lane_width * 3
+        self.norm_distance_agent = self.agent_length * 10
+
+        # penalties (road_traffic.py:490-507)
+        self.penalty_deviate = -2 / 100
+        self.weighting_deviate = self.map_data["mean_lane_width"] / 2
+        self.penalty_near_boundary = -20 / 100
+        self.penalty_near_agents = -20 / 100
+        self.penalty_collide_agents = -100 / 100
+        self.penalty_collide_boundaries = -100 / 100
+        self.penalty_change_steering = -2 / 100
+        self.penalty_time = 5 / 100
+
+        w = np.linspace(1, 0.2, self.n_points_short_term, dtype=np.float32)
+        self.weighting_ref_directions = jnp.asarray(w / w.sum())
+        self.threshold_mask_agents = float(self.norm_pos[0])
+        self.reset_agent_min_distance = (
+            math.sqrt((self.l_f + self.l_r) ** 2 + self.agent_width**2) * 1.2
+        )
+
+    # ------------------------------------------------------------------
+    def _gather_path(self, arr, path_id):
+        """arr [P, ...] gathered by path_id [B, A] -> [B, A, ...]."""
+        return arr[path_id]
+
+    def _sample_path_and_point(self, key, B):
+        """Draw (scenario_id, path_id, point_id) per (env, agent)."""
+        k1, k2, k3 = jax.random.split(key, 3)
+        A = self.n_agents
+        if self.map_type in ("1", "2"):
+            scenario_id = jnp.zeros((B, A), jnp.int32)
+            path_id = jax.random.randint(k2, (B, A), 0, self.paths.center.shape[0])
+        else:
+            probs = jnp.asarray(self.scenario_probabilities, jnp.float32)
+            sid = jax.random.categorical(k1, jnp.log(probs + 1e-9), shape=(B,))  # 0..2
+            scenario_id = jnp.broadcast_to(sid[:, None] + 1, (B, A)).astype(jnp.int32)
+            offs = jnp.asarray(self.section_offsets, jnp.int32)
+            lo = offs[sid][:, None]
+            hi = offs[sid + 1][:, None]
+            u = jax.random.uniform(k2, (B, A))
+            path_id = (lo + jnp.floor(u * (hi - lo)).astype(jnp.int32)).astype(jnp.int32)
+
+        n_pts = self.P.n_points[path_id]
+        u2 = jax.random.uniform(k3, (B, A))
+        if self.scenario_probabilities[1] == 0 and self.scenario_probabilities[2] == 0:
+            lo_p, hi_p = 6, (n_pts / 2).astype(jnp.int32)
+        else:
+            lo_p, hi_p = 3, n_pts - 5
+        point_id = (lo_p + jnp.floor(u2 * (hi_p - lo_p)).astype(jnp.int32)).astype(jnp.int32)
+        return scenario_id, path_id, point_id
+
+    def _reset_agents_states(self, state, key, agent_mask=None):
+        """Place agents on their paths with feasibility rejection
+        (reference reset_init_state, road_traffic.py:1089-1184).
+        agent_mask: optional [B, A] bool of agents to (re)place."""
+        B = state.batch_dim
+        A = self.n_agents
+        a_idx = jnp.asarray([a.index for a in self.world.agents])
+        scratch = dict(state.scenario)
+
+        def place(carry, i):
+            return carry, None
+
+        sid, pid, ptid = self._sample_path_and_point(key, B)
+        # sequential feasibility per agent (agent 0 always feasible)
+        pos_all = state.pos[:, a_idx]
+        new_sid = scratch.get("scenario_id", jnp.zeros((B, A), jnp.int32))
+        new_pid = scratch.get("path_id", jnp.zeros((B, A), jnp.int32))
+        new_ptid = scratch.get("point_id", jnp.zeros((B, A), jnp.int32))
+        key_i = key
+        for i in range(A):
+            m = None if agent_mask is None else agent_mask[:, i]
+            key_i, sub = jax.random.split(key_i)
+
+            def draw(k):
+                s, p, pt = self._sample_path_and_point(k, B)
+                return s[:, i], p[:, i], pt[:, i]
+
+            s_i, p_i, pt_i = sid[:, i], pid[:, i], ptid[:, i]
+            pos_i = self.P.center[p_i, pt_i]
+            if i > 0 or agent_mask is not None:
+                # rejection loop: resample while too close to other agents
+                def others_ok(pos_c):
+                    if agent_mask is None:
+                        others = pos_all[:, :i] if i > 0 else None
+                        if others is None:
+                            return jnp.ones((B,), bool)
+                        d2 = jnp.sum((others - pos_c[:, None]) ** 2, -1)
+                        return jnp.min(d2, -1) >= self.reset_agent_min_distance**2
+                    # single-agent reset: check against ALL agents (excl. self)
+                    d2 = jnp.sum((pos_all - pos_c[:, None]) ** 2, -1)
+                    d2 = d2.at[:, i].set(jnp.inf)
+                    return jnp.min(d2, -1) >= self.reset_agent_min_distance**2
+
+                def cond(c):
+                    k, s, p, pt, pos_c, tries = c
+                    return (~others_ok(pos_c)).any() & (tries < 100)
+
+                def body(c):
+                    k, s, p, pt, pos_c, tries = c
+                    k, sub2 = jax.random.split(k)
+                    s2, p2, pt2 = draw(sub2)
+                    bad = ~others_ok(pos_c)
+                    s = jnp.where(bad, s2, s)
+                    p = jnp.where(bad, p2, p)
+                    pt = jnp.where(bad, pt2, pt)
+                    pos_c = self.P.center[p, pt]
+                    return k, s, p, pt, pos_c, tries + 1
+
+                _, s_i, p_i, pt_i, pos_i, _ = jax.lax.while_loop(
+                    cond, body, (sub, s_i, p_i, pt_i, pos_i, 0)
+                )
+
+            rot_i = self.P.yaw[p_i, pt_i]
+            key_i, kv = jax.random.split(key_i)
+            vmag = jax.random.uniform(kv, (B,)) * self.max_speed
+            vel_i = jnp.stack([vmag * jnp.cos(rot_i), vmag * jnp.sin(rot_i)], -1)
+
+            if m is None:
+                pos_all = pos_all.at[:, i].set(pos_i)
+                new_sid = new_sid.at[:, i].set(s_i)
+                new_pid = new_pid.at[:, i].set(p_i)
+                new_ptid = new_ptid.at[:, i].set(pt_i)
+                state = self.world.agents[i].set_pos(state, pos_i)
+                state = self.world.agents[i].set_rot(state, rot_i)
+                state = self.world.agents[i].set_vel(state, vel_i)
+            else:
+                pos_all = pos_all.at[:, i].set(jnp.where(m[:, None], pos_i, pos_all[:, i]))
+                new_sid = new_sid.at[:, i].set(jnp.where(m, s_i, new_sid[:, i]))
+                new_pid = new_pid.at[:, i].set(jnp.where(m, p_i, new_pid[:, i]))
+                new_ptid = new_ptid.at[:, i].set(jnp.where(m, pt_i, new_ptid[:, i]))
+                state = self.world.agents[i].set_pos(state, pos_i, env_mask=m)
+                state = self.world.agents[i].set_rot(state, rot_i, env_mask=m)
+                state = self.world.agents[i].set_vel(state, vel_i, env_mask=m)
+
+        scratch["scenario_id"] = new_sid
+        scratch["path_id"] = new_pid
+        scratch["point_id"] = new_ptid
+        return state.replace(scenario=scratch)
+
+    # ------------------------------------------------------------------
+    def _agent_arrays(self, state):
+        a_idx = jnp.asarray([a.index for a in self.world.agents])
+        return state.pos[:, a_idx], state.rot[:, a_idx], state.vel[:, a_idx]
+
+    def _update_distances(self, state, scratch):
+        """Fresh distances / vertices / collisions (reference
+        update_state_before_rewarding, road_traffic.py:1570-1709)."""
+        pos, rot, vel = self._agent_arrays(state)
+        pid = scratch["path_id"]
+        center = self.P.center[pid]  # [B, A, M, 2]
+        n_pts = self.P.n_points[pid]
+        left_b = self.P.left_b[pid]
+        right_b = self.P.right_b[pid]
+        n_l = self.P.n_left[pid]
+        n_r = self.P.n_right[pid]
+
+        d_ref, idx_ref = perpendicular_distances(pos, center, n_pts)
+        d_lc, idx_l = perpendicular_distances(pos, left_b, n_l)
+        d_rc, idx_r = perpendicular_distances(pos, right_b, n_r)
+
+        verts = rectangle_vertices(pos, rot, self.agent_width, self.l_f + self.l_r)
+        d_left = [d_lc - self.agent_width / 2]
+        d_right = [d_rc - self.agent_width / 2]
+        for c in range(4):
+            dl, _ = perpendicular_distances(verts[:, :, c], left_b, n_l)
+            dr, _ = perpendicular_distances(verts[:, :, c], right_b, n_r)
+            d_left.append(dl)
+            d_right.append(dr)
+        d_left = jnp.stack(d_left, -1)  # [B, A, 5]
+        d_right = jnp.stack(d_right, -1)
+        d_bound = jnp.minimum(d_left.min(-1), d_right.min(-1))
+
+        # mutual c2c distances, diagonal lifted (road_traffic.py:3541-3573)
+        diff = pos[:, :, None] - pos[:, None]
+        d_agents = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-12)
+        d_agents = d_agents + jnp.eye(self.n_agents)[None] * (d_agents.max() + 1)
+
+        # collisions
+        A = self.n_agents
+        coll_agents = jnp.zeros((state.batch_dim, A, A), bool)
+        for i in range(A):
+            for j in range(i + 1, A):
+                hit = interX_any(verts[:, i], verts[:, j])
+                coll_agents = coll_agents.at[:, i, j].set(hit)
+                coll_agents = coll_agents.at[:, j, i].set(hit)
+        coll_lanelets = interX_any(verts, left_b) | interX_any(verts, right_b)
+        is_loop = self.P.is_loop[pid]
+        entry = self.P.entry[pid]  # [B, A, 2, 2]
+        exits = self.P.exit[pid]
+        coll_entry = interX_any(verts, entry) & ~is_loop
+        coll_exit = interX_any(verts, exits) & ~is_loop
+
+        scratch.update(
+            d_ref=d_ref, idx_ref=idx_ref, d_left=d_left, d_right=d_right,
+            d_bound=d_bound, d_agents=d_agents, verts=verts,
+            coll_agents=coll_agents, coll_lanelets=coll_lanelets,
+            coll_entry=coll_entry, coll_exit=coll_exit,
+            idx_left=idx_l, idx_right=idx_r,
+        )
+        return scratch
+
+    def _refresh_short_term(self, scratch):
+        pid = scratch["path_id"]
+        center = self.P.center[pid]
+        n_pts = self.P.n_points[pid]
+        is_loop = self.P.is_loop[pid]
+        st, _ = short_term_path(
+            center, scratch["idx_ref"], self.n_points_short_term, is_loop, n_pts,
+            self.sample_interval, 1,
+        )
+        scratch["short_term"] = st
+        if not self.is_observe_distance_to_boundaries:
+            lb = self.P.left_b[pid]
+            rb = self.P.right_b[pid]
+            scratch["near_left_b"], _ = short_term_path(
+                lb, scratch["idx_left"], self.n_points_nearing_boundary,
+                is_loop, self.P.n_left[pid], 1, -2,
+            )
+            scratch["near_right_b"], _ = short_term_path(
+                rb, scratch["idx_right"], self.n_points_nearing_boundary,
+                is_loop, self.P.n_right[pid], 1, -2,
+            )
+        return scratch
+
+    # ------------------------------------------------------------------
+    def reset_world_at(self, state, key):
+        B = state.batch_dim
+        k1, k2 = jax.random.split(key)
+        scratch = dict(state.scenario)
+        scratch.setdefault("scenario_id", jnp.zeros((B, self.n_agents), jnp.int32))
+        scratch.setdefault("path_id", jnp.zeros((B, self.n_agents), jnp.int32))
+        scratch.setdefault("point_id", jnp.zeros((B, self.n_agents), jnp.int32))
+        state = state.replace(scenario=scratch)
+
+        # map-type 2: challenging initial-state buffer (road_traffic.py:942-963)
+        state = self._reset_agents_states(state, k1)
+        scratch = dict(state.scenario)
+        scratch = self._update_distances(state, scratch)
+        scratch["short_term"] = jnp.zeros(
+            (B, self.n_agents, self.n_points_short_term, 2), jnp.float32
+        )
+        if not self.is_observe_distance_to_boundaries:
+            scratch["near_left_b"] = jnp.zeros(
+                (B, self.n_agents, self.n_points_nearing_boundary, 2), jnp.float32
+            )
+            scratch["near_right_b"] = jnp.zeros_like(scratch["near_left_b"])
+        scratch = self._refresh_short_term(scratch)
+
+        pos, rot, vel = self._agent_arrays(state)
+        scratch["prev_pos"] = pos
+        scratch["steering_cur"] = jnp.zeros((B, self.n_agents), jnp.float32)
+        scratch["steering_prev"] = jnp.zeros((B, self.n_agents), jnp.float32)
+        scratch["rew_all"] = jnp.zeros((B, self.n_agents), jnp.float32)
+        scratch["rng"] = k2
+        if self.map_type == "2":
+            scratch["isb_buffer"] = jnp.zeros((100, self.n_agents, 8), jnp.float32)
+            scratch["isb_size"] = jnp.zeros((), jnp.int32)
+        return state.replace(scenario=scratch)
+
+    # ------------------------------------------------------------------
+    def pre_rewards(self, state):
+        """Vectorized reference reward (road_traffic.py:1418-1568) for all
+        agents, plus the before/after state updates."""
+        scratch = dict(state.scenario)
+        scratch = self._update_distances(state, scratch)
+        pos, rot, vel = self._agent_arrays(state)
+
+        # forward-movement reward (uses the PREVIOUS short-term path + pos)
+        move_vec = (pos - scratch["prev_pos"])[:, :, None, :]  # [B, A, 1, 2]
+        ref_vecs = scratch["short_term"] - scratch["prev_pos"][:, :, None, :]
+        move_proj = jnp.sum(move_vec * ref_vecs, -1)  # [B, A, S]
+        move_w = move_proj @ self.weighting_ref_directions  # [B, A]
+        rew = move_w / (self.max_speed * self.dt) * self.reward_progress
+
+        v_proj = jnp.sum(vel[:, :, None, :] * ref_vecs, -1).mean(-1)
+        factor = jnp.where(v_proj > 0, 1.0, 2.0)
+        rew = rew + factor * v_proj / self.max_speed * self.reward_vel
+        rew = rew + scratch["coll_exit"] * self.reward_reach_goal
+
+        rew = rew + exponential_decreasing_fcn(
+            scratch["d_bound"], self.threshold_near_boundary_low, self.threshold_near_boundary_high
+        ) * self.penalty_near_boundary
+        near_agents = exponential_decreasing_fcn(
+            scratch["d_agents"], self.threshold_near_agents_low, self.threshold_near_agents_high
+        ).sum(-1)
+        rew = rew + near_agents * self.penalty_near_agents
+        rew = rew + scratch["d_ref"] / self.weighting_deviate * self.penalty_deviate
+
+        steering_change = jnp.clip(
+            jnp.abs(scratch["steering_cur"] - scratch["steering_prev"])
+            * self.norm_action_steering
+            - self.threshold_change_steering,
+            min=0,
+        )
+        factor_steer = steering_change / (
+            2 * self.max_steering_angle - 2 * self.threshold_change_steering
+        )
+        rew = rew + factor_steer * self.penalty_change_steering
+
+        rew = rew + scratch["coll_agents"].any(-1) * self.penalty_collide_agents
+        rew = rew + scratch["coll_lanelets"] * self.penalty_collide_boundaries
+        rew = rew + (
+            jnp.where(v_proj > 0, 1.0, -1.0) * safe_norm(vel) / self.max_speed * self.penalty_time
+        )
+        scratch["rew_all"] = rew
+        return state.replace(scenario=scratch)
+
+    def reward(self, agent, state):
+        return state.scenario["rew_all"][:, agent.slot]
+
+    def post_rewards(self, state):
+        """Post-reward updates: refresh short-term paths, store prev state,
+        action buffers; testing-mode / map-3 per-agent resets."""
+        scratch = dict(state.scenario)
+        scratch = self._refresh_short_term(scratch)
+        pos, rot, vel = self._agent_arrays(state)
+        scratch["prev_pos"] = pos
+        # action buffers (normalized; reference road_traffic.py:2050-2064)
+        u = jnp.stack([a.u(state) for a in self.world.agents], axis=1)  # [B, A, 2]
+        scratch["steering_prev"] = scratch["steering_cur"]
+        scratch["steering_cur"] = u[..., 1] / self.norm_action_steering
+        scratch["action_vel"] = u[..., 0] / self.norm_action_vel
+        state = state.replace(scenario=scratch)
+
+        if self.is_testing_mode or self.map_type == "3":
+            agents_reset = scratch["coll_entry"] | scratch["coll_exit"]
+            if self.is_testing_mode:
+                agents_reset = (
+                    scratch["coll_agents"].any(-1) | scratch["coll_lanelets"] | agents_reset
+                )
+            rng, sub = jax.random.split(scratch["rng"])
+            state = self._reset_agents_states(state, sub, agent_mask=agents_reset)
+            scratch = dict(state.scenario)
+            scratch["rng"] = rng
+            scratch = self._update_distances(state, scratch)
+            scratch = self._refresh_short_term(scratch)
+            state = state.replace(scenario=scratch)
+        return state
+
+    # ------------------------------------------------------------------
+    def observation(self, agent, state):
+        """Reference observation (road_traffic.py:1785-2280), ego view."""
+        s = state.scenario
+        i = agent.slot
+        B = state.batch_dim
+        A = self.n_agents
+        pos, rot, vel = self._agent_arrays(state)
+        pos_i, rot_i = pos[:, i], rot[:, i]
+
+        def to_local(points):
+            """points [B, ..., 2] -> ego frame of agent i."""
+            vec = points - pos_i.reshape((B,) + (1,) * (points.ndim - 2) + (2,))
+            vec_abs = safe_norm(vec)
+            rel = jnp.arctan2(vec[..., 1], vec[..., 0]) - rot_i.reshape((B,) + (1,) * (points.ndim - 2))
+            return jnp.stack([jnp.cos(rel) * vec_abs, jnp.sin(rel) * vec_abs], -1)
+
+        norm_pos = self.norm_pos if self.is_ego_view else self.norm_pos_world
+
+        if self.is_ego_view:
+            pos_others = to_local(pos) / norm_pos  # [B, A, 2]
+            rot_others = (rot - rot_i[:, None]) / self.norm_rot
+            vel_abs = safe_norm(vel)
+            rot_rel = rot - rot_i[:, None]
+            vel_others = jnp.stack(
+                [vel_abs * jnp.cos(rot_rel), vel_abs * jnp.sin(rot_rel)], -1
+            ) / self.norm_v
+            ref_others = to_local(s["short_term"]) / norm_pos  # [B, A, S, 2]
+            vert_others = to_local(s["verts"][:, :, 0:4]) / norm_pos  # [B, A, 4, 2]
+        else:
+            pos_others = pos / norm_pos
+            rot_others = rot / self.norm_rot
+            vel_others = vel / self.norm_v
+            ref_others = s["short_term"] / norm_pos
+            vert_others = s["verts"][:, :, 0:4] / norm_pos
+
+        d_agents_n = s["d_agents"] / self.norm_distance_lanelet
+
+        if self.is_partial_observation:
+            neg_d, idx = jax.lax.top_k(-s["d_agents"][:, i], self.n_nearing_agents)
+            near_d = -neg_d
+            mask_far = (
+                near_d >= self.threshold_mask_agents
+                if self.is_apply_mask
+                else jnp.zeros_like(near_d, bool)
+            )
+            take = lambda arr: jnp.take_along_axis(
+                arr, idx.reshape((B, -1) + (1,) * (arr.ndim - 2)), axis=1
+            )
+            obs_pos = jnp.where(mask_far[..., None], 1.0, take(pos_others))
+            obs_rot = jnp.where(mask_far, 0.0, take(rot_others))
+            obs_vel = jnp.where(mask_far[..., None], 0.0, take(vel_others))
+            obs_ref = jnp.where(mask_far[..., None, None], 1.0, take(ref_others))
+            obs_vert = jnp.where(mask_far[..., None, None], 1.0, take(vert_others))
+            obs_dist = jnp.where(mask_far, 1.0, jnp.take_along_axis(d_agents_n[:, i], idx, -1))
+            n_obs = self.n_nearing_agents
+        else:
+            obs_pos, obs_rot, obs_vel = pos_others, rot_others, vel_others
+            obs_ref, obs_vert = ref_others, vert_others
+            obs_dist = d_agents_n[:, i].at[:, i].set(0.0)
+            n_obs = A
+
+        others = [
+            obs_vert.reshape(B, n_obs, -1)
+            if self.is_observe_vertices
+            else jnp.concatenate(
+                [obs_pos.reshape(B, n_obs, -1), obs_rot.reshape(B, n_obs, -1)], -1
+            ),
+            obs_vel.reshape(B, n_obs, -1),
+        ]
+        if self.is_observe_distance_to_agents:
+            others.append(obs_dist.reshape(B, n_obs, -1))
+        if self.is_observe_ref_path_other_agents:
+            others.append(obs_ref.reshape(B, n_obs, -1))
+        obs_other_agents = jnp.concatenate(others, -1).reshape(B, -1)
+
+        # self observation
+        obs_self = []
+        if not self.is_ego_view:
+            obs_self.append(pos_others[:, i].reshape(B, -1))
+            obs_self.append(rot_others[:, i].reshape(B, -1))
+            obs_self.append(vel_others[:, i].reshape(B, -1))
+        else:
+            # in the ego frame only the longitudinal component is informative
+            obs_self.append(vel_others[:, i, 0:1].reshape(B, -1))
+        obs_self.append(ref_others[:, i].reshape(B, -1))
+        if self.is_observe_distance_to_center_line:
+            obs_self.append((s["d_ref"][:, i] / self.norm_distance_lanelet).reshape(B, -1))
+        if self.is_observe_distance_to_boundaries:
+            obs_self.append(
+                (s["d_left"][:, i].min(-1) / self.norm_distance_lanelet).reshape(B, -1)
+            )
+            obs_self.append(
+                (s["d_right"][:, i].min(-1) / self.norm_distance_lanelet).reshape(B, -1)
+            )
+        else:
+            lb = to_local(s["near_left_b"]) / norm_pos if self.is_ego_view else s["near_left_b"] / norm_pos
+            rb = to_local(s["near_right_b"]) / norm_pos if self.is_ego_view else s["near_right_b"] / norm_pos
+            obs_self.append(lb[:, i].reshape(B, -1))
+            obs_self.append(rb[:, i].reshape(B, -1))
+
+        obs = jnp.concatenate(obs_self + [obs_other_agents], -1)
+        if self.is_add_noise:
+            obs = obs + self.noise_level * jax.random.uniform(
+                self.obs_key(state, agent.slot), obs.shape
+            )
+        return obs
+
+    def done(self, state):
+        s = state.scenario
+        if self.is_testing_mode:
+            return jnp.zeros((state.batch_dim,), bool)
+        is_coll_agents = s["coll_agents"].reshape(state.batch_dim, -1).any(-1)
+        is_coll_lanelets = s["coll_lanelets"].any(-1)
+        return is_coll_agents | is_coll_lanelets
+
+    def info(self, agent, state):
+        s = state.scenario
+        i = agent.slot
+        pos, rot, vel = self._agent_arrays(state)
+        u = agent.u(state)
+        return {
+            "pos": pos[:, i] / self.norm_pos_world,
+            "rot": angle_eliminate_two_pi(rot[:, i]) / self.norm_rot,
+            "vel": vel[:, i] / self.norm_v,
+            "act_vel": u[:, 0] / self.norm_action_vel,
+            "act_steer": u[:, 1] / self.norm_action_steering,
+            "ref": (s["short_term"][:, i] / self.norm_pos_world).reshape(state.batch_dim, -1),
+            "distance_ref": s["d_ref"][:, i] / self.norm_distance_ref,
+            "distance_left_b": s["d_left"][:, i].min(-1) / self.norm_distance_lanelet,
+            "distance_right_b": s["d_right"][:, i].min(-1) / self.norm_distance_lanelet,
+            "is_collision_with_agents": s["coll_agents"][:, i].any(-1),
+            "is_collision_with_lanelets": s["coll_lanelets"].any(-1),
+        }
+
+
+class SimpleNamespaceJnp:
+    """jnp view over the packed numpy path arrays."""
+
+    def __init__(self, paths):
+        for k in ("center", "vec_norm", "yaw", "left_b", "right_b", "entry", "exit"):
+            setattr(self, k, jnp.asarray(getattr(paths, k)))
+        for k in ("n_points", "n_left", "n_right"):
+            setattr(self, k, jnp.asarray(getattr(paths, k), jnp.int32))
+        self.is_loop = jnp.asarray(paths.is_loop)

@@ -42,6 +42,16 @@ SCENARIOS = {
     "give_way": {},
     "navigation": {},
     "flocking": {},
+    "dropout": {},
+    "discovery": {},
+    "multi_give_way": {},
+    "wind_flocking": {},
+    "joint_passage": {},
+    "joint_passage_size": {},
+    "ball_passage": {},
+    "ball_trajectory": {},
+    "buzz_wire": {},
+    "dispersion": {},
 }
 
 

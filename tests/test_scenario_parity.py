@@ -34,6 +34,12 @@ ATOL = {
     "navigation": 2e-3,
     "flocking": 2e-3,
     "dispersion": 1e-4,
+    # joint scenarios run substeps of stiff constraint+contact forces; single
+    # contact lanes accumulate fp-reorder noise fastest (pos stays ≤2e-3)
+    "ball_trajectory": 4e-3,
+    "buzz_wire": 4e-3,
+    "joint_passage": 4e-3,
+    "joint_passage_size": 4e-3,
 }
 
 CASES = sorted(
@@ -60,7 +66,34 @@ def inject(env, pos, vel, rot, ang_vel):
 # origin, sometimes on food). flocking's reward cycle also advances the
 # scripted target's clock "t", which must stay at 0.
 NO_REFRESH = {"dispersion"}
-RESTORE_SCRATCH = {"flocking": ("t",)}
+RESTORE_SCRATCH = {"flocking": ("t",), "wind_flocking": ("t", "wind_shaping")}
+# wind_flocking's reward cycle rescales the big agent's per-env wind gravity
+# (reference set_friction, wind_flocking.py:356-370); the reference's first
+# step still runs with the full reset-time wind, so restore it post-refresh.
+RESTORE_STATE_FIELDS = {"wind_flocking": ("dyn_gravity",)}
+
+
+def _rebuild_joint_passage_size(env, state):
+    """joint_passage_size keeps passage geometry in scratch (reference stores
+    it on self at reset, joint_passage_size.py:576-600); rebuild it from the
+    injected non-collide passage entity positions (order: big, big+1, small)."""
+    sc = env.scenario
+    nc = sc.non_collide_passages
+    big = (state.pos[:, nc[0].index] + state.pos[:, nc[1].index]) / 2
+    small = state.pos[:, nc[2].index]
+    lr = jnp.where(small[:, 0] > big[:, 0], 4, -3).astype(jnp.int32)
+    scr = dict(state.scenario)
+    scr["big_passage_pos"] = big
+    scr["small_passage_pos"] = small
+    scr["pass_center"] = (big + small) / 2
+    scr["small_left_or_right"] = lr
+    scr["middle_angle"] = jnp.where(lr > 0, jnp.pi, 0.0)
+    return state.replace(scenario=scr)
+
+
+# scenarios whose reset derives geometric scratch from RNG draws: rebuild the
+# scratch from the injected entity positions before the shaping refresh
+REBUILD_SCRATCH = {"joint_passage_size": _rebuild_joint_passage_size}
 
 
 def refresh_scratch(env, state, name):
@@ -71,12 +104,17 @@ def refresh_scratch(env, state, name):
         return state
     scenario = env.scenario
     keep = {k: state.scenario[k] for k in RESTORE_SCRATCH.get(name, ())}
+    keep_fields = {
+        k: getattr(state, k) for k in RESTORE_STATE_FIELDS.get(name, ())
+    }
     state = scenario.pre_rewards(state)
     for a in env.agents:
         scenario.reward(a, state)
     state = scenario.post_rewards(state)
     if keep:
         state = state.replace(scenario={**state.scenario, **keep})
+    if keep_fields:
+        state = state.replace(**keep_fields)
     return state
 
 
@@ -95,6 +133,8 @@ def test_scenario_parity(name):
     assert len(env.agents) == len(d["agent_names"])
 
     state = inject(env, d["init_pos"], d["init_vel"], d["init_rot"], d["init_ang_vel"])
+    if name in REBUILD_SCRATCH:
+        state = REBUILD_SCRATCH[name](env, state)
     env.state = refresh_scratch(env, state, name)
 
     for t in range(T):

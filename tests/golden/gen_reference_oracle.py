@@ -43,6 +43,14 @@ def bootstrap_reference():
     exec(compile(src, utils_path, "exec"), utils_mod.__dict__)
     sub.utils = utils_mod
 
+    # Some scenarios (painting, football) import vmas.simulator.rendering at
+    # module level, which needs pyglet (absent). Recording never renders, so
+    # stub the module with attribute dummies.
+    rendering_mod = types.ModuleType("vmas.simulator.rendering")
+    rendering_mod.__getattr__ = lambda name: type(name, (), {})
+    sys.modules["vmas.simulator.rendering"] = rendering_mod
+    sub.rendering = rendering_mod
+
 
 def gen_geometry(seed=0, n=4096):
     import torch

@@ -52,6 +52,91 @@ SCENARIOS = {
     "ball_trajectory": {},
     "buzz_wire": {},
     "dispersion": {},
+    "sampling": {},
+    # scripted red team draws runtime RNG (check_better_positions randn
+    # candidates, football.py:2151) — unreplayable; record both teams as
+    # policy agents instead (AI covered by behavioral tests)
+    "football": dict(ai_red_agents=False),
+    "painting": {},
+    # reference mix_knowledge does torch.logical_or(*in_prox) — only valid
+    # for exactly 2 other agents, i.e. n_agents=3 (painting.py:607)
+    "painting_full": dict(task_type="full", n_agents=3, n_goals=3),
+    "construction": {},
+}
+
+# case name -> scenario file when they differ (multiple configs per scenario)
+ALIASES = {"painting_full": "painting"}
+
+MPE = {
+    "mpe/simple": {},
+    "mpe/simple_adversary": {},
+    "mpe/simple_crypto": {},
+    "mpe/simple_push": {},
+    "mpe/simple_reference": {},
+    "mpe/simple_speaker_listener": {},
+    "mpe/simple_spread": {},
+    "mpe/simple_tag": {},
+    "mpe/simple_world_comm": {},
+}
+SCENARIOS.update(MPE)
+
+
+def _dots_knowledge(scen):
+    """DOTS state extensions: per-agent knowledge [B,2,K] and per-goal
+    expected knowledge [B,K] (dots_core.py:95-160) are random reset scratch."""
+    out = {}
+    ak = [
+        a.state.knowledge.numpy()
+        for a in scen.world.agents
+        if getattr(a.state, "knowledge", None) is not None
+    ]
+    if ak:
+        out["extra_agent_knowledge"] = np.stack(ak, 1)  # [B, A, 2, K]
+    gk = [
+        l.state.expected_knowledge.numpy()
+        for l in scen.world.landmarks
+        if getattr(l.state, "expected_knowledge", None) is not None
+    ]
+    if gk:
+        out["extra_goal_knowledge"] = np.stack(gk, 1)  # [B, G, K]
+    return out
+
+
+def _goal_index(scen):
+    w = scen.world
+    return {"extra_goal_idx": np.array(w.landmarks.index(w.agents[0].goal))}
+
+
+# scenario -> fn(scenario) -> dict of extra arrays to record (random scratch
+# that is not part of the entity state, e.g. sampled field parameters)
+EXTRA_RECORD = {
+    "sampling": lambda scen: {
+        "extra_locs": np.stack([l.numpy() for l in scen.locs], 1)  # [B, G, 2]
+    },
+    "mpe/simple_adversary": _goal_index,
+    "mpe/simple_push": _goal_index,
+    "mpe/simple_speaker_listener": lambda scen: {
+        "extra_goal_idx": np.array(
+            scen.world.landmarks.index(scen.world.agents[0].goal_b)
+        )
+    },
+    "mpe/simple_reference": lambda scen: {
+        "extra_goal_b_0": np.array(
+            scen.world.landmarks.index(scen.world.agents[0].goal_b)
+        ),
+        "extra_goal_b_1": np.array(
+            scen.world.landmarks.index(scen.world.agents[1].goal_b)
+        ),
+    },
+    # crypto agents: [eve_0, bob_0, alice_0(speaker)]; key lives on the
+    # speaker, secret on everyone (simple_crypto.py:66-69)
+    "mpe/simple_crypto": lambda scen: {
+        "extra_key": scen.world.agents[2].key.numpy(),
+        "extra_secret": scen.world.agents[0].secret.numpy(),
+    },
+    "painting": _dots_knowledge,
+    "painting_full": _dots_knowledge,
+    "construction": _dots_knowledge,
 }
 
 
@@ -71,7 +156,7 @@ def load_reference_scenario(name):
 def record(name, kwargs):
     import torch
 
-    mod = load_reference_scenario(name)
+    mod = load_reference_scenario(ALIASES.get(name, name))
     scen = mod.Scenario()
     torch.manual_seed(SEED)
     world = scen.env_make_world(B, "cpu", **dict(kwargs))
@@ -92,6 +177,8 @@ def record(name, kwargs):
     data = {f"init_{k}": v.numpy() for k, v in snap().items()}
     data["entity_names"] = np.array([e.name for e in entities])
     data["agent_names"] = np.array([a.name for a in pol_agents])
+    if name in EXTRA_RECORD:
+        data.update(EXTRA_RECORD[name](scen))
 
     acts, rews_t, done_t = [], [], []
     obs_t = [[] for _ in pol_agents]
@@ -104,9 +191,14 @@ def record(name, kwargs):
             ).all(), f"{name}/{a.name} has action noise; parity recording unsupported"
             rng = a.action.u_range_tensor
             raw = (torch.rand(B, a.action_size, generator=g) * 2 - 1) * rng[None]
-            step_acts.append(raw)
             # reference _set_action continuous path (environment.py:615-707)
             a.action.u = (raw * a.action.u_multiplier_tensor).to(torch.float32)
+            if world.dim_c > 0 and not a.silent:
+                assert not a.c_noise, f"{name}/{a.name} has comm noise"
+                c_raw = torch.rand(B, world.dim_c, generator=g)
+                a.action.c = c_raw
+                raw = torch.cat([raw, c_raw], dim=1)
+            step_acts.append(raw)
         for a in world.agents:
             scen.env_process_action(a)
         world.step()
@@ -140,7 +232,8 @@ def record(name, kwargs):
         data[k] = np.stack(v)  # [T, B, E, ...]
 
     os.makedirs(OUT, exist_ok=True)
-    np.savez_compressed(os.path.join(OUT, f"scenario_{name}.npz"), **data)
+    base = os.path.basename(name)  # mpe/simple -> simple
+    np.savez_compressed(os.path.join(OUT, f"scenario_{base}.npz"), **data)
     print(
         f"wrote scenario_{name}.npz: E={len(entities)} A={len(pol_agents)} "
         f"obs={[data[f'obs_{i}'].shape[-1] for i in range(len(pol_agents))]}"

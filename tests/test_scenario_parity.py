@@ -22,7 +22,13 @@ import pytest
 from vmas_tpu import make_env
 
 DATA = os.path.join(os.path.dirname(__file__), "golden", "data")
-KWARGS = {"transport": dict(n_agents=4)}
+KWARGS = {
+    "transport": dict(n_agents=4),
+    "football": dict(ai_red_agents=False),
+    "painting_full": dict(task_type="full", n_agents=3, n_goals=3),
+}
+# case name -> scenario name when they differ (multi-config scenarios)
+CASE_SCENARIO = {"painting_full": "painting"}
 # collision/contact-heavy scenes accumulate fp reorder noise faster
 ATOL = {
     "transport": 2e-3,
@@ -65,7 +71,7 @@ def inject(env, pos, vel, rot, ang_vel):
 # food-eaten events the reference scores on step 1 (agents spawn at the
 # origin, sometimes on food). flocking's reward cycle also advances the
 # scripted target's clock "t", which must stay at 0.
-NO_REFRESH = {"dispersion"}
+NO_REFRESH = {"dispersion", "sampling"}
 RESTORE_SCRATCH = {"flocking": ("t",), "wind_flocking": ("t", "wind_shaping")}
 # wind_flocking's reward cycle rescales the big agent's per-env wind gravity
 # (reference set_friction, wind_flocking.py:356-370); the reference's first
@@ -73,7 +79,25 @@ RESTORE_SCRATCH = {"flocking": ("t",), "wind_flocking": ("t", "wind_shaping")}
 RESTORE_STATE_FIELDS = {"wind_flocking": ("dyn_gravity",)}
 
 
-def _rebuild_joint_passage_size(env, state):
+def _rebuild_sampling(env, state, d):
+    """sampling's gaussian field is random reset scratch: inject the recorded
+    mixture means and rebuild max_pdf / sampled grid / reset-time agent
+    samples exactly as reset_world_at does (reference sampling.py:108-168)."""
+    sc = env.scenario
+    locs = jnp.asarray(d["extra_locs"])  # [B, G, 2]
+    scr = dict(state.scenario)
+    scr["locs"] = locs
+    scr["sampled"] = jnp.zeros_like(scr["sampled"])
+    scr["max_pdf"] = sc._max_pdf(locs)
+    samples = [
+        sc._sample(scr, a.pos(state), norm=sc.norm)[0] for a in sc.world.agents
+    ]
+    scr["agent_samples"] = jnp.stack(samples, axis=-1)
+    scr["sampling_rew"] = jnp.zeros_like(scr["sampling_rew"])
+    return state.replace(scenario=scr)
+
+
+def _rebuild_joint_passage_size(env, state, d):
     """joint_passage_size keeps passage geometry in scratch (reference stores
     it on self at reset, joint_passage_size.py:576-600); rebuild it from the
     injected non-collide passage entity positions (order: big, big+1, small)."""
@@ -93,7 +117,58 @@ def _rebuild_joint_passage_size(env, state):
 
 # scenarios whose reset derives geometric scratch from RNG draws: rebuild the
 # scratch from the injected entity positions before the shaping refresh
-REBUILD_SCRATCH = {"joint_passage_size": _rebuild_joint_passage_size}
+def _broadcast_goal(key_out):
+    """MPE goal choice is a batch-wide scalar in the reference
+    (simple_adversary.py:54-57); ours is per-env scratch — broadcast it."""
+
+    def hook(env, state, d):
+        scr = dict(state.scenario)
+        scr[key_out] = jnp.full_like(scr[key_out], int(d["extra_goal_idx"]))
+        return state.replace(scenario=scr)
+
+    return hook
+
+
+def _rebuild_simple_reference(env, state, d):
+    scr = dict(state.scenario)
+    scr["goal_b_0"] = jnp.full_like(scr["goal_b_0"], int(d["extra_goal_b_0"]))
+    scr["goal_b_1"] = jnp.full_like(scr["goal_b_1"], int(d["extra_goal_b_1"]))
+    return state.replace(scenario=scr)
+
+
+def _rebuild_simple_crypto(env, state, d):
+    scr = dict(state.scenario)
+    scr["key"] = jnp.asarray(d["extra_key"], jnp.float32)
+    scr["secret"] = jnp.asarray(d["extra_secret"], jnp.float32)
+    return state.replace(scenario=scr)
+
+
+def _rebuild_dots(env, state, d):
+    """DOTS knowledge states are random reset scratch (dots_core.py:95-160);
+    inject the recorded per-agent knowledge and per-goal expected knowledge."""
+    sc = env.scenario
+    if "extra_agent_knowledge" in d:
+        ak = jnp.asarray(d["extra_agent_knowledge"], jnp.float32)
+        for i, a in enumerate(sc.agent_list):
+            state = a.set_knowledge(state, ak[:, i])
+    if "extra_goal_knowledge" in d:
+        gk = jnp.asarray(d["extra_goal_knowledge"], jnp.float32)
+        for j, g in enumerate(sc.goals):
+            state = g.set_expected_knowledge(state, gk[:, j])
+    return state
+
+
+REBUILD_SCRATCH = {
+    "joint_passage_size": _rebuild_joint_passage_size,
+    "sampling": _rebuild_sampling,
+    "painting": _rebuild_dots,
+    "painting_full": _rebuild_dots,
+    "simple_adversary": _broadcast_goal("goal_idx"),
+    "simple_push": _broadcast_goal("goal_idx"),
+    "simple_speaker_listener": _broadcast_goal("goal_idx"),
+    "simple_reference": _rebuild_simple_reference,
+    "simple_crypto": _rebuild_simple_crypto,
+}
 
 
 def refresh_scratch(env, state, name):
@@ -125,7 +200,9 @@ def test_scenario_parity(name):
     T = d["actions"].shape[0]
     atol = ATOL.get(name, 2e-3)
 
-    env = make_env(name, num_envs=B, seed=0, **KWARGS.get(name, {}))
+    env = make_env(
+        CASE_SCENARIO.get(name, name), num_envs=B, seed=0, **KWARGS.get(name, {})
+    )
 
     ref_names = [str(n) for n in d["entity_names"]]
     my_names = [e.name for e in env.world.entities]
@@ -134,12 +211,12 @@ def test_scenario_parity(name):
 
     state = inject(env, d["init_pos"], d["init_vel"], d["init_rot"], d["init_ang_vel"])
     if name in REBUILD_SCRATCH:
-        state = REBUILD_SCRATCH[name](env, state)
+        state = REBUILD_SCRATCH[name](env, state, d)
     env.state = refresh_scratch(env, state, name)
 
     for t in range(T):
         actions = [
-            jnp.asarray(d["actions"][t, i, :, : a.action_size])
+            jnp.asarray(d["actions"][t, i, :, : env.get_agent_action_size(a)])
             for i, a in enumerate(env.agents)
         ]
         obs, rews, dones, infos = env.step(actions)

@@ -49,7 +49,9 @@ class Scenario(BaseScenario):
         self.blueprints = []
         for i in range(self.n_blueprints):
             bp = Landmark(
-                name=f"blueprint_{i}", collide=False,
+                # the reference names every blueprint "blueprint"
+                # (construction.py:60) — entity identity is positional
+                name="blueprint", collide=False,
                 shape=Box(length=self.col_point_size, width=self.col_point_size * 2),
                 color=Color.BLUE,
             )

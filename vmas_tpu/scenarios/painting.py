@@ -220,7 +220,10 @@ class Scenario(BaseScenario):
                     self.coms_network.u(state)[:, coms_index : coms_index + kdims] + 1
                 ) / 2
             else:
-                com_knowledge = jnp.stack([state.uc[:, o.slot, 1:] for o in others], axis=0)
+                # reference reads other.state.c — the comm STATE, i.e. the
+                # previous step's broadcast (painting.py:630-632), not the
+                # in-flight comm action
+                com_knowledge = jnp.stack([state.c[:, o.slot, 1:] for o in others], axis=0)
         else:
             com_knowledge = jnp.stack([o.knowledge(state)[:, 0, :] for o in others], axis=0)
 

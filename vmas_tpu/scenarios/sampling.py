@@ -80,6 +80,23 @@ class Scenario(BaseScenario):
         sq = jnp.sum(d * d, axis=-1)  # [..., G]
         return (jnp.exp(-0.5 * sq / covs) / (2 * math.pi * covs)).sum(-1)
 
+    def _max_pdf(self, locs):
+        """Batched pdf max over the sampling grid, cells clamped to the
+        semidims like the reference (sampling.py:209-231)."""
+        xs = jnp.arange(-self.xdim, self.xdim, self.grid_spacing, dtype=jnp.float32)
+        ys = jnp.arange(-self.ydim, self.ydim, self.grid_spacing, dtype=jnp.float32)
+        gx, gy = jnp.meshgrid(xs, ys, indexing="ij")
+        grid = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)  # [C, 2]
+        grid = jnp.stack(
+            [
+                jnp.clip(grid[:, 0], -self.x_semidim, self.x_semidim),
+                jnp.clip(grid[:, 1], -self.y_semidim, self.y_semidim),
+            ],
+            axis=-1,
+        )
+        pdf = self._pdf(locs[:, None], grid[None])  # [B, C]
+        return pdf.max(axis=-1)
+
     def _sample(self, scratch, pos, update_sampled_flag=False, norm=True):
         """Reference Scenario.sample (sampling.py:171-207)."""
         B = pos.shape[0]
@@ -123,21 +140,7 @@ class Scenario(BaseScenario):
         scratch = dict(state.scenario)
         scratch["locs"] = locs
         scratch["sampled"] = jnp.zeros((B, self.n_x_cells, self.n_y_cells), bool)
-
-        # normalize: batched pdf max over the grid (clamped like the reference)
-        xs = jnp.arange(-self.xdim, self.xdim, self.grid_spacing, dtype=jnp.float32)
-        ys = jnp.arange(-self.ydim, self.ydim, self.grid_spacing, dtype=jnp.float32)
-        gx, gy = jnp.meshgrid(xs, ys, indexing="ij")
-        grid = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)  # [C, 2]
-        grid = jnp.stack(
-            [
-                jnp.clip(grid[:, 0], -self.x_semidim, self.x_semidim),
-                jnp.clip(grid[:, 1], -self.y_semidim, self.y_semidim),
-            ],
-            axis=-1,
-        )
-        pdf = self._pdf(locs[:, None], grid[None])  # [B, C]
-        scratch["max_pdf"] = pdf.max(axis=-1)
+        scratch["max_pdf"] = self._max_pdf(locs)
 
         for i, agent in enumerate(self.world.agents):
             ki = jax.random.fold_in(k2, i)

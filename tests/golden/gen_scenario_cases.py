@@ -80,6 +80,25 @@ MPE = {
 }
 SCENARIOS.update(MPE)
 
+DEBUG = {
+    f"debug/{n}": {}
+    for n in (
+        "asym_joint", "circle_trajectory", "diff_drive", "drone", "goal",
+        "het_mass", "kinematic_bicycle", "line_trajectory", "pollock",
+        "vel_control", "waterfall",
+    )
+}
+# reference perturbs masses with host RNG at reset (het_mass.py:47-53);
+# record with zero noise so masses are exact on both sides
+DEBUG["debug/het_mass"] = dict(mass_noise=0)
+# default obs_noise=0.2 is uniform observation noise (asym_joint.py:58)
+DEBUG["debug/asym_joint"] = dict(obs_noise=0)
+# default pollock (45 entities) is contact-saturated: argmin ties fork ~40%
+# of envs within 10 steps; a sparser scene keeps the replay meaningful while
+# still exercising every shape pair + lidar
+DEBUG["debug/pollock"] = dict(n_agents=6, n_lines=6, n_boxes=6, lidar=True)
+SCENARIOS.update(DEBUG)
+
 
 def _dots_knowledge(scen):
     """DOTS state extensions: per-agent knowledge [B,2,K] and per-goal

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from vmas_tpu.core import Agent, Color, Landmark, Sphere, World
 from vmas_tpu.core.utils import safe_norm
-from vmas_tpu.scenario import BaseScenario
+from vmas_tpu.scenario import BaseHeuristicPolicy, BaseScenario
 from vmas_tpu.sensors import Lidar
 from vmas_tpu.utils import ScenarioUtils
 
@@ -195,3 +195,44 @@ class Scenario(BaseScenario):
             "collision_rew": s["collision_rew"][:, agent.slot],
             "targets_covered": s["covered_targets"].sum(-1),
         }
+
+
+class HeuristicPolicy(BaseHeuristicPolicy):
+    """Circle-patrol + lidar-chase heuristic (reference discovery.py:307-357):
+    orbit a 0.75-radius circle, dive at targets the target-lidar sees, and
+    back off from agents the agent-lidar sees."""
+
+    def compute_action(self, observation, u_range):
+        assert self.continuous_actions
+        circle_radius = 0.75
+        current_pos = observation[:, :2]
+        v = current_pos
+        norm_v = jnp.linalg.norm(v, axis=1, keepdims=True)
+        closest = v / jnp.where(norm_v == 0, 1.0, norm_v) * circle_radius
+        normal = jnp.stack([closest[:, 1], -closest[:, 0]], axis=1)
+        n = jnp.linalg.norm(normal, axis=1, keepdims=True)
+        normal = normal / jnp.where(n == 0, 1.0, n) * 0.1
+        des_pos = closest + normal
+
+        lidar_targets = observation[:, 4:19]
+        target_visible = jnp.any(lidar_targets < 0.3, axis=1)
+        target_dir = (
+            jnp.argmin(lidar_targets, axis=1) / lidar_targets.shape[1] * 2 * jnp.pi
+        )
+        target_vec = jnp.stack([jnp.cos(target_dir), jnp.sin(target_dir)], axis=1)
+        des_pos = jnp.where(
+            target_visible[:, None], current_pos + target_vec * 0.1, des_pos
+        )
+
+        if observation.shape[-1] > 19:
+            lidar_agents = observation[:, 19:31]
+            agent_visible = jnp.any(lidar_agents < 0.15, axis=1)
+            agent_dir = (
+                jnp.argmin(lidar_agents, axis=1) / lidar_agents.shape[1] * 2 * jnp.pi
+            )
+            agent_vec = jnp.stack([jnp.cos(agent_dir), jnp.sin(agent_dir)], axis=1)
+            des_pos = jnp.where(
+                agent_visible[:, None], current_pos - agent_vec * 0.1, des_pos
+            )
+
+        return jnp.clip((des_pos - current_pos) * 10, -u_range, u_range)

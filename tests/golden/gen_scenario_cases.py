@@ -62,6 +62,8 @@ SCENARIOS = {
     # for exactly 2 other agents, i.e. n_agents=3 (painting.py:607)
     "painting_full": dict(task_type="full", n_agents=3, n_goals=3),
     "construction": {},
+    # obs noise defaults ON in road_traffic (road_traffic.py:2635)
+    "road_traffic": dict(is_add_noise=False),
 }
 
 # case name -> scenario file when they differ (multiple configs per scenario)
@@ -152,6 +154,10 @@ EXTRA_RECORD = {
     "mpe/simple_crypto": lambda scen: {
         "extra_key": scen.world.agents[2].key.numpy(),
         "extra_secret": scen.world.agents[0].secret.numpy(),
+    },
+    "road_traffic": lambda scen: {
+        "extra_path_id": scen.ref_paths_agent_related.path_id.numpy(),
+        "extra_point_id": scen.ref_paths_agent_related.point_id.numpy(),
     },
     "painting": _dots_knowledge,
     "painting_full": _dots_knowledge,

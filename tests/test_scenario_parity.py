@@ -29,6 +29,7 @@ KWARGS = {
     "het_mass": dict(mass_noise=0),
     "asym_joint": dict(obs_noise=0),
     "pollock": dict(n_agents=6, n_lines=6, n_boxes=6, lidar=True),
+    "road_traffic": dict(is_add_noise=False),
 }
 # case name -> scenario name when they differ (multi-config scenarios)
 CASE_SCENARIO = {"painting_full": "painting"}
@@ -75,7 +76,7 @@ def inject(env, pos, vel, rot, ang_vel):
 # food-eaten events the reference scores on step 1 (agents spawn at the
 # origin, sometimes on food). flocking's reward cycle also advances the
 # scripted target's clock "t", which must stay at 0.
-NO_REFRESH = {"dispersion", "sampling"}
+NO_REFRESH = {"dispersion", "sampling", "road_traffic"}
 RESTORE_SCRATCH = {"flocking": ("t",), "wind_flocking": ("t", "wind_shaping")}
 # wind_flocking's reward cycle rescales the big agent's per-env wind gravity
 # (reference set_friction, wind_flocking.py:356-370); the reference's first
@@ -147,6 +148,26 @@ def _rebuild_simple_crypto(env, state, d):
     return state.replace(scenario=scr)
 
 
+def _rebuild_road_traffic(env, state, d):
+    """road_traffic's per-(env,agent) reference-path assignment is random
+    reset scratch (reference reset_init_state, road_traffic.py:1115-1131);
+    inject the recorded path/point ids and rebuild the derived path scratch
+    exactly as reset_world_at does post-placement."""
+    sc = env.scenario
+    scr = dict(state.scenario)
+    scr["path_id"] = jnp.asarray(d["extra_path_id"], jnp.int32)
+    scr["point_id"] = jnp.asarray(d["extra_point_id"], jnp.int32)
+    scr = sc._update_distances(state, scr)
+    scr["short_term"] = jnp.zeros_like(scr["short_term"])
+    scr = sc._refresh_short_term(scr)
+    pos, rot, vel = sc._agent_arrays(state)
+    scr["prev_pos"] = pos
+    scr["steering_cur"] = jnp.zeros_like(scr["steering_cur"])
+    scr["steering_prev"] = jnp.zeros_like(scr["steering_prev"])
+    scr["rew_all"] = jnp.zeros_like(scr["rew_all"])
+    return state.replace(scenario=scr)
+
+
 def _rebuild_dots(env, state, d):
     """DOTS knowledge states are random reset scratch (dots_core.py:95-160);
     inject the recorded per-agent knowledge and per-goal expected knowledge."""
@@ -165,6 +186,7 @@ def _rebuild_dots(env, state, d):
 REBUILD_SCRATCH = {
     "joint_passage_size": _rebuild_joint_passage_size,
     "sampling": _rebuild_sampling,
+    "road_traffic": _rebuild_road_traffic,
     "painting": _rebuild_dots,
     "painting_full": _rebuild_dots,
     "simple_adversary": _broadcast_goal("goal_idx"),

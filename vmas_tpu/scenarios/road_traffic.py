@@ -430,12 +430,16 @@ class Scenario(BaseScenario):
         d_agents = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-12)
         d_agents = d_agents + jnp.eye(self.n_agents)[None] * (d_agents.max() + 1)
 
-        # collisions
+        # collisions. The reference's pair loop tests the freshly-updated
+        # vertices of agent i against vertices[a_j] for j>i which are STILL
+        # the previous step's rectangles (road_traffic.py:1591-1607), so a
+        # new contact is flagged one step late. Replicated for parity.
         A = self.n_agents
+        verts_prev = scratch.get("verts_prev", verts)
         coll_agents = jnp.zeros((state.batch_dim, A, A), bool)
         for i in range(A):
             for j in range(i + 1, A):
-                hit = interX_any(verts[:, i], verts[:, j])
+                hit = interX_any(verts[:, i], verts_prev[:, j])
                 coll_agents = coll_agents.at[:, i, j].set(hit)
                 coll_agents = coll_agents.at[:, j, i].set(hit)
         coll_lanelets = interX_any(verts, left_b) | interX_any(verts, right_b)
@@ -447,7 +451,7 @@ class Scenario(BaseScenario):
 
         scratch.update(
             d_ref=d_ref, idx_ref=idx_ref, d_left=d_left, d_right=d_right,
-            d_bound=d_bound, d_agents=d_agents, verts=verts,
+            d_bound=d_bound, d_agents=d_agents, verts=verts, verts_prev=verts,
             coll_agents=coll_agents, coll_lanelets=coll_lanelets,
             coll_entry=coll_entry, coll_exit=coll_exit,
             idx_left=idx_l, idx_right=idx_r,

@@ -30,7 +30,10 @@ def main():
     from vmas_tpu import make_env
     from vmas_tpu.parallel.rollout import rollout_fn
 
-    env = make_env("transport", num_envs=NUM_ENVS, n_agents=N_AGENTS, seed=0)
+    env = make_env(
+        "transport", num_envs=NUM_ENVS, n_agents=N_AGENTS, seed=0,
+        fused_physics=True,  # single-pallas-kernel physics (core/fused.py)
+    )
     run = jax.jit(rollout_fn(env, horizon=HORIZON))
     key = jax.random.PRNGKey(0)
 
@@ -40,14 +43,14 @@ def main():
     state, steps, traj = run(env.state, env.steps, key)
     jax.block_until_ready(traj["rewards"])
     prev = float("inf")
-    for w in range(10):
+    for w in range(20):
         t0 = time.perf_counter()
         state, steps, traj = run(state, steps, jax.random.fold_in(key, 1000 + w))
         jax.block_until_ready(traj["rewards"])
         cur = time.perf_counter() - t0
-        if cur > 0.8 * prev:
+        if w >= 4 and cur > 0.9 * prev:
             break
-        prev = cur
+        prev = min(prev, cur)
 
     t0 = time.perf_counter()
     for i in range(ITERS):

@@ -1,0 +1,519 @@
+"""Fused single-kernel physics step (pallas/TPU).
+
+The XLA path (physics.py) lowers one step to ~45 fusions, each round-tripping
+the [B, E] state through HBM — at typical scales the step is fusion-count
+bound, not FLOP bound. This module emits ONE pallas kernel per WorldSpec that
+keeps the whole state in VMEM for all substeps.
+
+Layout: the state is packed as component-rows [9E, B] (px, py, vx, vy, rot,
+w, fx, fy, tq per entity); lanes are environments. The kernel is generated
+per spec with every entity/pair rule unrolled over static python indices —
+a pure-VPU instruction stream with no gathers, scatters or layout changes.
+(A matrix formulation with one-hot MXU gathers was measured slower at VMAS
+entity counts: MXU<->VPU switching costs more than the extra VPU ops.)
+
+Semantics mirror physics.py exactly (same guard chains, same first-min
+tie-breaks); tests/test_fused.py asserts near-bitwise agreement against the
+XLA path on every shape-pair type.
+
+Not supported (dispatch falls back to the XLA path): joints, per-env dynamic
+gravity, and reverse-mode AD (pallas kernels define no VJP — use the XLA path
+for differentiable rollouts).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vmas_tpu.core.utils import LINE_MIN_DIST
+
+_MIN_DIST = 1e-6
+
+
+# ---------------------------------------------------------------------------
+# helpers on (rows, BLK) arrays; a "vec" is an (x, y) pair of same-shape rows
+# ---------------------------------------------------------------------------
+
+def _norm(x, y):
+    sq = x * x + y * y
+    is_zero = sq == 0.0
+    return jnp.where(is_zero, 0.0, jnp.sqrt(jnp.where(is_zero, 1.0, sq)))
+
+
+def _logaddexp0(x):
+    # logaddexp(0, x) = max(x, 0) + log1p(exp(-|x|))
+    return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
+def _constraint_force(cm, ax, ay, bx, by, dist_min, mult, attractive=False):
+    """physics.py constraint_forces on row pairs; returns force on a (negate
+    for b)."""
+    dx, dy = ax - bx, ay - by
+    dist = _norm(dx, dy)
+    sign = -1.0 if attractive else 1.0
+    penetration = _logaddexp0((dist_min - dist) * sign / cm) * cm
+    scale = sign * mult * penetration / jnp.where(dist > 0, dist, 1e-8)
+    fx, fy = dx * scale, dy * scale
+    drop = dist < _MIN_DIST
+    drop = drop | ((dist > dist_min) if not attractive else (dist < dist_min))
+    fx = jnp.where(drop, 0.0, fx)
+    fy = jnp.where(drop, 0.0, fy)
+    return fx, fy
+
+
+def _closest_point_line(lx, ly, cos, sin, half_len, px, py):
+    """geometry.closest_point_line with precomputed direction."""
+    dot = (lx - px) * cos + (ly - py) * sin
+    sign = jnp.sign(dot)
+    dist = jnp.minimum(jnp.abs(dot), half_len)
+    return lx - sign * dist * cos, ly - sign * dist * sin
+
+
+def _pick_closest(cands):
+    """First-min-wins selection over [(p1x,p1y,p2x,p2y), ...] candidates."""
+    bx1, by1, bx2, by2 = cands[0]
+    bd = _norm(bx1 - bx2, by1 - by2)
+    for cx1, cy1, cx2, cy2 in cands[1:]:
+        d = _norm(cx1 - cx2, cy1 - cy2)
+        better = d < bd
+        bx1 = jnp.where(better, cx1, bx1)
+        by1 = jnp.where(better, cy1, by1)
+        bx2 = jnp.where(better, cx2, bx2)
+        by2 = jnp.where(better, cy2, by2)
+        bd = jnp.where(better, d, bd)
+    return bx1, by1, bx2, by2
+
+
+def _line_extrema(lx, ly, cos, sin, half):
+    return (lx + cos * half, ly + sin * half, lx - cos * half, ly - sin * half)
+
+
+def _intersection(a1x, a1y, a2x, a2y, b1x, b1y, b2x, b2y):
+    """geometry.intersection_point_line_line on rows."""
+    rx, ry = a2x - a1x, a2y - a1y
+    sx, sy = b2x - b1x, b2y - b1y
+    qpx, qpy = b1x - a1x, b1y - a1y
+    cross_qp_r = qpx * ry - qpy * rx
+    cross_qp_s = qpx * sy - qpy * sx
+    cross_r_s = rx * sy - ry * sx
+    den = jnp.where(cross_r_s == 0.0, 1.0, cross_r_s)
+    u = cross_qp_r / den
+    t = cross_qp_s / den
+    cond = (cross_r_s != 0.0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    return a1x + t * rx, a1y + t * ry, cond
+
+
+def _closest_points_line_line(ax, ay, acos, asin, ahalf, bx, by, bcos, bsin, bhalf):
+    a1x, a1y, a2x, a2y = _line_extrema(ax, ay, acos, asin, ahalf)
+    b1x, b1y, b2x, b2y = _line_extrema(bx, by, bcos, bsin, bhalf)
+    ix, iy, hit = _intersection(a1x, a1y, a2x, a2y, b1x, b1y, b2x, b2y)
+
+    a1bx, a1by = _closest_point_line(bx, by, bcos, bsin, bhalf, a1x, a1y)
+    a2bx, a2by = _closest_point_line(bx, by, bcos, bsin, bhalf, a2x, a2y)
+    b1ax, b1ay = _closest_point_line(ax, ay, acos, asin, ahalf, b1x, b1y)
+    b2ax, b2ay = _closest_point_line(ax, ay, acos, asin, ahalf, b2x, b2y)
+
+    p1x, p1y, p2x, p2y = _pick_closest([
+        (a1x, a1y, a1bx, a1by),
+        (a2x, a2y, a2bx, a2by),
+        (b1ax, b1ay, b1x, b1y),
+        (b2ax, b2ay, b2x, b2y),
+    ])
+    p1x = jnp.where(hit, ix, p1x)
+    p1y = jnp.where(hit, iy, p1y)
+    p2x = jnp.where(hit, ix, p2x)
+    p2y = jnp.where(hit, iy, p2y)
+    return p1x, p1y, p2x, p2y
+
+
+def _box_edges(px, py, cos, sin, half_w, half_l):
+    """geometry.all_lines_box: 4 edges as (pos, cos, sin, half_len) in the
+    reference's order (+len, -len, +wid, -wid)."""
+    wx, wy = -sin, cos
+    return [
+        (px + cos * half_l, py + sin * half_l, wx, wy, half_w),
+        (px - cos * half_l, py - sin * half_l, wx, wy, half_w),
+        (px + wx * half_w, py + wy * half_w, cos, sin, half_l),
+        (px - wx * half_w, py - wy * half_w, cos, sin, half_l),
+    ]
+
+
+def _closest_point_box(px, py, cos, sin, half_w, half_l, tx, ty):
+    cands = []
+    for ex, ey, ecos, esin, ehalf in _box_edges(px, py, cos, sin, half_w, half_l):
+        cx, cy = _closest_point_line(ex, ey, ecos, esin, ehalf, tx, ty)
+        cands.append((cx, cy, tx, ty))
+    bx, by, _, _ = _pick_closest(cands)
+    return bx, by
+
+
+def _closest_line_box(px, py, cos, sin, half_w, half_l, lx, ly, lcos, lsin, lhalf):
+    """Returns (point_on_box, point_on_line)."""
+    cands = []
+    for ex, ey, ecos, esin, ehalf in _box_edges(px, py, cos, sin, half_w, half_l):
+        cands.append(
+            _closest_points_line_line(ex, ey, ecos, esin, ehalf, lx, ly, lcos, lsin, lhalf)
+        )
+    return _pick_closest(cands)
+
+
+def _inner_point_box(ox, oy, sx, sy, bx, by):
+    """geometry.inner_point_box on rows -> (ix, iy, dist)."""
+    vx, vy = sx - ox, sy - oy
+    ux, uy = bx - sx, by - sy
+    vn = _norm(vx, vy)
+    den = jnp.where(vn == 0.0, 1.0, vn)
+    mag = (vx * ux + vy * uy) / den
+    xx, xy_ = vx / den * mag, vy / den * mag
+    degenerate = vn == 0.0
+    ix = jnp.where(degenerate, sx, sx + xx)
+    iy = jnp.where(degenerate, sy, sy + xy_)
+    d = jnp.where(degenerate, 0.0, jnp.abs(mag))
+    return ix, iy, d
+
+
+# ---------------------------------------------------------------------------
+# kernel generation
+# ---------------------------------------------------------------------------
+
+def supports(world) -> bool:
+    """Static eligibility for the fused path."""
+    spec = world.spec
+    if len(spec.joint_idx_a):
+        return False
+    if getattr(world, "dynamic_gravity", False):
+        return False
+    return True
+
+
+def _onehot(idx, E):
+    """[P, E] one-hot selection matrix (gather = S @ rows on the MXU)."""
+    m = np.zeros((len(idx), E), np.float32)
+    m[np.arange(len(idx)), np.asarray(idx)] = 1.0
+    return m
+
+
+def _make_kernel(world):
+    """Generate the per-spec kernel: static structure is baked into the
+    program as python scalars (one unrolled instruction stream per spec —
+    no array constants, which TPU pallas kernels may not capture). Rows are
+    (1, BLK) lane vectors; at small entity counts this beats a matrix
+    formulation because it never touches the MXU and Mosaic pipelines the
+    pure-VPU stream."""
+    spec = world.spec
+    E = len(spec.mass)
+    cm = float(world.contact_margin)
+    cf = float(world.collision_force)
+    sub_dt = float(world.sub_dt)
+    substeps = int(world.substeps)
+    gx, gy = float(world.gravity[0]), float(world.gravity[1])
+
+    movable = [bool(m) for m in spec.movable]
+    rotatable = [bool(r) for r in spec.rotatable]
+    is_agent = [bool(a) for a in spec.is_agent]
+
+    def kernel(x_ref, o_ref):
+        row = lambda r: x_ref[r : r + 1, :]
+        px = [row(e) for e in range(E)]
+        py = [row(E + e) for e in range(E)]
+        vx = [row(2 * E + e) for e in range(E)]
+        vy = [row(3 * E + e) for e in range(E)]
+        rot = [row(4 * E + e) for e in range(E)]
+        w = [row(5 * E + e) for e in range(E)]
+        fx = [row(6 * E + e) for e in range(E)]
+        fy = [row(7 * E + e) for e in range(E)]
+        tq = [row(8 * E + e) for e in range(E)]
+
+        # action clamps persist on state.force/torque (physics.py:229-247);
+        # idempotent, so hoisted out of the substep loop
+        for e in range(E):
+            if is_agent[e] and movable[e]:
+                mf = float(spec.max_f[e])
+                if math.isfinite(mf):
+                    n = jnp.sqrt(fx[e] * fx[e] + fy[e] * fy[e])
+                    over = n > mf
+                    s = jnp.where(over, mf / jnp.where(over, n, 1.0), 1.0)
+                    fx[e] = fx[e] * s
+                    fy[e] = fy[e] * s
+                fr = float(spec.f_range[e])
+                if math.isfinite(fr):
+                    fx[e] = jnp.clip(fx[e], -fr, fr)
+                    fy[e] = jnp.clip(fy[e], -fr, fr)
+            if is_agent[e] and rotatable[e]:
+                mt = float(spec.max_t[e])
+                if math.isfinite(mt):
+                    tq[e] = jnp.clip(tq[e], -mt, mt)
+                tr = float(spec.t_range[e])
+                if math.isfinite(tr):
+                    tq[e] = jnp.clip(tq[e], -tr, tr)
+
+        for substep in range(substeps):
+            Fx = [None] * E
+            Fy = [None] * E
+            Tq = [None] * E
+
+            def addf(e, ax, ay):
+                if not movable[e]:
+                    return
+                Fx[e] = ax if Fx[e] is None else Fx[e] + ax
+                Fy[e] = ay if Fy[e] is None else Fy[e] + ay
+
+            def addt(e, t):
+                if not rotatable[e]:
+                    return
+                Tq[e] = t if Tq[e] is None else Tq[e] + t
+
+            # action forces
+            for e in range(E):
+                addf(e, fx[e], fy[e])
+                addt(e, tq[e])
+
+            # coulomb friction (physics.py:255-263)
+            for e in range(E):
+                lf = float(spec.lin_fric[e])
+                m = float(spec.mass[e])
+                if lf != 0.0 and movable[e]:
+                    speed = _norm(vx[e], vy[e])
+                    den = jnp.where(speed == 0.0, 1.0, speed)
+                    fcx = jnp.minimum(lf * m, jnp.abs(vx[e]) / sub_dt * m)
+                    fcy = jnp.minimum(lf * m, jnp.abs(vy[e]) / sub_dt * m)
+                    zero = speed == 0.0
+                    addf(e, jnp.where(zero, 0.0, -(vx[e] / den) * fcx),
+                         jnp.where(zero, 0.0, -(vy[e] / den) * fcy))
+                af = float(spec.ang_fric[e])
+                if af != 0.0 and rotatable[e]:
+                    moi = float(spec.moi[e])
+                    sp = jnp.abs(w[e])
+                    den = jnp.where(sp == 0.0, 1.0, sp)
+                    fc = jnp.minimum(af * moi, sp / sub_dt * moi)
+                    addt(e, jnp.where(sp == 0.0, 0.0, -(w[e] / den) * fc))
+
+            # gravity (world + per-entity static)
+            for e in range(E):
+                if not movable[e]:
+                    continue
+                egx = gx + float(spec.ent_gravity[e, 0])
+                egy = gy + float(spec.ent_gravity[e, 1])
+                if egx != 0.0 or egy != 0.0:
+                    m = float(spec.mass[e])
+                    addf(e, jnp.full_like(px[e], m * egx), jnp.full_like(px[e], m * egy))
+
+            # sphere-sphere
+            for k in range(len(spec.ss_a)):
+                a, b = int(spec.ss_a[k]), int(spec.ss_b[k])
+                dmin = float(spec.ss_ra[k] + spec.ss_rb[k])
+                cfx, cfy = _constraint_force(cm, px[a], py[a], px[b], py[b], dmin, cf)
+                addf(a, cfx, cfy)
+                addf(b, -cfx, -cfy)
+
+            # line-sphere
+            for k in range(len(spec.ls_line)):
+                l, s = int(spec.ls_line[k]), int(spec.ls_sphere[k])
+                half = float(spec.ls_len[k]) / 2
+                cos, sin = jnp.cos(rot[l]), jnp.sin(rot[l])
+                cx, cy = _closest_point_line(px[l], py[l], cos, sin, half, px[s], py[s])
+                dmin = float(spec.ls_rad[k] + LINE_MIN_DIST)
+                sfx, sfy = _constraint_force(cm, px[s], py[s], cx, cy, dmin, cf)
+                addf(s, sfx, sfy)
+                addf(l, -sfx, -sfy)
+                addt(l, (cx - px[l]) * (-sfy) - (cy - py[l]) * (-sfx))
+
+            # line-line
+            for k in range(len(spec.ll_a)):
+                a, b = int(spec.ll_a[k]), int(spec.ll_b[k])
+                ha, hb = float(spec.ll_la[k]) / 2, float(spec.ll_lb[k]) / 2
+                ca, sa = jnp.cos(rot[a]), jnp.sin(rot[a])
+                cb, sb = jnp.cos(rot[b]), jnp.sin(rot[b])
+                pax, pay, pbx, pby = _closest_points_line_line(
+                    px[a], py[a], ca, sa, ha, px[b], py[b], cb, sb, hb
+                )
+                afx, afy = _constraint_force(cm, pax, pay, pbx, pby, LINE_MIN_DIST, cf)
+                addf(a, afx, afy)
+                addt(a, (pax - px[a]) * afy - (pay - py[a]) * afx)
+                addf(b, -afx, -afy)
+                addt(b, (pbx - px[b]) * (-afy) - (pby - py[b]) * (-afx))
+
+            # box-sphere
+            for k in range(len(spec.bs_box)):
+                b, s = int(spec.bs_box[k]), int(spec.bs_sphere[k])
+                cos, sin = jnp.cos(rot[b]), jnp.sin(rot[b])
+                hw, hl = float(spec.bs_wid[k]) / 2, float(spec.bs_len[k]) / 2
+                cx, cy = _closest_point_box(px[b], py[b], cos, sin, hw, hl, px[s], py[s])
+                if bool(spec.bs_not_hollow[k]):
+                    ix, iy, d = _inner_point_box(px[s], py[s], cx, cy, px[b], py[b])
+                else:
+                    ix, iy, d = cx, cy, 0.0
+                dmin = float(spec.bs_rad[k]) + LINE_MIN_DIST + d
+                sfx, sfy = _constraint_force(cm, px[s], py[s], ix, iy, dmin, cf)
+                addf(s, sfx, sfy)
+                addf(b, -sfx, -sfy)
+                addt(b, (cx - px[b]) * (-sfy) - (cy - py[b]) * (-sfx))
+
+            # box-line
+            for k in range(len(spec.bl_box)):
+                b, l = int(spec.bl_box[k]), int(spec.bl_line[k])
+                cos, sin = jnp.cos(rot[b]), jnp.sin(rot[b])
+                lcos, lsin = jnp.cos(rot[l]), jnp.sin(rot[l])
+                hw, hl = float(spec.bl_bwid[k]) / 2, float(spec.bl_blen[k]) / 2
+                lhalf = float(spec.bl_llen[k]) / 2
+                qbx, qby, qlx, qly = _closest_line_box(
+                    px[b], py[b], cos, sin, hw, hl, px[l], py[l], lcos, lsin, lhalf
+                )
+                if bool(spec.bl_not_hollow[k]):
+                    ix, iy, d = _inner_point_box(qlx, qly, qbx, qby, px[b], py[b])
+                else:
+                    ix, iy, d = qbx, qby, 0.0
+                bfx, bfy = _constraint_force(cm, ix, iy, qlx, qly, LINE_MIN_DIST + d, cf)
+                addf(b, bfx, bfy)
+                addt(b, (qbx - px[b]) * bfy - (qby - py[b]) * bfx)
+                addf(l, -bfx, -bfy)
+                addt(l, (qlx - px[l]) * (-bfy) - (qly - py[l]) * (-bfx))
+
+            # box-box
+            for k in range(len(spec.bb_a)):
+                a, b = int(spec.bb_a[k]), int(spec.bb_b[k])
+                ca, sa = jnp.cos(rot[a]), jnp.sin(rot[a])
+                cb, sb = jnp.cos(rot[b]), jnp.sin(rot[b])
+                hwa, hla = float(spec.bb_wa[k]) / 2, float(spec.bb_la[k]) / 2
+                hwb, hlb = float(spec.bb_wb[k]) / 2, float(spec.bb_lb[k]) / 2
+                # candidate order mirrors geometry.closest_box_box: a's edges
+                # vs b's perimeter first, then b's edges vs a's perimeter;
+                # tuples are (point_on_a, point_on_b), first minimum wins
+                cands = []
+                for ex, ey, ecos, esin, ehalf in _box_edges(px[a], py[a], ca, sa, hwa, hla):
+                    onb_x, onb_y, ona_x, ona_y = _closest_line_box(
+                        px[b], py[b], cb, sb, hwb, hlb, ex, ey, ecos, esin, ehalf
+                    )
+                    cands.append((ona_x, ona_y, onb_x, onb_y))
+                for ex, ey, ecos, esin, ehalf in _box_edges(px[b], py[b], cb, sb, hwb, hlb):
+                    ona_x, ona_y, onb_x, onb_y = _closest_line_box(
+                        px[a], py[a], ca, sa, hwa, hla, ex, ey, ecos, esin, ehalf
+                    )
+                    cands.append((ona_x, ona_y, onb_x, onb_y))
+                qax, qay, qbx, qby = _pick_closest(cands)
+                if bool(spec.bb_nha[k]):
+                    iax, iay, da = _inner_point_box(qbx, qby, qax, qay, px[a], py[a])
+                else:
+                    iax, iay, da = qax, qay, 0.0
+                if bool(spec.bb_nhb[k]):
+                    ibx, iby, db = _inner_point_box(qax, qay, qbx, qby, px[b], py[b])
+                else:
+                    ibx, iby, db = qbx, qby, 0.0
+                afx, afy = _constraint_force(cm, iax, iay, ibx, iby, da + db + LINE_MIN_DIST, cf)
+                addf(a, afx, afy)
+                addt(a, (qax - px[a]) * afy - (qay - py[a]) * afx)
+                addf(b, -afx, -afy)
+                addt(b, (qbx - px[b]) * (-afy) - (qby - py[b]) * (-afx))
+
+            # integrate (physics.py:413-441)
+            for e in range(E):
+                if movable[e]:
+                    drag = float(spec.drag[e])
+                    if substep == 0 and drag != 0.0:
+                        vx[e] = vx[e] * (1 - drag)
+                        vy[e] = vy[e] * (1 - drag)
+                    inv_m = float(spec.inv_mass[e])
+                    fex = Fx[e] if Fx[e] is not None else 0.0
+                    fey = Fy[e] if Fy[e] is not None else 0.0
+                    vx[e] = vx[e] + fex * inv_m * sub_dt
+                    vy[e] = vy[e] + fey * inv_m * sub_dt
+                    ms = float(spec.max_speed[e])
+                    if math.isfinite(ms):
+                        n = jnp.sqrt(vx[e] * vx[e] + vy[e] * vy[e])
+                        over = n > ms
+                        s = jnp.where(over, ms / jnp.where(over, n, 1.0), 1.0)
+                        vx[e] = vx[e] * s
+                        vy[e] = vy[e] * s
+                    vr = float(spec.v_range[e])
+                    if math.isfinite(vr):
+                        vx[e] = jnp.clip(vx[e], -vr, vr)
+                        vy[e] = jnp.clip(vy[e], -vr, vr)
+                    px[e] = px[e] + vx[e] * sub_dt
+                    py[e] = py[e] + vy[e] * sub_dt
+                    if world.x_semidim is not None:
+                        px[e] = jnp.clip(px[e], -world.x_semidim, world.x_semidim)
+                    if world.y_semidim is not None:
+                        py[e] = jnp.clip(py[e], -world.y_semidim, world.y_semidim)
+                if rotatable[e]:
+                    drag = float(spec.drag[e])
+                    if substep == 0 and drag != 0.0:
+                        w[e] = w[e] * (1 - drag)
+                    te = Tq[e] if Tq[e] is not None else 0.0
+                    w[e] = w[e] + te * float(spec.inv_moi[e]) * sub_dt
+                    rot[e] = rot[e] + w[e] * sub_dt
+
+        for e in range(E):
+            o_ref[e : e + 1, :] = px[e]
+            o_ref[E + e : E + e + 1, :] = py[e]
+            o_ref[2 * E + e : 2 * E + e + 1, :] = vx[e]
+            o_ref[3 * E + e : 3 * E + e + 1, :] = vy[e]
+            o_ref[4 * E + e : 4 * E + e + 1, :] = rot[e]
+            o_ref[5 * E + e : 5 * E + e + 1, :] = w[e]
+            o_ref[6 * E + e : 6 * E + e + 1, :] = fx[e]
+            o_ref[7 * E + e : 7 * E + e + 1, :] = fy[e]
+            o_ref[8 * E + e : 8 * E + e + 1, :] = tq[e]
+
+    return kernel
+
+
+def _blk_for(bp: int) -> int:
+    """Largest 128-multiple block <= 2048 that divides the padded batch."""
+    for blk in (2048, 1024, 512, 256, 128):
+        if bp % blk == 0:
+            return blk
+    return 128
+
+
+def fused_physics_step(world, state):
+    """Drop-in replacement for physics.physics_step on supported worlds."""
+    spec = world.spec
+    B, E = state.pos.shape[:2]
+    R = 9 * E
+
+    x = jnp.concatenate(
+        [
+            state.pos[..., 0].T, state.pos[..., 1].T,
+            state.vel[..., 0].T, state.vel[..., 1].T,
+            state.rot.T, state.ang_vel.T,
+            state.force[..., 0].T, state.force[..., 1].T,
+            state.torque.T,
+        ],
+        axis=0,
+    )  # [R, B]
+
+    bp = -(-B // 128) * 128
+    if bp != B:
+        x = jnp.pad(x, ((0, 0), (0, bp - B)))
+    blk = _blk_for(bp)
+
+    kernel = _make_kernel(world)
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R, bp), jnp.float32),
+        grid=(bp // blk,),
+        in_specs=[pl.BlockSpec((R, blk), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((R, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() == "cpu",
+    )(x)
+
+    y = y[:, :B]
+    pos = jnp.stack([y[0:E].T, y[E : 2 * E].T], axis=-1)
+    vel = jnp.stack([y[2 * E : 3 * E].T, y[3 * E : 4 * E].T], axis=-1)
+    rot = y[4 * E : 5 * E].T
+    ang_vel = y[5 * E : 6 * E].T
+    force = jnp.stack([y[6 * E : 7 * E].T, y[7 * E : 8 * E].T], axis=-1)
+    torque = y[8 * E : 9 * E].T
+    state = state.replace(
+        pos=pos, vel=vel, rot=rot, ang_vel=ang_vel, force=force, torque=torque
+    )
+
+    if world.dim_c > 0 and len(world.agents):
+        c = jnp.where(spec.silent[None, :, None], state.c, state.uc)
+        state = state.replace(c=c)
+    return state

@@ -535,7 +535,16 @@ class World:
 
         Expects action forces/torques already written into
         ``state.force``/``state.torque`` by the dynamics layer.
+
+        Set ``world.fused = True`` to run the whole step as one pallas
+        kernel on supported worlds (no joints / dynamic gravity; forward
+        only — keep the default XLA path for differentiable rollouts).
         """
+        if getattr(self, "fused", False):
+            from vmas_tpu.core import fused as _fused
+
+            if _fused.supports(self):
+                return _fused.fused_physics_step(self, state)
         return _physics.physics_step(self, state)
 
     def sync_joints(self, state: WorldState) -> WorldState:

@@ -47,6 +47,7 @@ class Environment:
         clamp_actions: bool = False,
         grad_enabled: bool = False,
         terminated_truncated: bool = False,
+        fused_physics: bool = False,
         **kwargs,
     ):
         if multidiscrete_actions:
@@ -58,6 +59,11 @@ class Environment:
         self.batch_dim = num_envs
         self.device = device
         self.world = scenario.env_make_world(num_envs, device, **kwargs)
+        if fused_physics:
+            # single-pallas-kernel physics (core/fused.py); forward-only fast
+            # path — silently ignored on worlds it cannot express (joints,
+            # dynamic gravity)
+            self.world.fused = True
         self.agents = self.world.policy_agents
         self.n_agents = len(self.agents)
         self.max_steps = max_steps

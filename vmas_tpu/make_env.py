@@ -27,6 +27,7 @@ def make_env(
     clamp_actions: bool = False,
     grad_enabled: bool = False,
     terminated_truncated: bool = False,
+    fused_physics: bool = False,
     wrapper_kwargs: Optional[dict] = None,
     **kwargs,
 ):
@@ -45,6 +46,7 @@ def make_env(
         clamp_actions=clamp_actions,
         grad_enabled=grad_enabled,
         terminated_truncated=terminated_truncated,
+        fused_physics=fused_physics,
         **kwargs,
     )
 

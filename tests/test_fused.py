@@ -69,6 +69,19 @@ def test_fused_matches_xla(scenario):
             )
 
 
+def test_fused_composes_with_env_sharding():
+    """fused physics under an env-axis mesh: the pallas grid only blocks the
+    lane (env) axis, so pjit partitions it per shard."""
+    from vmas_tpu.parallel import distribute
+
+    env = make_env("transport", num_envs=64, seed=0, fused_physics=True)
+    distribute(env)
+    for _ in range(2):
+        obs, rews, dones, infos = env.step(env.get_random_actions())
+    assert np.isfinite(np.asarray(obs[0])).all()
+    assert "env" in str(env.state.pos.sharding)
+
+
 def test_fused_falls_back_on_joints():
     env = make_env("joint_passage", num_envs=2, seed=0)
     from vmas_tpu.core import fused

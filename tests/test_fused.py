@@ -82,10 +82,23 @@ def test_fused_composes_with_env_sharding():
     assert "env" in str(env.state.pos.sharding)
 
 
-def test_fused_falls_back_on_joints():
-    env = make_env("joint_passage", num_envs=2, seed=0)
-    from vmas_tpu.core import fused
-
-    assert not fused.supports(env.world)
-    env.world.fused = True  # must silently use the XLA path
-    env.step(env.get_random_actions())
+def test_fused_joints_match_xla():
+    """joint constraint forces + fixed-rotation torques in the fused kernel
+    (joint_passage: rigid two-agent joint through a passage, substeps)."""
+    env = make_env("joint_passage", num_envs=5, seed=1)
+    world = env.world
+    state = _randomized(env, jax.random.PRNGKey(8))
+    world.fused = False
+    step_ref = jax.jit(world.step)
+    world.fused = True
+    step_fus = jax.jit(world.step)
+    world.fused = False
+    ref = fus = state
+    for t in range(4):
+        ref = step_ref(ref)
+        fus = step_fus(fus)
+        for name in ("pos", "vel", "rot", "ang_vel"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(fus, name)), np.asarray(getattr(ref, name)),
+                atol=2e-5, rtol=1e-5, err_msg=f"joints: {name} diverged at step {t}",
+            )

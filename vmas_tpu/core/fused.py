@@ -16,9 +16,10 @@ Semantics mirror physics.py exactly (same guard chains, same first-min
 tie-breaks); tests/test_fused.py asserts near-bitwise agreement against the
 XLA path on every shape-pair type.
 
-Not supported (dispatch falls back to the XLA path): joints, per-env dynamic
+Not supported (dispatch falls back to the XLA path): per-env dynamic
 gravity, and reverse-mode AD (pallas kernels define no VJP — use the XLA path
-for differentiable rollouts).
+for differentiable rollouts). Joints ARE supported (constraint force pairs,
+lever torques and fixed-rotation torques unrolled like any other pair).
 """
 
 from __future__ import annotations
@@ -184,9 +185,6 @@ def _inner_point_box(ox, oy, sx, sy, bx, by):
 
 def supports(world) -> bool:
     """Static eligibility for the fused path."""
-    spec = world.spec
-    if len(spec.joint_idx_a):
-        return False
     if getattr(world, "dynamic_gravity", False):
         return False
     return True
@@ -217,6 +215,9 @@ def _make_kernel(world):
     movable = [bool(m) for m in spec.movable]
     rotatable = [bool(r) for r in spec.rotatable]
     is_agent = [bool(a) for a in spec.is_agent]
+    J = len(spec.joint_idx_a)
+    joint_force = float(world.joint_force)
+    torque_constraint_force = float(world.torque_constraint_force)
 
     def kernel(x_ref, o_ref):
         row = lambda r: x_ref[r : r + 1, :]
@@ -229,6 +230,7 @@ def _make_kernel(world):
         fx = [row(6 * E + e) for e in range(E)]
         fy = [row(7 * E + e) for e in range(E)]
         tq = [row(8 * E + e) for e in range(E)]
+        jfr = [row(9 * E + j) for j in range(J)]
 
         # action clamps persist on state.force/torque (physics.py:229-247);
         # idempotent, so hoisted out of the substep loop
@@ -303,6 +305,41 @@ def _make_kernel(world):
                 if egx != 0.0 or egy != 0.0:
                     m = float(spec.mass[e])
                     addf(e, jnp.full_like(px[e], m * egx), jnp.full_like(px[e], m * egy))
+
+            # joint constraints (physics.py:266-300)
+            for j in range(J):
+                a, b = int(spec.joint_idx_a[j]), int(spec.joint_idx_b[j])
+                aax, aay = float(spec.joint_anchor_a[j, 0]), float(spec.joint_anchor_a[j, 1])
+                abx, aby = float(spec.joint_anchor_b[j, 0]), float(spec.joint_anchor_b[j, 1])
+                dist = float(spec.joint_dist[j])
+                ca, sa = jnp.cos(rot[a]), jnp.sin(rot[a])
+                cb, sb = jnp.cos(rot[b]), jnp.sin(rot[b])
+                pjax = px[a] + aax * ca - aay * sa
+                pjay = py[a] + aax * sa + aay * ca
+                pjbx = px[b] + abx * cb - aby * sb
+                pjby = py[b] + abx * sb + aby * cb
+                fax_att, fay_att = _constraint_force(
+                    cm, pjax, pjay, pjbx, pjby, dist, joint_force, attractive=True
+                )
+                fax_rep, fay_rep = _constraint_force(
+                    cm, pjax, pjay, pjbx, pjby, dist, joint_force, attractive=False
+                )
+                fax, fay = fax_att + fax_rep, fay_att + fay_rep
+                ta_rot = (pjax - px[a]) * fay - (pjay - py[a]) * fax
+                tb_rot = (pjbx - px[b]) * (-fay) - (pjby - py[b]) * (-fax)
+                if bool(spec.joint_rotate[j]):
+                    ta, tb = ta_rot, tb_rot
+                else:
+                    # constraint_torques on (rot_a, rot_b + fixed_rot)
+                    delta = rot[a] - (rot[b] + jfr[j])
+                    pen = jnp.exp(jnp.abs(delta)) - 1.0
+                    tqc = torque_constraint_force * jnp.sign(delta) * pen
+                    tqc = jnp.where(jnp.abs(delta) < 1e-9, 0.0, tqc)
+                    ta, tb = ta_rot + (-tqc), tb_rot + tqc
+                addf(a, fax, fay)
+                addt(a, ta)
+                addf(b, -fax, -fay)
+                addt(b, tb)
 
             # sphere-sphere
             for k in range(len(spec.ss_a)):
@@ -474,18 +511,19 @@ def fused_physics_step(world, state):
     """Drop-in replacement for physics.physics_step on supported worlds."""
     spec = world.spec
     B, E = state.pos.shape[:2]
-    R = 9 * E
+    J = len(spec.joint_idx_a)
+    R = 9 * E + J
 
-    x = jnp.concatenate(
-        [
-            state.pos[..., 0].T, state.pos[..., 1].T,
-            state.vel[..., 0].T, state.vel[..., 1].T,
-            state.rot.T, state.ang_vel.T,
-            state.force[..., 0].T, state.force[..., 1].T,
-            state.torque.T,
-        ],
-        axis=0,
-    )  # [R, B]
+    parts = [
+        state.pos[..., 0].T, state.pos[..., 1].T,
+        state.vel[..., 0].T, state.vel[..., 1].T,
+        state.rot.T, state.ang_vel.T,
+        state.force[..., 0].T, state.force[..., 1].T,
+        state.torque.T,
+    ]
+    if J:
+        parts.append(state.joint_fixed_rot.T)
+    x = jnp.concatenate(parts, axis=0)  # [R, B]
 
     bp = -(-B // 128) * 128
     if bp != B:
@@ -495,10 +533,10 @@ def fused_physics_step(world, state):
     kernel = _make_kernel(world)
     y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((R, bp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9 * E, bp), jnp.float32),
         grid=(bp // blk,),
         in_specs=[pl.BlockSpec((R, blk), lambda i: (0, i), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((R, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((9 * E, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=jax.default_backend() == "cpu",
     )(x)
 

@@ -30,8 +30,15 @@ IMPLEMENTED = implemented_scenarios()
 @pytest.mark.parametrize("continuous", [True, False])
 def test_scenario_smoke(scenario, continuous):
     env = make_env(scenario, num_envs=3, seed=0, continuous_actions=continuous)
+    # scratch keys created later than reset break lax.scan carries
+    # (CLAUDE.md invariant); catch it at the smoke level
+    keys_at_reset = sorted(env.state.scenario)
     for _ in range(5):
         obs, rews, dones, infos = env.step(env.get_random_actions())
+    assert sorted(env.state.scenario) == keys_at_reset, (
+        f"{scenario}: scenario scratch keys changed after reset "
+        f"({sorted(set(env.state.scenario) ^ set(keys_at_reset))})"
+    )
     assert len(obs) == env.n_agents
     for o, r in zip(obs, rews):
         o = np.asarray(o)

@@ -122,7 +122,6 @@ class Scenario(BaseScenario):
         agents_per_target = in_range.sum(axis=1)  # [B, T]
         covered = agents_per_target >= self._agents_per_target
         scratch["covered_targets"] = covered
-        scratch["agents_targets_dists"] = dists
         scratch["time_rew"] = jnp.full((B,), float(self.time_penalty), jnp.float32)
 
         covering_rew = (
@@ -134,11 +133,19 @@ class Scenario(BaseScenario):
 
         coll = jnp.zeros((B, self.n_agents), jnp.float32)
         if self.agent_collision_penalty != 0:
-            for i, agent in enumerate(self.world.agents):
-                for a in self.world.agents:
-                    if a is not agent:
-                        hit = self.world.get_distance(state, a, agent) < self.min_collision_distance
-                        coll = coll.at[:, i].add(self.agent_collision_penalty * hit.astype(jnp.float32))
+            # all agents are spheres: one batched [B, A, A] pairwise distance
+            # replaces the reference's O(A^2) get_distance loop
+            a_idx = jnp.asarray([a.index for a in self.world.agents])
+            a_pos = state.pos[:, a_idx]  # [B, A, 2]
+            radii = jnp.asarray(
+                [a.shape.radius for a in self.world.agents], jnp.float32
+            )
+            d = (
+                safe_norm(a_pos[:, :, None, :] - a_pos[:, None, :, :])
+                - radii[None, :, None] - radii[None, None, :]
+            )
+            hit = (d < self.min_collision_distance) & ~jnp.eye(self.n_agents, dtype=bool)[None]
+            coll = self.agent_collision_penalty * hit.sum(-1).astype(jnp.float32)
         scratch["collision_rew"] = coll
         return state.replace(scenario=scratch)
 
@@ -157,7 +164,7 @@ class Scenario(BaseScenario):
                 )
                 occupied = jnp.concatenate([agents_pos, others], axis=1)
                 rng, sub = jax.random.split(rng)
-                pos = ScenarioUtils.find_random_pos_for_entity(
+                pos = ScenarioUtils.find_random_pos_for_entity_vectorized(
                     occupied, sub, self.world, self._min_dist_between_entities,
                     (-self.x_semidim, self.x_semidim), (-self.y_semidim, self.y_semidim),
                 )

@@ -74,6 +74,43 @@ class ScenarioUtils:
         return pos
 
     @staticmethod
+    def find_random_pos_for_entity_vectorized(
+        occupied_positions: jnp.ndarray,  # [B, N, 2]
+        key,
+        world,
+        min_dist_between_entities: float,
+        x_bounds: Tuple[float, float],
+        y_bounds: Tuple[float, float],
+        n_candidates: int = 8,
+    ):
+        """[B, 1, 2] like :func:`find_random_pos_for_entity`, but draws
+        ``n_candidates`` proposals in one batch and keeps the first clear one
+        instead of a serialized rejection ``while_loop`` — the right choice
+        inside per-step hooks (e.g. covered-target respawn), where a
+        while_loop would serialize the whole step. Falls back to the last
+        candidate when all overlap (the reference also gives up after
+        enough tries, utils.py:301-316)."""
+        B = occupied_positions.shape[0]
+        kx, ky = jax.random.split(key)
+        cands = jnp.stack(
+            [
+                jax.random.uniform(kx, (B, n_candidates), minval=x_bounds[0], maxval=x_bounds[1]),
+                jax.random.uniform(ky, (B, n_candidates), minval=y_bounds[0], maxval=y_bounds[1]),
+            ],
+            axis=-1,
+        )  # [B, K, 2]
+        if occupied_positions.shape[1] == 0:
+            return cands[:, :1]
+        dist = jnp.linalg.norm(
+            occupied_positions[:, None] - cands[:, :, None], axis=-1
+        )  # [B, K, N]
+        ok = jnp.all(dist >= min_dist_between_entities, axis=-1)  # [B, K]
+        # first clear candidate; if none, argmax returns 0 — best-effort
+        first = jnp.argmax(ok, axis=-1)
+        pick = jnp.take_along_axis(cands, first[:, None, None], axis=1)
+        return pick
+
+    @staticmethod
     def spawn_entities_randomly(
         entities,
         world,

@@ -183,11 +183,29 @@ def _inner_point_box(ox, oy, sx, sy, bx, by):
 # kernel generation
 # ---------------------------------------------------------------------------
 
+# rough per-pair instruction weights for the unrolled kernel; bb expands to
+# 8 line-box candidates of 4 line-line tests each
+_PAIR_WEIGHT = {"ss": 1, "ls": 2, "ll": 5, "bs": 5, "bl": 20, "bb": 40}
+_MAX_UNROLL = 4000
+
+
 def supports(world) -> bool:
     """Static eligibility for the fused path."""
     if getattr(world, "dynamic_gravity", False):
         return False
-    return True
+    spec = world.spec
+    cost = (
+        len(spec.ss_a) * _PAIR_WEIGHT["ss"]
+        + len(spec.ls_line) * _PAIR_WEIGHT["ls"]
+        + len(spec.ll_a) * _PAIR_WEIGHT["ll"]
+        + len(spec.bs_box) * _PAIR_WEIGHT["bs"]
+        + len(spec.bl_box) * _PAIR_WEIGHT["bl"]
+        + len(spec.bb_a) * _PAIR_WEIGHT["bb"]
+        + len(spec.joint_idx_a) * 2
+    ) * int(world.substeps)
+    # very large unrolled programs (road_traffic-class worlds: hundreds of
+    # box-box pairs x substeps) explode Mosaic compile time; use the XLA path
+    return cost <= _MAX_UNROLL
 
 
 def _onehot(idx, E):

@@ -509,6 +509,7 @@ class Scenario(BaseScenario):
         scratch["prev_pos"] = pos
         scratch["steering_cur"] = jnp.zeros((B, self.n_agents), jnp.float32)
         scratch["steering_prev"] = jnp.zeros((B, self.n_agents), jnp.float32)
+        scratch["action_vel"] = jnp.zeros((B, self.n_agents), jnp.float32)
         scratch["rew_all"] = jnp.zeros((B, self.n_agents), jnp.float32)
         scratch["rng"] = k2
         if self.map_type == "2":

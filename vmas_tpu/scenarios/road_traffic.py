@@ -410,19 +410,20 @@ class Scenario(BaseScenario):
         n_r = self.P.n_right[pid]
 
         d_ref, idx_ref = perpendicular_distances(pos, center, n_pts)
-        d_lc, idx_l = perpendicular_distances(pos, left_b, n_l)
-        d_rc, idx_r = perpendicular_distances(pos, right_b, n_r)
 
         verts = rectangle_vertices(pos, rot, self.agent_width, self.l_f + self.l_r)
-        d_left = [d_lc - self.agent_width / 2]
-        d_right = [d_rc - self.agent_width / 2]
-        for c in range(4):
-            dl, _ = perpendicular_distances(verts[:, :, c], left_b, n_l)
-            dr, _ = perpendicular_distances(verts[:, :, c], right_b, n_r)
-            d_left.append(dl)
-            d_right.append(dr)
-        d_left = jnp.stack(d_left, -1)  # [B, A, 5]
-        d_right = jnp.stack(d_right, -1)
+        # one batched sweep for CG + 4 corners against each boundary
+        # (reference loops 5 separate cdist scans, road_traffic.py:1650-1700)
+        pts = jnp.concatenate([pos[:, :, None, :], verts[:, :, :4]], axis=2)  # [B, A, 5, 2]
+        dl5, idx_l5 = perpendicular_distances(
+            pts, left_b[:, :, None], jnp.broadcast_to(n_l[:, :, None], n_l.shape + (5,))
+        )  # [B, A, 5]
+        dr5, idx_r5 = perpendicular_distances(
+            pts, right_b[:, :, None], jnp.broadcast_to(n_r[:, :, None], n_r.shape + (5,))
+        )
+        idx_l, idx_r = idx_l5[..., 0], idx_r5[..., 0]
+        d_left = jnp.concatenate([dl5[..., :1] - self.agent_width / 2, dl5[..., 1:]], -1)
+        d_right = jnp.concatenate([dr5[..., :1] - self.agent_width / 2, dr5[..., 1:]], -1)
         d_bound = jnp.minimum(d_left.min(-1), d_right.min(-1))
 
         # mutual c2c distances, diagonal lifted (road_traffic.py:3541-3573)
@@ -433,15 +434,15 @@ class Scenario(BaseScenario):
         # collisions. The reference's pair loop tests the freshly-updated
         # vertices of agent i against vertices[a_j] for j>i which are STILL
         # the previous step's rectangles (road_traffic.py:1591-1607), so a
-        # new contact is flagged one step late. Replicated for parity.
+        # new contact is flagged one step late. Replicated for parity,
+        # vectorized over all A*(A-1)/2 pairs in one interX call.
         A = self.n_agents
         verts_prev = scratch.get("verts_prev", verts)
+        ii, jj = np.triu_indices(A, k=1)
+        hits = interX_any(verts[:, ii], verts_prev[:, jj])  # [B, P]
         coll_agents = jnp.zeros((state.batch_dim, A, A), bool)
-        for i in range(A):
-            for j in range(i + 1, A):
-                hit = interX_any(verts[:, i], verts_prev[:, j])
-                coll_agents = coll_agents.at[:, i, j].set(hit)
-                coll_agents = coll_agents.at[:, j, i].set(hit)
+        coll_agents = coll_agents.at[:, ii, jj].set(hits)
+        coll_agents = coll_agents.at[:, jj, ii].set(hits)
         coll_lanelets = interX_any(verts, left_b) | interX_any(verts, right_b)
         is_loop = self.P.is_loop[pid]
         entry = self.P.entry[pid]  # [B, A, 2, 2]

@@ -23,6 +23,7 @@ CASES = {
     "passage": "box landmarks + ss",
     "kinematic_bicycle": "box-box contact, substeps=10",
     "pollock": "ss + ls + ll + bs + bl + bb soup",
+    "wind_flocking": "per-env dynamic gravity + linear friction",
 }
 KWARGS = {
     "pollock": dict(n_agents=4, n_lines=4, n_boxes=4),

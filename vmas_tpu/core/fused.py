@@ -16,10 +16,10 @@ Semantics mirror physics.py exactly (same guard chains, same first-min
 tie-breaks); tests/test_fused.py asserts near-bitwise agreement against the
 XLA path on every shape-pair type.
 
-Not supported (dispatch falls back to the XLA path): per-env dynamic
-gravity, and reverse-mode AD (pallas kernels define no VJP — use the XLA path
-for differentiable rollouts). Joints ARE supported (constraint force pairs,
-lever torques and fixed-rotation torques unrolled like any other pair).
+Not supported (dispatch falls back to the XLA path): reverse-mode AD
+(pallas kernels define no VJP — use the XLA path for differentiable
+rollouts) and contact-saturated worlds whose unrolled program would explode
+compile time. Joints and per-env dynamic gravity are fully supported.
 """
 
 from __future__ import annotations
@@ -191,8 +191,6 @@ _MAX_UNROLL = 4000
 
 def supports(world) -> bool:
     """Static eligibility for the fused path."""
-    if getattr(world, "dynamic_gravity", False):
-        return False
     spec = world.spec
     cost = (
         len(spec.ss_a) * _PAIR_WEIGHT["ss"]
@@ -236,6 +234,7 @@ def _make_kernel(world):
     J = len(spec.joint_idx_a)
     joint_force = float(world.joint_force)
     torque_constraint_force = float(world.torque_constraint_force)
+    dyn_gravity = bool(getattr(world, "dynamic_gravity", False))
 
     def kernel(x_ref, o_ref):
         row = lambda r: x_ref[r : r + 1, :]
@@ -249,6 +248,9 @@ def _make_kernel(world):
         fy = [row(7 * E + e) for e in range(E)]
         tq = [row(8 * E + e) for e in range(E)]
         jfr = [row(9 * E + j) for j in range(J)]
+        if dyn_gravity:
+            dgx = [row(9 * E + J + e) for e in range(E)]
+            dgy = [row(9 * E + J + E + e) for e in range(E)]
 
         # action clamps persist on state.force/torque (physics.py:229-247);
         # idempotent, so hoisted out of the substep loop
@@ -314,14 +316,16 @@ def _make_kernel(world):
                     fc = jnp.minimum(af * moi, sp / sub_dt * moi)
                     addt(e, jnp.where(sp == 0.0, 0.0, -(w[e] / den) * fc))
 
-            # gravity (world + per-entity static)
+            # gravity (world + per-entity static + per-env dynamic)
             for e in range(E):
                 if not movable[e]:
                     continue
                 egx = gx + float(spec.ent_gravity[e, 0])
                 egy = gy + float(spec.ent_gravity[e, 1])
-                if egx != 0.0 or egy != 0.0:
-                    m = float(spec.mass[e])
+                m = float(spec.mass[e])
+                if dyn_gravity:
+                    addf(e, m * (dgx[e] + egx), m * (dgy[e] + egy))
+                elif egx != 0.0 or egy != 0.0:
                     addf(e, jnp.full_like(px[e], m * egx), jnp.full_like(px[e], m * egy))
 
             # joint constraints (physics.py:266-300)
@@ -530,7 +534,7 @@ def fused_physics_step(world, state):
     spec = world.spec
     B, E = state.pos.shape[:2]
     J = len(spec.joint_idx_a)
-    R = 9 * E + J
+    R = 9 * E + J + (2 * E if getattr(world, "dynamic_gravity", False) else 0)
 
     parts = [
         state.pos[..., 0].T, state.pos[..., 1].T,
@@ -541,6 +545,10 @@ def fused_physics_step(world, state):
     ]
     if J:
         parts.append(state.joint_fixed_rot.T)
+    dyn = getattr(world, "dynamic_gravity", False)
+    if dyn:
+        parts.append(state.dyn_gravity[..., 0].T)
+        parts.append(state.dyn_gravity[..., 1].T)
     x = jnp.concatenate(parts, axis=0)  # [R, B]
 
     bp = -(-B // 128) * 128

@@ -5,7 +5,30 @@ import pytest
 
 from vmas_tpu import make_env
 
-SCENARIOS = ["dispersion", "transport"]
+# the reference's wrapper matrix scenarios (tests/test_wrappers/test_gym_wrapper.py:14-24)
+SCENARIOS = [
+    "balance", "discovery", "give_way", "joint_passage", "navigation",
+    "passage", "transport", "waterfall", "simple_world_comm",
+]
+# full cross-products on every scenario are too slow on the 1-vCPU CI host;
+# the per-scenario loop covers continuous/discrete, these two cover spaces
+DICT_SCENARIOS = ["transport", "simple_world_comm"]
+
+
+@pytest.mark.parametrize("scenario", DICT_SCENARIOS)
+def test_gym_wrapper_dict_spaces(scenario):
+    env = make_env(
+        scenario, num_envs=1, seed=0, wrapper="gym", dict_spaces=True
+    )
+    obs = env.reset(seed=0)
+    assert isinstance(obs, dict)
+    assert set(obs) == {a.name for a in env.env.agents}
+    acts = {
+        a.name: np.asarray(u)[0]
+        for a, u in zip(env.env.agents, env.env.get_random_actions())
+    }
+    obs, rews, done, info = env.step(acts)
+    assert isinstance(obs, dict) and isinstance(rews, dict)
 
 
 @pytest.mark.parametrize("scenario", SCENARIOS)

@@ -84,7 +84,10 @@ class BaseGymWrapper(ABC):
         return EnvData(obs=obs, rews=rews, terminated=terminated, truncated=truncated,
                        done=done, info=info)
 
-    def _action_list_to_array(self, list_in: List) -> List:
+    def _action_list_to_array(self, list_in) -> List:
+        if isinstance(list_in, dict):
+            # dict keyed by agent name (same contract as Environment.step)
+            list_in = [list_in[a.name] for a in self._env.agents]
         assert len(list_in) == self._env.n_agents, (
             f"Expecting actions for {self._env.n_agents} agents, got {len(list_in)} actions"
         )

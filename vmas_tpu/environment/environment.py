@@ -146,6 +146,7 @@ class Environment:
 
         self._reset_full = jax.jit(lambda s, st, k: reset_fn(s, st, k, None))
         self._reset_masked = jax.jit(reset_fn)
+        self._step_fn_raw = step_fn  # unjitted, for debug/checkify wrappers
         self._step_jit = jax.jit(step_fn, donate_argnums=(0,))
 
     # ------------------------------------------------------------------

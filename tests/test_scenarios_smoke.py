@@ -30,14 +30,20 @@ IMPLEMENTED = implemented_scenarios()
 @pytest.mark.parametrize("continuous", [True, False])
 def test_scenario_smoke(scenario, continuous):
     env = make_env(scenario, num_envs=3, seed=0, continuous_actions=continuous)
-    # scratch keys created later than reset break lax.scan carries
-    # (CLAUDE.md invariant); catch it at the smoke level
-    keys_at_reset = sorted(env.state.scenario)
+    # scratch whose keys/shapes/dtypes change after reset breaks lax.scan
+    # carries (CLAUDE.md invariant); catch it at the smoke level
+    import jax
+
+    def scratch_sig(state):
+        return jax.tree.map(lambda v: (v.shape, str(v.dtype)), state.scenario)
+
+    sig_at_reset = scratch_sig(env.state)
     for _ in range(5):
         obs, rews, dones, infos = env.step(env.get_random_actions())
-    assert sorted(env.state.scenario) == keys_at_reset, (
-        f"{scenario}: scenario scratch keys changed after reset "
-        f"({sorted(set(env.state.scenario) ^ set(keys_at_reset))})"
+    sig_now = scratch_sig(env.state)
+    assert sig_now == sig_at_reset, (
+        f"{scenario}: scenario scratch structure changed after reset: "
+        f"{ {k: (sig_at_reset.get(k), sig_now.get(k)) for k in set(sig_now) | set(sig_at_reset) if sig_at_reset.get(k) != sig_now.get(k)} }"
     )
     assert len(obs) == env.n_agents
     for o, r in zip(obs, rews):

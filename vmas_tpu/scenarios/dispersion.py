@@ -56,6 +56,7 @@ class Scenario(BaseScenario):
         scratch = dict(state.scenario)
         scratch["eaten"] = jnp.zeros((B, F), bool)
         scratch["just_eaten"] = jnp.zeros((B, F), bool)
+        scratch["how_many_on_food"] = jnp.zeros((B, F), jnp.int32)
         return state.replace(scenario=scratch)
 
     # ------------------------------------------------------------------

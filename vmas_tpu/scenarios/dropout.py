@@ -59,6 +59,7 @@ class Scenario(BaseScenario):
         scratch = dict(state.scenario)
         scratch["eaten"] = jnp.zeros((B,), bool)
         scratch["done"] = jnp.zeros((B,), bool)
+        scratch["any_eaten"] = jnp.zeros((B,), bool)
         scratch["pos_rew"] = jnp.zeros((B,), jnp.float32)
         scratch["energy_rew"] = jnp.zeros((B,), jnp.float32)
         return state.replace(scenario=scratch)

@@ -33,7 +33,10 @@ class Scenario(BaseScenario):
     def reset_world_at(self, state, key):
         k1, k2 = jax.random.split(key)
         state = uniform_positions(k1, state.batch_dim, self.world.agents, state)
-        return uniform_positions(k2, state.batch_dim, self.world.landmarks, state)
+        state = uniform_positions(k2, state.batch_dim, self.world.landmarks, state)
+        scratch = dict(state.scenario)
+        scratch["rew"] = jnp.zeros((state.batch_dim,), jnp.float32)
+        return state.replace(scenario=scratch)
 
     def pre_rewards(self, state):
         agents = self.world.agents

@@ -122,6 +122,8 @@ class Scenario(BaseScenario):
 
         scratch = dict(state.scenario)
         scratch["global_shaping"] = jnp.stack(shaping, axis=-1)  # [B, A]
+        scratch["shaping_rew"] = jnp.zeros((B, self.n_agents), jnp.float32)
+        scratch["collision_pen"] = jnp.zeros((B, self.n_agents), jnp.float32)
         return state.replace(scenario=scratch)
 
     def pre_rewards(self, state):

@@ -103,3 +103,4 @@ def test_fused_joints_match_xla():
                 np.asarray(getattr(fus, name)), np.asarray(getattr(ref, name)),
                 atol=2e-5, rtol=1e-5, err_msg=f"joints: {name} diverged at step {t}",
             )
+

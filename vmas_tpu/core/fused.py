@@ -16,10 +16,12 @@ Semantics mirror physics.py exactly (same guard chains, same first-min
 tie-breaks); tests/test_fused.py asserts near-bitwise agreement against the
 XLA path on every shape-pair type.
 
-Not supported (dispatch falls back to the XLA path): reverse-mode AD
-(pallas kernels define no VJP — use the XLA path for differentiable
-rollouts) and contact-saturated worlds whose unrolled program would explode
-compile time. Joints and per-env dynamic gravity are fully supported.
+Forward-only: pallas kernels define no VJP, so a fused world cannot be
+differentiated through — construct with fused_physics=False (the default)
+for differentiable rollouts; Environment refuses grad_enabled+fused.
+Contact-saturated worlds whose unrolled program would explode compile time
+fall back to the XLA path via supports(). Joints and per-env dynamic
+gravity are fully supported.
 """
 
 from __future__ import annotations
@@ -173,8 +175,10 @@ def _inner_point_box(ox, oy, sx, sy, bx, by):
     mag = (vx * ux + vy * uy) / den
     xx, xy_ = vx / den * mag, vy / den * mag
     degenerate = vn == 0.0
-    ix = jnp.where(degenerate, sx, sx + xx)
-    iy = jnp.where(degenerate, sy, sy + xy_)
+    # geometry.inner_point_box substitutes the SURFACE POINT for the offset
+    # in the degenerate lane (inner = 2*surface); mirror it exactly
+    ix = sx + jnp.where(degenerate, sx, xx)
+    iy = sy + jnp.where(degenerate, sy, xy_)
     d = jnp.where(degenerate, 0.0, jnp.abs(mag))
     return ix, iy, d
 
@@ -204,13 +208,6 @@ def supports(world) -> bool:
     # very large unrolled programs (road_traffic-class worlds: hundreds of
     # box-box pairs x substeps) explode Mosaic compile time; use the XLA path
     return cost <= _MAX_UNROLL
-
-
-def _onehot(idx, E):
-    """[P, E] one-hot selection matrix (gather = S @ rows on the MXU)."""
-    m = np.zeros((len(idx), E), np.float32)
-    m[np.arange(len(idx)), np.asarray(idx)] = 1.0
-    return m
 
 
 def _make_kernel(world):
@@ -521,12 +518,18 @@ def _make_kernel(world):
     return kernel
 
 
-def _blk_for(bp: int) -> int:
-    """Largest 128-multiple block <= 2048 that divides the padded batch."""
-    for blk in (2048, 1024, 512, 256, 128):
-        if bp % blk == 0:
-            return blk
-    return 128
+def _blk_for(bp: int, n_rows: int) -> int:
+    """Largest 128-multiple block that divides the padded batch while the
+    kernel's in+out VMEM blocks stay within budget (~8 MB of the v5e's
+    ~16 MB VMEM, leaving room for live intermediates)."""
+    budget = 8 * 2**20
+    best = 128
+    blk = 128
+    while blk <= bp:
+        if bp % blk == 0 and 2 * n_rows * blk * 4 <= budget:
+            best = blk
+        blk += 128
+    return best
 
 
 def fused_physics_step(world, state):
@@ -554,7 +557,7 @@ def fused_physics_step(world, state):
     bp = -(-B // 128) * 128
     if bp != B:
         x = jnp.pad(x, ((0, 0), (0, bp - B)))
-    blk = _blk_for(bp)
+    blk = _blk_for(bp, R + 9 * E)
 
     kernel = _make_kernel(world)
     # when the input has no extra (joint / dyn-gravity) rows it can donate its

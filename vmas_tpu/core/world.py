@@ -537,9 +537,9 @@ class World:
         ``state.force``/``state.torque`` by the dynamics layer.
 
         Set ``world.fused = True`` to run the whole step as one pallas
-        kernel on supported worlds (anything but per-env dynamic gravity;
-        forward only — keep the default XLA path for differentiable
-        rollouts).
+        kernel (joints and per-env dynamic gravity included; only
+        contact-saturated worlds fall back — see fused.supports). Forward
+        only: keep the default XLA path for differentiable rollouts.
         """
         if getattr(self, "fused", False):
             from vmas_tpu.core import fused as _fused

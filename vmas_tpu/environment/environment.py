@@ -60,9 +60,13 @@ class Environment:
         self.device = device
         self.world = scenario.env_make_world(num_envs, device, **kwargs)
         if fused_physics:
-            # single-pallas-kernel physics (core/fused.py); forward-only fast
-            # path — silently ignored on worlds it cannot express (joints,
-            # dynamic gravity)
+            # single-pallas-kernel physics (core/fused.py); forward-only —
+            # pallas defines no VJP, so it cannot combine with grad_enabled.
+            # Contact-saturated worlds silently use the XLA path (supports()).
+            assert not grad_enabled, (
+                "fused_physics is forward-only (no pallas VJP); use the "
+                "default XLA physics for differentiable rollouts"
+            )
             self.world.fused = True
         self.agents = self.world.policy_agents
         self.n_agents = len(self.agents)

@@ -119,3 +119,18 @@ def test_render_agent_focus():
     env = make_env("dispersion", num_envs=2, seed=0)
     frame = env.render(mode="rgb_array", env_index=1, agent_index_focus=0)
     assert frame.ndim == 3
+
+
+def test_render_box_visible():
+    """Boxes must render in world coordinates (a bare Affine2D would draw
+    them sub-pixel in display space — regression for the transform compose)."""
+    import jax.numpy as jnp
+
+    env = make_env("transport", num_envs=1, seed=0, n_agents=2)
+    pkg = env.scenario.packages[0]
+    state = pkg.set_pos(env.state, jnp.asarray([0.5, 0.5]))
+    env.state = pkg.set_rot(state, jnp.asarray(0.3))
+    frame = env.render(mode="rgb_array", env_index=0)
+    h, w, _ = frame.shape
+    region = frame[int(h * 0.15):int(h * 0.45), int(w * 0.55):int(w * 0.9)]
+    assert (region < 240).any(-1).mean() > 0.01, "box not visible in its region"

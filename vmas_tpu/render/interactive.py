@@ -42,14 +42,16 @@ class InteractiveEnv:
     def _u_from_keys(self, up, down, left, right, rot_p, rot_m, agent):
         u = np.zeros(agent.action_size, np.float32)
         r = agent.u_range_array
-        if right in self.keys:
-            u[0] = r[0]
-        if left in self.keys:
-            u[0] = -r[0]
-        if up in self.keys:
-            u[1] = r[min(1, len(r) - 1)]
-        if down in self.keys:
-            u[1] = -r[min(1, len(r) - 1)]
+        if agent.action_size > 0:
+            if right in self.keys:
+                u[0] = r[0]
+            if left in self.keys:
+                u[0] = -r[0]
+        if agent.action_size > 1:
+            if up in self.keys:
+                u[1] = r[min(1, len(r) - 1)]
+            if down in self.keys:
+                u[1] = -r[min(1, len(r) - 1)]
         if agent.action_size > 2:
             if rot_p in self.keys:
                 u[2] = r[2]
@@ -75,14 +77,22 @@ class InteractiveEnv:
 
     def on_key_press(self, event):
         key = event.key
+        if key is None:
+            return
         if key == "r":
             self.reset()
         elif key == "tab":
+            # skip over the second controlled agent (reference
+            # interactive_rendering.py _key_press collision loop)
             self.agent_index = (self.agent_index + 1) % self.n_agents
+            if self.control_two_agents and self.agent_index == self.agent2_index:
+                self.agent_index = (self.agent_index + 1) % self.n_agents
         elif key == "shift":
             if self.agent2_index is not None:
                 self.agent2_index = (self.agent2_index + 1) % self.n_agents
-        elif key in "01234":
+                if self.control_two_agents and self.agent2_index == self.agent_index:
+                    self.agent2_index = (self.agent2_index + 1) % self.n_agents
+        elif len(key) == 1 and key in "01234":
             self.comm_value = int(key)
         else:
             self.keys.add(key)
@@ -94,14 +104,28 @@ class InteractiveEnv:
         import matplotlib.pyplot as plt
 
         plt.ion()
+        connected_fig = None
         for _ in range(max_steps):
             obs, rews, dones, infos = self.step()
-            frame = self.env.render(mode="rgb_array")
+            # draws into the env's persistent live window AND returns the
+            # frame (viewer.render_env visualize_when_rgb)
+            frame = self.env.render(mode="rgb_array", visualize_when_rgb=True)
             if self.save_render:
                 self.frames.append(frame)
-            fig = plt.gcf()
-            fig.canvas.mpl_connect("key_press_event", self.on_key_press)
-            fig.canvas.mpl_connect("key_release_event", self.on_key_release)
+            fig = getattr(self.env, "_render_fig", None) or plt.gcf()
+            if fig is not connected_fig:
+                # connect handlers once per figure, not once per frame
+                fig.canvas.mpl_connect("key_press_event", self.on_key_press)
+                fig.canvas.mpl_connect("key_release_event", self.on_key_release)
+                connected_fig = fig
+            if self.display_info:
+                r = float(np.asarray(rews[self.agent_index])[0])
+                d = bool(np.asarray(dones)[0])
+                fig.suptitle(
+                    f"agent {self.agent_index}  rew {r:+.3f}  done {d}  "
+                    f"comm {self.comm_value}",
+                    fontsize=9,
+                )
             plt.pause(0.05)
         if self.save_render and self.frames:
             from vmas_tpu.render.video import save_video

@@ -1,6 +1,8 @@
 """Video saving (reference utils.py:106-124 save_video, cv2-based).
 
-Uses imageio/cv2 when available, else writes an .npz of frames.
+Uses cv2/imageio when available and working, else writes an .npz of frames —
+frames are never lost to a broken encoder (e.g. imageio without
+imageio-ffmpeg raises at write time, not import time).
 """
 
 from __future__ import annotations
@@ -17,17 +19,19 @@ def save_video(name: str, frame_list, fps: int):
             name + ".mp4", cv2.VideoWriter_fourcc(*"mp4v"), int(fps),
             (frames[0].shape[1], frames[0].shape[0]),
         )
+        if not video.isOpened():
+            raise RuntimeError("cv2.VideoWriter failed to open")
         for img in frames:
             video.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
         video.release()
         return name + ".mp4"
-    except ImportError:
+    except Exception:
         pass
     try:
         import imageio
 
         imageio.mimsave(name + ".mp4", frames, fps=int(fps))
         return name + ".mp4"
-    except ImportError:
+    except Exception:
         np.savez_compressed(name + "_frames.npz", frames=np.stack(frames))
         return name + "_frames.npz"

@@ -16,7 +16,7 @@ from vmas_tpu.core.shapes import Box, Line, Sphere
 from vmas_tpu.core.utils import VIEWER_DEFAULT_ZOOM
 
 
-def _entity_patches(env, state, env_index):
+def _entity_patches(env, state, env_index, ax):
     """Matplotlib patches for every entity at env_index."""
     import matplotlib.patches as mpatches
     import matplotlib.transforms as mtransforms
@@ -41,7 +41,10 @@ def _entity_patches(env, state, env_index):
                 (-e.shape.length / 2, -e.shape.width / 2), e.shape.length, e.shape.width,
                 color=color, alpha=alpha,
             )
-            t = mtransforms.Affine2D().rotate(r).translate(*p)
+            # compose with transData: a bare Affine2D would leave the patch
+            # in display (pixel) coordinates and Axes.add_patch would skip
+            # assigning the data transform
+            t = mtransforms.Affine2D().rotate(r).translate(*p) + ax.transData
             rect.set_transform(t)
             patches.append(rect)
         elif isinstance(e.shape, Line):
@@ -142,10 +145,6 @@ def render_env(
 ):
     """Render one env of a live Environment. Returns an RGB array for
     mode='rgb_array' (reference environment.py:756-847)."""
-    import matplotlib
-
-    if mode == "rgb_array":
-        matplotlib.use("Agg", force=False)
     import matplotlib.pyplot as plt
 
     state = env.state
@@ -153,7 +152,18 @@ def render_env(
     viewer_size = getattr(scenario, "viewer_size", (700, 700))
     zoom = getattr(scenario, "viewer_zoom", VIEWER_DEFAULT_ZOOM)
 
-    fig, ax = plt.subplots(figsize=(viewer_size[0] / 100, viewer_size[1] / 100), dpi=100)
+    # one cached figure per Environment: reuse and clear instead of leaking a
+    # window per frame (the reference keeps a single Viewer);
+    # never switch backends — a GUI backend's canvas also supports
+    # buffer_rgba, and switching to Agg mid-session kills open windows
+    fig = getattr(env, "_render_fig", None)
+    if fig is None or not plt.fignum_exists(fig.number):
+        fig, _ = plt.subplots(
+            figsize=(viewer_size[0] / 100, viewer_size[1] / 100), dpi=100
+        )
+        env._render_fig = fig
+    fig.clf()
+    ax = fig.add_subplot(111)
     if plot_position_function is not None:
         render_function_util(
             plot_position_function, plot_position_function_range, ax,
@@ -169,7 +179,7 @@ def render_env(
             extra(env, ax, env_index)
         except TypeError:
             pass
-    for patch in _entity_patches(env, state, env_index):
+    for patch in _entity_patches(env, state, env_index, ax):
         ax.add_patch(patch)
     _draw_sensors(ax, env, state, env_index)
     _draw_actions(ax, env, state, env_index)
@@ -183,11 +193,17 @@ def render_env(
     else:
         agent_pos = pos[[a.index for a in env.world.agents]] if env.world.agents else pos
         cx, cy = getattr(scenario, "render_origin", (0.0, 0.0))
-        extent = max(
-            float(np.abs(agent_pos[:, 0] - cx).max(initial=1.0)),
-            float(np.abs(agent_pos[:, 1] - cy).max(initial=1.0)),
-            1.0,
-        ) * zoom
+        # reference camera: fit all agents plus a 2*max_agent_radius margin,
+        # never tighter than zoom * cam_range (environment.py:855-903)
+        max_radius = max(
+            (a.shape.radius for a in env.world.agents
+             if isinstance(a.shape, Sphere)), default=0.05,
+        )
+        fit = max(
+            float(np.abs(agent_pos[:, 0] - cx).max(initial=0.0)),
+            float(np.abs(agent_pos[:, 1] - cy).max(initial=0.0)),
+        )
+        extent = max(fit + 2 * max_radius, zoom * 1.0)
         ax.set_xlim(cx - extent, cx + extent)
         ax.set_ylim(cy - extent, cy + extent)
 
@@ -207,10 +223,13 @@ def render_env(
     ax.set_yticks([])
 
     if mode == "rgb_array":
+        if visualize_when_rgb:
+            # reference semantics: show the live window while also returning
+            # the frame (what interactive play relies on)
+            plt.show(block=False)
+            plt.pause(0.001)
         fig.canvas.draw()
-        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
-        plt.close(fig)
-        return buf
+        return np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
     else:
         plt.show(block=False)
         plt.pause(0.001)

@@ -51,7 +51,7 @@ def hermite_coeffs(u: float, deriv: int) -> np.ndarray:
     return U @ A
 
 
-def _norm_dir(v, eps_zero=True):
+def _norm_dir(v):
     """Unit vector; zeros where the norm is zero."""
     n = safe_norm(v)[..., None]
     return jnp.where(n == 0, 0.0, v / jnp.where(n == 0, 1.0, n))
@@ -125,8 +125,11 @@ class AgentPolicy:
 
     # -- helpers ----------------------------------------------------------
     def _ai_key(self, state, salt):
+        """Per-(team, salt) PRNG stream; teams are offset so blue and red
+        controllers (and per-agent salts) never draw correlated noise."""
         base = state.scenario.get("__obs_key", jax.random.PRNGKey(0))
-        return jax.random.fold_in(base, salt)
+        team_offset = 1_000_000 if self.team_name == "Red" else 0
+        return jax.random.fold_in(base, team_offset + salt)
 
     def get_start_vel(self, pos, vel, start_pos, aggression):
         """football.py:1966-1988; ``aggression`` may be scalar or [B]."""
@@ -238,16 +241,16 @@ class AgentPolicy:
         side_dot_prod = jnp.sum(ball_vec * net_vec, axis=-1)
         side_value = jnp.minimum(side_dot_prod + 1.25, 1.0)
 
-        own_net_vec = (own_net_pos - pos) / jnp.where(
-            safe_norm(target_net_pos - pos)[..., None] == 0, 1.0,
-            safe_norm(target_net_pos - pos)[..., None],
-        )
+        # reference divides own_net_vec by net_vec.norm() AFTER net_vec was
+        # normalized (football.py:2199-2207) — i.e. by 1.0; own_net_vec keeps
+        # its full magnitude (distance to own net)
+        net_vec_norm = safe_norm(net_vec)[..., None]
+        own_net_vec = (own_net_pos - pos) / jnp.where(net_vec_norm == 0, 1.0, net_vec_norm)
         defend_dot_prod = jnp.sum(ball_vec * -own_net_vec, axis=-1)
         defend_value = jnp.maximum(defend_dot_prod, 0.0)
 
         team = self.teammates
         if len(team) > 1:
-            i = self.slot_in_team(agent)
             others = [a for a in team if a is not agent]
             team_pos = jnp.stack([a.pos(state) for a in others], axis=1)  # [B, T-1, 2]
             team_dists = safe_norm(team_pos[:, None] - pos[:, :, None])  # [B, S, T-1]
@@ -277,6 +280,10 @@ class AgentPolicy:
         B = state.batch_dim
         ball_pos = self.scenario.ball.pos(state)
         curr_target = ai["target_pos_rel"][:, i] + ball_pos
+        # NOTE: the reference gathers candidate positions with an
+        # unsqueeze(0) index (football.py:2170-2177) so every env receives
+        # env 0's best candidate — an indexing bug we intentionally fix by
+        # selecting each env's own argmax below
         k = self._ai_key(state, 500 + i)
         samples = jax.random.normal(k, (B, self.nsamples, 2)) * self.sigma * (
             1 + 3 * (1 - self.decision_strength)
@@ -421,9 +428,9 @@ class Scenario(BaseScenario):
         return world
 
     # -- construction -----------------------------------------------------
-    def _agent_def(self, name, controller, u_mult_scale=0.0, shoot_scale=0.0,
-                   speed_delta=0.0, radius_delta=0.0, rot_mult_delta=0.0):
-        shooting = self.enable_shooting and controller is None
+    def _agent_def(self, name, controller, shooting, u_mult_scale=0.0,
+                   shoot_scale=0.0, speed_delta=0.0, radius_delta=0.0,
+                   rot_mult_delta=0.0):
         u_mult = self.u_multiplier + u_mult_scale
         return Agent(
             name=name,
@@ -480,16 +487,25 @@ class Scenario(BaseScenario):
                 dict(u_mult_scale=-0.05, speed_delta=-0.1, radius_delta=0.01, rot_mult_delta=0.2),
             ]
             for i, d in enumerate(defs):
-                agent = self._agent_def(f"agent_blue_{i}", self.blue_controller, **d)
+                agent = self._agent_def(
+                    f"agent_blue_{i}", self.blue_controller,
+                    shooting=self.enable_shooting, **d
+                )
                 world.add_agent(agent)
                 self.blue_agents.append(agent)
         else:
             for i in range(self.n_blue_agents):
-                agent = self._agent_def(f"agent_blue_{i}", self.blue_controller)
+                agent = self._agent_def(
+                    f"agent_blue_{i}", self.blue_controller,
+                    shooting=self.enable_shooting,
+                )
                 world.add_agent(agent)
                 self.blue_agents.append(agent)
         for i in range(self.n_red_agents):
-            agent = self._agent_def(f"agent_red_{i}", self.red_controller)
+            agent = self._agent_def(
+                f"agent_red_{i}", self.red_controller,
+                shooting=self.enable_shooting and not self.ai_red_agents,
+            )
             world.add_agent(agent)
             self.red_agents.append(agent)
 
@@ -533,8 +549,8 @@ class Scenario(BaseScenario):
 
     # -- reset -------------------------------------------------------------
     def _spawn_formation(self, state, agents, blue, key):
-        """football.py:416-462 (per-env formation index permutation omitted
-        when randomise_formation_indices is False, the default)."""
+        """football.py:416-462; with randomise_formation_indices, slots are
+        permuted per env like the reference's torch.randperm (417-419)."""
         positions = []
         endpoint = -(self.pitch_length / 2 + self.goal_depth) * (1 if blue else -1)
         n_cols = len(agents) // self.formation_agents_per_column + 3
@@ -550,11 +566,19 @@ class Scenario(BaseScenario):
                     continue
                 positions.append((x, y))
                 agent_index += 1
+        pos_arr = jnp.asarray(positions, jnp.float32)  # [n, 2]
+        if self.randomise_formation_indices:
+            perm = jax.random.permutation(
+                jax.random.fold_in(key, 999),
+                jnp.broadcast_to(jnp.arange(len(agents)), (state.batch_dim, len(agents))),
+                axis=1, independent=True,
+            )  # [B, n]: formation slot per agent per env
         for i, agent in enumerate(agents):
             noise = (
                 jax.random.uniform(jax.random.fold_in(key, i), (state.batch_dim, 2)) - 0.5
             ) * self.formation_noise
-            state = agent.set_pos(state, jnp.asarray(positions[i], jnp.float32) + noise)
+            base = pos_arr[perm[:, i]] if self.randomise_formation_indices else pos_arr[i]
+            state = agent.set_pos(state, base + noise)
         return state
 
     def reset_world_at(self, state, key):

@@ -86,7 +86,11 @@ def short_term_path(polyline, idx_closest, n_return, is_loop, n_points, sample_i
     )
     n = n_points[..., None]
     fut = jnp.where(is_loop[..., None] & (fut >= n - 1), (fut + 1) % n, fut)
-    fut = jnp.clip(fut, 0, polyline.shape[-2] - 1)
+    # torch advanced indexing wraps negative indices to the end of the
+    # (padded) polyline; clip only the upper bound as an OOB guard
+    M = polyline.shape[-2]
+    fut = jnp.where(fut < 0, M + fut, fut)
+    fut = jnp.clip(fut, 0, M - 1)
     return jnp.take_along_axis(polyline, fut[..., None].repeat(2, -1), axis=-2), fut
 
 
@@ -211,6 +215,21 @@ class Scenario(BaseScenario):
             "is_observe_distance_to_center_line", True
         )
         self.scenario_probabilities = kwargs.pop("scenario_probabilities", [1.0, 0.0, 0.0])
+        if self.map_type == "3":
+            # reference road_traffic.py:228-242: partial maps can't host more
+            if self.scenario_probabilities[1] != 0 or self.scenario_probabilities[2] != 0:
+                if self.n_agents > 5:
+                    raise ValueError(
+                        "For map_type '3', if the second or third value of "
+                        "scenario_probabilities is not zero, a maximum of 5 "
+                        "agents are allowed."
+                    )
+            elif self.n_agents > 10:
+                raise ValueError(
+                    "For map_type '3', if only the first value of "
+                    "scenario_probabilities is not zero, a maximum of 10 "
+                    "agents are allowed."
+                )
         self.is_add_noise = kwargs.pop("is_add_noise", True)
         self.is_observe_ref_path_other_agents = kwargs.pop(
             "is_observe_ref_path_other_agents", False
@@ -218,6 +237,8 @@ class Scenario(BaseScenario):
         kwargs.pop("is_visualize_extra_info", None)
         kwargs.pop("render_title", None)
         self.n_steps_stored = kwargs.pop("n_steps_stored", 10)
+        self.isb_capacity = kwargs.pop("buffer_size", 100)
+        self.probability_record = kwargs.pop("probability_record", 1.0)
         kwargs.pop("n_steps_before_recording", None)
         self.n_points_nearing_boundary = kwargs.pop("n_points_nearing_boundary", 5)
         self.probability_use_recording = kwargs.pop("probability_use_recording", 0.2)
@@ -277,20 +298,25 @@ class Scenario(BaseScenario):
         """arr [P, ...] gathered by path_id [B, A] -> [B, A, ...]."""
         return arr[path_id]
 
-    def _sample_path_and_point(self, key, B):
-        """Draw (scenario_id, path_id, point_id) per (env, agent)."""
+    def _sample_path_and_point(self, key, B, scenario_id=None):
+        """Draw (scenario_id, path_id, point_id) per (env, agent). Pass
+        ``scenario_id`` [B, A] to redraw path/point WITHIN the existing
+        scenario (reference keeps the env's scenario across rejection
+        redraws and single-agent resets, road_traffic.py:1052-1185)."""
         k1, k2, k3 = jax.random.split(key, 3)
         A = self.n_agents
         if self.map_type in ("1", "2"):
             scenario_id = jnp.zeros((B, A), jnp.int32)
             path_id = jax.random.randint(k2, (B, A), 0, self.paths.center.shape[0])
         else:
-            probs = jnp.asarray(self.scenario_probabilities, jnp.float32)
-            sid = jax.random.categorical(k1, jnp.log(probs + 1e-9), shape=(B,))  # 0..2
-            scenario_id = jnp.broadcast_to(sid[:, None] + 1, (B, A)).astype(jnp.int32)
+            if scenario_id is None:
+                probs = jnp.asarray(self.scenario_probabilities, jnp.float32)
+                sid = jax.random.categorical(k1, jnp.log(probs + 1e-9), shape=(B,))
+                scenario_id = jnp.broadcast_to(sid[:, None] + 1, (B, A)).astype(jnp.int32)
             offs = jnp.asarray(self.section_offsets, jnp.int32)
-            lo = offs[sid][:, None]
-            hi = offs[sid + 1][:, None]
+            sid0 = scenario_id - 1  # [B, A]
+            lo = offs[sid0]
+            hi = offs[sid0 + 1]
             u = jax.random.uniform(k2, (B, A))
             path_id = (lo + jnp.floor(u * (hi - lo)).astype(jnp.int32)).astype(jnp.int32)
 
@@ -312,10 +338,12 @@ class Scenario(BaseScenario):
         a_idx = jnp.asarray([a.index for a in self.world.agents])
         scratch = dict(state.scenario)
 
-        def place(carry, i):
-            return carry, None
-
-        sid, pid, ptid = self._sample_path_and_point(key, B)
+        existing_sid = scratch.get("scenario_id")
+        if agent_mask is not None and existing_sid is not None:
+            # single-agent resets keep the agent's scenario (reference ~1185)
+            sid, pid, ptid = self._sample_path_and_point(key, B, existing_sid)
+        else:
+            sid, pid, ptid = self._sample_path_and_point(key, B)
         # sequential feasibility per agent (agent 0 always feasible)
         pos_all = state.pos[:, a_idx]
         new_sid = scratch.get("scenario_id", jnp.zeros((B, A), jnp.int32))
@@ -326,8 +354,10 @@ class Scenario(BaseScenario):
             m = None if agent_mask is None else agent_mask[:, i]
             key_i, sub = jax.random.split(key_i)
 
-            def draw(k):
-                s, p, pt = self._sample_path_and_point(k, B)
+            def draw(k, s_fixed):
+                # redraw path/point within the already-chosen scenario
+                sid_full = jnp.broadcast_to(s_fixed[:, None], (B, A))
+                s, p, pt = self._sample_path_and_point(k, B, sid_full)
                 return s[:, i], p[:, i], pt[:, i]
 
             s_i, p_i, pt_i = sid[:, i], pid[:, i], ptid[:, i]
@@ -353,7 +383,7 @@ class Scenario(BaseScenario):
                 def body(c):
                     k, s, p, pt, pos_c, tries = c
                     k, sub2 = jax.random.split(k)
-                    s2, p2, pt2 = draw(sub2)
+                    s2, p2, pt2 = draw(sub2, s)
                     bad = ~others_ok(pos_c)
                     s = jnp.where(bad, s2, s)
                     p = jnp.where(bad, p2, p)
@@ -390,7 +420,30 @@ class Scenario(BaseScenario):
         scratch["scenario_id"] = new_sid
         scratch["path_id"] = new_pid
         scratch["point_id"] = new_ptid
-        return state.replace(scenario=scratch)
+        state = state.replace(scenario=scratch)
+
+        if self.map_type == "2" and agent_mask is None and "isb_size" in scratch:
+            # challenging initial-state replay (reference reset_world_at,
+            # road_traffic.py:942-963): with probability_use_recording, load
+            # a recorded near-collision configuration instead
+            size = jnp.minimum(scratch["isb_size"], self.isb_capacity)
+            key_i, kp, ks = jax.random.split(key_i, 3)
+            use = (jax.random.uniform(kp, (B,)) < self.probability_use_recording) & (
+                size > 0
+            )
+            pick = jax.random.randint(ks, (B,), 0, jnp.maximum(size, 1))
+            rec = scratch["isb_buffer"][pick]  # [B, A, 8]
+            for i, agent in enumerate(self.world.agents):
+                state = agent.set_pos(state, rec[:, i, 0:2], env_mask=use)
+                state = agent.set_rot(state, rec[:, i, 2], env_mask=use)
+                state = agent.set_vel(state, rec[:, i, 3:5], env_mask=use)
+            scratch = dict(state.scenario)
+            for k, col in (("scenario_id", 5), ("path_id", 6), ("point_id", 7)):
+                scratch[k] = jnp.where(
+                    use[:, None], rec[..., col].astype(jnp.int32), scratch[k]
+                )
+            state = state.replace(scenario=scratch)
+        return state
 
     # ------------------------------------------------------------------
     def _agent_arrays(self, state):
@@ -459,7 +512,7 @@ class Scenario(BaseScenario):
         )
         return scratch
 
-    def _refresh_short_term(self, scratch):
+    def _refresh_short_term(self, scratch, at_reset=False):
         pid = scratch["path_id"]
         center = self.P.center[pid]
         n_pts = self.P.n_points[pid]
@@ -470,15 +523,19 @@ class Scenario(BaseScenario):
         )
         scratch["short_term"] = st
         if not self.is_observe_distance_to_boundaries:
+            # reference passes the CENTER line's n_points_long_term for the
+            # boundary wrap too (road_traffic.py:1755-1784) and uses shift +1
+            # at reset (1378-1417) vs -2 per step
+            shift = 1 if at_reset else -2
             lb = self.P.left_b[pid]
             rb = self.P.right_b[pid]
             scratch["near_left_b"], _ = short_term_path(
                 lb, scratch["idx_left"], self.n_points_nearing_boundary,
-                is_loop, self.P.n_left[pid], 1, -2,
+                is_loop, n_pts, 1, shift,
             )
             scratch["near_right_b"], _ = short_term_path(
                 rb, scratch["idx_right"], self.n_points_nearing_boundary,
-                is_loop, self.P.n_right[pid], 1, -2,
+                is_loop, n_pts, 1, shift,
             )
         return scratch
 
@@ -504,18 +561,28 @@ class Scenario(BaseScenario):
                 (B, self.n_agents, self.n_points_nearing_boundary, 2), jnp.float32
             )
             scratch["near_right_b"] = jnp.zeros_like(scratch["near_left_b"])
-        scratch = self._refresh_short_term(scratch)
+        scratch = self._refresh_short_term(scratch, at_reset=True)
 
         pos, rot, vel = self._agent_arrays(state)
         scratch["prev_pos"] = pos
-        scratch["steering_cur"] = jnp.zeros((B, self.n_agents), jnp.float32)
-        scratch["steering_prev"] = jnp.zeros((B, self.n_agents), jnp.float32)
-        scratch["action_vel"] = jnp.zeros((B, self.n_agents), jnp.float32)
-        scratch["rew_all"] = jnp.zeros((B, self.n_agents), jnp.float32)
+        # reference never clears its past-action CircularBuffers on reset
+        # (road_traffic.py:1018-1033 rebuilds only the state buffer), so the
+        # first post-reset steering penalty compares pre-reset actions
+        zeros_a = jnp.zeros((B, self.n_agents), jnp.float32)
+        scratch["steering_cur"] = scratch.get("steering_cur", zeros_a)
+        scratch["steering_prev"] = scratch.get("steering_prev", zeros_a)
+        scratch["rew_all"] = zeros_a
         scratch["rng"] = k2
+        if self.is_testing_mode or self.map_type == "3":
+            scratch["done_flags"] = jnp.zeros((B,), bool)
         if self.map_type == "2":
-            scratch["isb_buffer"] = jnp.zeros((100, self.n_agents, 8), jnp.float32)
-            scratch["isb_size"] = jnp.zeros((), jnp.int32)
+            # +1 trash row for masked scatters; preserved across (partial)
+            # resets — batchless leaves take the fresh value in blends
+            scratch["isb_buffer"] = scratch.get(
+                "isb_buffer",
+                jnp.zeros((self.isb_capacity + 1, self.n_agents, 8), jnp.float32),
+            )
+            scratch["isb_size"] = scratch.get("isb_size", jnp.zeros((), jnp.int32))
         return state.replace(scenario=scratch)
 
     # ------------------------------------------------------------------
@@ -580,23 +647,80 @@ class Scenario(BaseScenario):
         u = jnp.stack([a.u(state) for a in self.world.agents], axis=1)  # [B, A, 2]
         scratch["steering_prev"] = scratch["steering_cur"]
         scratch["steering_cur"] = u[..., 1] / self.norm_action_steering
-        scratch["action_vel"] = u[..., 0] / self.norm_action_vel
         state = state.replace(scenario=scratch)
 
+        if self.map_type == "2":
+            state = self._isb_record(state)
+            scratch = dict(state.scenario)
+
         if self.is_testing_mode or self.map_type == "3":
+            # done() must see the REWARD-phase collision flags, not the
+            # post-reset recompute (reference computes done before resetting,
+            # road_traffic.py:2281-2345)
+            is_done = (
+                jnp.zeros((state.batch_dim,), bool)
+                if self.is_testing_mode
+                else scratch["coll_agents"].reshape(state.batch_dim, -1).any(-1)
+                | scratch["coll_lanelets"].any(-1)
+            )
+            scratch["done_flags"] = is_done
             agents_reset = scratch["coll_entry"] | scratch["coll_exit"]
             if self.is_testing_mode:
                 agents_reset = (
                     scratch["coll_agents"].any(-1) | scratch["coll_lanelets"] | agents_reset
                 )
+            else:
+                # map-3: entry/exit resets are skipped in terminated envs
+                # (reference 'if not is_done[env_idx]', road_traffic.py:2336)
+                agents_reset = agents_reset & ~is_done[:, None]
             rng, sub = jax.random.split(scratch["rng"])
+            state = state.replace(scenario=scratch)
             state = self._reset_agents_states(state, sub, agent_mask=agents_reset)
             scratch = dict(state.scenario)
             scratch["rng"] = rng
             scratch = self._update_distances(state, scratch)
             scratch = self._refresh_short_term(scratch)
+            # a reset agent's next movement reward must measure from its
+            # POST-reset position, not the teleport distance (reference
+            # rebuilds the state buffer at reset, road_traffic.py:1018-1033)
+            pos_new, _, _ = self._agent_arrays(state)
+            scratch["prev_pos"] = jnp.where(
+                agents_reset[..., None], pos_new, scratch["prev_pos"]
+            )
             state = state.replace(scenario=scratch)
         return state
+
+    def _isb_record(self, state):
+        """map-2 challenging initial-state buffer: record colliding envs'
+        current agent states into the ring (reference done(),
+        road_traffic.py:2296-2306; records the current state rather than the
+        n_steps_stored-ago lead-up — a documented simplification)."""
+        scratch = dict(state.scenario)
+        B = state.batch_dim
+        is_coll = (
+            scratch["coll_agents"].reshape(B, -1).any(-1)
+            | scratch["coll_lanelets"].any(-1)
+        )
+        rng, kr = jax.random.split(scratch["rng"])
+        scratch["rng"] = rng
+        gate = jax.random.uniform(kr, ()) < self.probability_record
+        rec = is_coll & gate  # [B]
+        pos, rot, vel = self._agent_arrays(state)
+        entries = jnp.concatenate(
+            [
+                pos, rot[..., None], vel,
+                scratch["scenario_id"][..., None].astype(jnp.float32),
+                scratch["path_id"][..., None].astype(jnp.float32),
+                scratch["point_id"][..., None].astype(jnp.float32),
+            ],
+            axis=-1,
+        )  # [B, A, 8]
+        cap = self.isb_capacity
+        slots = (scratch["isb_size"] + jnp.cumsum(rec.astype(jnp.int32)) - 1) % cap
+        slots = jnp.where(rec, slots, cap)  # non-recording envs hit the trash row
+        scratch["isb_buffer"] = scratch["isb_buffer"].at[slots].set(entries)
+        scratch["isb_size"] = scratch["isb_size"] + rec.sum().astype(jnp.int32)
+        return state.replace(scenario=scratch)
 
     # ------------------------------------------------------------------
     def observation(self, agent, state):
@@ -710,6 +834,11 @@ class Scenario(BaseScenario):
         s = state.scenario
         if self.is_testing_mode:
             return jnp.zeros((state.batch_dim,), bool)
+        if self.map_type == "3":
+            # cached reward-phase flags: the post-reset recompute in
+            # post_rewards must not flip the verdict (reference order,
+            # road_traffic.py:2281-2345)
+            return s["done_flags"]
         is_coll_agents = s["coll_agents"].reshape(state.batch_dim, -1).any(-1)
         is_coll_lanelets = s["coll_lanelets"].any(-1)
         return is_coll_agents | is_coll_lanelets

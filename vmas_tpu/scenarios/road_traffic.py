@@ -680,6 +680,17 @@ class Scenario(BaseScenario):
             scratch["rng"] = rng
             scratch = self._update_distances(state, scratch)
             scratch = self._refresh_short_term(scratch)
+            if not self.is_observe_distance_to_boundaries:
+                # just-reset agents get the reset-time +1 nearing shift
+                # (reference rebuilds them in reset_world_at, 1378-1417)
+                reset_near = self._refresh_short_term(dict(scratch), at_reset=True)
+                m = agents_reset[..., None, None]
+                scratch["near_left_b"] = jnp.where(
+                    m, reset_near["near_left_b"], scratch["near_left_b"]
+                )
+                scratch["near_right_b"] = jnp.where(
+                    m, reset_near["near_right_b"], scratch["near_right_b"]
+                )
             # a reset agent's next movement reward must measure from its
             # POST-reset position, not the teleport distance (reference
             # rebuilds the state buffer at reset, road_traffic.py:1018-1033)

@@ -172,6 +172,11 @@ class Environment:
             action = action.astype(jnp.float32)
             u = action[:, : agent.action_size]
             if has_comm:
+                # comm always starts after the PHYSICAL action. The reference
+                # slices at dim_p in the non-clamp path (environment.py:648),
+                # which its own fork comment calls broken for
+                # action_size > dim_p (environment.py:732-734); we use the
+                # fork's intended semantics unconditionally.
                 comm_action = action[:, agent.action_size :]
             if self.clamp_action:
                 u = jnp.clip(u, -u_range[None], u_range[None])
@@ -183,6 +188,12 @@ class Environment:
                 # Flat Discrete -> multidiscrete mixed-radix decode
                 # (reference environment.py:660-680).
                 flat = action[:, 0].astype(jnp.int32)
+                # reference raises on out-of-bounds discrete actions
+                # (environment.py _check_discrete_action); raising is
+                # impossible under jit, so clamp into the valid range —
+                # an OOB index would otherwise decode into forces beyond
+                # u_range
+                flat = jnp.clip(flat, 0, math.prod(nvec) - 1)
                 cols = []
                 for i in range(len(nvec)):
                     n = math.prod(nvec[i + 1 :])
@@ -227,6 +238,7 @@ class Environment:
         return sub
 
     def seed(self, seed=None):
+        seed = 0 if seed is None else seed
         self._key = jax.random.PRNGKey(seed if seed is not None else 0)
         return [seed]
 
@@ -293,7 +305,15 @@ class Environment:
             return
         if dict_agent_names is None:
             dict_agent_names = self.dict_spaces
-        state = self.scenario.pre_rewards(self.state)
+        # fresh obs-noise key per call (the reference draws fresh torch noise
+        # per observation under local_seed)
+        state = self.state.replace(
+            scenario={**self.state.scenario, "__obs_key": self._next_key()}
+        )
+        if get_rewards:
+            # reward hooks only when rewards are requested — matches the
+            # compiled reset path and the reference
+            state = self.scenario.pre_rewards(state)
         rews = tuple(self.scenario.reward(a, state) for a in self.agents) if get_rewards else None
         if get_rewards:
             state = self.scenario.post_rewards(state)

@@ -23,7 +23,7 @@ from vmas_tpu.parallel.mesh import env_mesh, shard_state
 
 
 def main(scenario="transport", num_envs=512, iters=20, horizon=5, lr=1e-3):
-    env = make_env(scenario, num_envs=num_envs, seed=0)
+    env = make_env(scenario, num_envs=num_envs, seed=0, grad_enabled=True)
     mesh = env_mesh()
     print(f"mesh: {mesh.devices.size} devices, {num_envs} envs "
           f"({num_envs // mesh.devices.size}/device)")

@@ -49,7 +49,7 @@ def test_learner_train_step():
     # navigation's shaping reward is a dense function of agent positions, so
     # gradients flow through the integrator even without any contacts
     # (transport's reward would be exactly 0-gradient until the package is hit)
-    env = make_env("navigation", num_envs=8, seed=0)
+    env = make_env("navigation", num_envs=8, seed=0, grad_enabled=True)
     distribute(env)
     obs_dim = int(env.observation_space[0].shape[0])
     params = init_mlp(jax.random.PRNGKey(0), [obs_dim, 16, env.agents[0].action_size])

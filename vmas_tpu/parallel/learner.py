@@ -42,27 +42,42 @@ def make_train_step(env, horizon: int = 5, lr: float = 1e-3):
     unrolled horizon, gradients flow through the physics. With env-sharded
     state and replicated params, the parameter gradient is a cross-chip
     all-reduce that XLA places on ICI automatically.
+
+    The rollout body is the ENVIRONMENT'S OWN step function, so action
+    semantics (u_multiplier, u_noise, comm) match env.step exactly — which
+    requires ``grad_enabled=True`` so the decode doesn't stop the policy
+    gradient. Episode boundaries are the caller's job: keep ``horizon`` below
+    the episode length and call ``env.reset_mask(done)`` between train steps
+    for episodic scenarios.
     """
-    scenario, world = env.scenario, env.world
+    assert env.grad_enabled, (
+        "make_train_step differentiates through the env's action decode; "
+        "build the env with grad_enabled=True"
+    )
+    scenario = env.scenario
     agents = env.agents
+
+    def policy_actions(params, obs):
+        actions = []
+        for i, a in enumerate(agents):
+            w = mlp(params, obs[i])  # [-1, 1]
+            u = w[:, : a.action_size] * jnp.asarray(a.u_range_array)[None]
+            if env.world.dim_c != 0 and not a.silent:
+                comm = (w[:, a.action_size :] + 1) / 2  # [0, 1]
+                u = jnp.concatenate([u, comm], axis=-1)
+            actions.append(u)
+        return tuple(actions)
 
     def loss_fn(params, state, steps, key):
         total = 0.0
+        obs = tuple(scenario.observation(a, state) for a in agents)
         for t in range(horizon):
-            obs = tuple(scenario.observation(a, state) for a in agents)
-            for i, a in enumerate(agents):
-                act = mlp(params, obs[i]) * jnp.asarray(a.u_range_array)[None]
-                state = a.set_u(state, act)
-            for a in world.agents:
-                state = scenario.env_process_action(a, state)
-            state = scenario.pre_step(state)
-            state = world.step(state)
-            state = scenario.post_step(state)
-            state = scenario.pre_rewards(state)
-            rews = jnp.stack([scenario.reward(a, state) for a in agents], axis=-1)
-            state = scenario.post_rewards(state)
-            total = total + jnp.mean(rews)
-        return -total / horizon, (state, steps + horizon)
+            actions = policy_actions(params, obs)
+            state, obs, rews, terminated, truncated, infos, steps = env._step_fn_raw(
+                state, steps, actions, jax.random.fold_in(key, t)
+            )
+            total = total + jnp.mean(jnp.stack(rews, axis=-1))
+        return -total / horizon, (state, steps)
 
     def train_step(params, state, steps, key):
         (loss, (state, steps)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

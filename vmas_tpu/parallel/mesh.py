@@ -33,11 +33,18 @@ def shard_state(tree, mesh: Mesh, batch_dim: Optional[int] = None):
     scenario scratch) are replicated instead — same rule as
     ``WorldState.blend``.
     """
+    if batch_dim is None and hasattr(tree, "batch_dim"):
+        batch_dim = int(tree.batch_dim)  # WorldState knows its env axis
     if batch_dim is None:
         sizes = {}
         for leaf in jax.tree.leaves(tree):
             if getattr(leaf, "ndim", 0) > 0:
                 sizes[leaf.shape[0]] = sizes.get(leaf.shape[0], 0) + 1
+        if not sizes:
+            raise ValueError(
+                "shard_state could not infer the env axis (no array leaves); "
+                "pass batch_dim explicitly"
+            )
         batch_dim = max(sizes, key=sizes.get)
     env_sharding = NamedSharding(mesh, P("env"))
     replicated = NamedSharding(mesh, P())

@@ -4,6 +4,12 @@ The reference steps the world from Python once per env.step; the TPU-native
 fast path compiles K steps into one XLA program with ``lax.scan`` (SURVEY.md
 section 2.13: the long-rollout analog of sequence parallelism), so HBM never
 round-trips to host between steps and XLA can overlap/fuse across steps.
+
+The scan body is the ENVIRONMENT'S OWN step function (``env._step_fn_raw``),
+not a re-implementation — the rollout performs exactly what ``env.step``
+performs (action decode incl. multipliers/noise, dynamics, physics, obs/rew/
+info/done with max_steps truncation), and trajectories include the
+observations so nothing is dead-code-eliminated out of benchmarks.
 """
 
 from __future__ import annotations
@@ -14,72 +20,99 @@ import jax
 import jax.numpy as jnp
 
 
+def _random_actions_for_horizon(env, key, horizon):
+    """Pre-sampled uniform random actions for all steps — mirrors
+    Environment.get_random_action per agent, but hoisted out of the scan body
+    (a serial per-step threefry chain costs ~10x the physics on TPU)."""
+    agents = env.agents
+    xs = []
+    for i, a in enumerate(agents):
+        k = jax.random.fold_in(key, i)
+        if env.continuous_actions:
+            ranges = jnp.asarray(a.u_range_array)
+            u = jax.random.uniform(
+                k, (horizon, env.num_envs, a.action_size), minval=-1.0, maxval=1.0
+            ) * ranges[None, None]
+            if env.world.dim_c != 0 and not a.silent:
+                comm = jax.random.uniform(
+                    jax.random.fold_in(k, 1),
+                    (horizon, env.num_envs, env.world.dim_c),
+                )
+                u = jnp.concatenate([u, comm], axis=-1)
+            xs.append(u)
+        else:
+            space = env.get_agent_action_space(a)
+            if env.multidiscrete_actions:
+                cols = [
+                    jax.random.randint(
+                        jax.random.fold_in(k, j), (horizon, env.num_envs), 0, int(n)
+                    )
+                    for j, n in enumerate(space.nvec)
+                ]
+                xs.append(jnp.stack(cols, axis=-1))
+            else:
+                xs.append(
+                    jax.random.randint(k, (horizon, env.num_envs), 0, int(space.n))
+                )
+    return tuple(xs)
+
+
 def rollout_fn(env, policy: Optional[Callable] = None, horizon: int = 100):
     """Build ``(state, steps, key) -> (state', steps', traj)`` scanning
-    ``horizon`` env steps.
+    ``horizon`` env steps through the env's own compiled step semantics.
 
     ``policy(obs_tuple, key) -> actions_tuple`` defaults to uniform random
-    actions in each agent's range. The returned function is jit-compatible and
-    shards over the env axis like everything else.
+    actions in each agent's full action space (incl. comm / discrete).
+    ``traj`` holds per-step ``rewards [T, B, A]``, ``dones [T, B]`` and
+    ``obs`` (tuple of [T, B, obs_dim] per agent). The returned function is
+    jit-compatible and shards over the env axis like everything else.
     """
-    scenario, world = env.scenario, env.world
     agents = env.agents
+    scenario = env.scenario
     random_pol = policy is None
 
     def one_step(carry, xs):
         state, steps = carry
-        pol_input, step_keys = xs
+        pol_input, step_key = xs
         if random_pol:
-            # pre-sampled uniforms [A, B, act_max] -> per-agent ranges
-            actions = tuple(
-                pol_input[i, :, : a.action_size] * jnp.asarray(a.u_range_array)[None]
-                for i, a in enumerate(agents)
-            )
+            actions = pol_input
         else:
-            obs = tuple(scenario.observation(a, state) for a in agents)
-            actions = policy(obs, pol_input)
-        for i, a in enumerate(agents):
-            state = env._decode_action(state, a, actions[i], step_keys[i])
-        for a in world.agents:
-            state = scenario.env_process_action(a, state)
-        state = scenario.pre_step(state)
-        state = world.step(state)
-        state = scenario.post_step(state)
-        state = scenario.pre_rewards(state)
-        rews = jnp.stack([scenario.reward(a, state) for a in agents], axis=-1)
-        state = scenario.post_rewards(state)
-        done = scenario.done(state)
-        steps = steps + 1
-        return (state, steps), (rews, done)
+            obs_in = tuple(scenario.observation(a, state) for a in agents)
+            actions = policy(obs_in, pol_input)
+        state, obs, rews, terminated, truncated, infos, steps = env._step_fn_raw(
+            state, steps, tuple(actions), step_key
+        )
+        done = terminated | truncated
+        return (state, steps), (jnp.stack(rews, axis=-1), done, obs)
 
     def run(state, steps, key):
-        # RNG hoisted out of the scan body: one batched draw for the whole
-        # horizon instead of a serial threefry chain per step (the chain
-        # costs ~10x the physics on TPU).
         k_pol, k_step = jax.random.split(key)
-        act_max = max((a.action_size for a in agents), default=1)
         if random_pol:
-            pol_xs = jax.random.uniform(
-                k_pol,
-                (horizon, len(agents), env.num_envs, act_max),
-                minval=-1.0,
-                maxval=1.0,
-            )
+            pol_xs = _random_actions_for_horizon(env, k_pol, horizon)
         else:
             pol_xs = jax.random.split(k_pol, horizon)
-        step_keys = jax.random.split(k_step, (horizon, max(len(agents), 1)))
-        (state, steps), (rews, dones) = jax.lax.scan(
+        step_keys = jax.random.split(k_step, horizon)
+        (state, steps), (rews, dones, obs) = jax.lax.scan(
             one_step, (state, steps), (pol_xs, step_keys), length=horizon
         )
-        return state, steps, {"rewards": rews, "dones": dones}
+        return state, steps, {"rewards": rews, "dones": dones, "obs": obs}
 
     return run
 
 
 def rollout(env, policy=None, horizon: int = 100, key=None):
-    """Convenience: run a compiled rollout on the env's current state."""
+    """Convenience: run a compiled rollout on the env's current state.
+
+    The jitted program is cached on the env per (policy, horizon) so repeated
+    calls don't re-trace."""
     if key is None:
         key = env._next_key()
-    fn = jax.jit(rollout_fn(env, policy, horizon))
+    cache = getattr(env, "_rollout_cache", None)
+    if cache is None:
+        cache = env._rollout_cache = {}
+    cache_key = (id(policy), horizon)
+    fn = cache.get(cache_key)
+    if fn is None:
+        fn = cache[cache_key] = jax.jit(rollout_fn(env, policy, horizon))
     env.state, env.steps, traj = fn(env.state, env.steps, key)
     return traj

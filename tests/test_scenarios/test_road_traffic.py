@@ -1,0 +1,85 @@
+"""road_traffic map-2 challenging initial-state buffer semantics.
+
+The reference records, for each colliding env, the state from
+``n_steps_stored`` steps BEFORE the collision (the lead-up), pulled from a
+per-step StateBuffer of capacity ``n_steps_before_recording``
+(reference done(), road_traffic.py:2296-2306; CircularBuffer.get_latest,
+road_traffic.py:3023-3037: falls back to slot 0 — the post-reset seed —
+while fewer than n steps have elapsed since the last reset).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vmas_tpu import make_env
+
+
+@pytest.fixture(scope="module")
+def env():
+    return make_env(
+        "road_traffic",
+        num_envs=2,
+        seed=0,
+        map_type="2",
+        n_agents=4,
+        probability_record=1.0,
+        is_add_noise=False,
+    )
+
+
+def _force_record(env):
+    """Set every collision flag and run the ISB recorder on the current
+    state, returning (buffer, size)."""
+    scen = env.scenario
+    s = dict(env.state.scenario)
+    s["coll_agents"] = jnp.ones_like(s["coll_agents"])
+    st = scen._isb_record(env.state.replace(scenario=s))
+    return np.asarray(st.scenario["isb_buffer"]), int(st.scenario["isb_size"])
+
+
+def test_isb_records_leadup_not_collision_state(env):
+    scen = env.scenario
+    seed_entry = np.asarray(env.state.scenario["hist"][:, 0]).copy()
+
+    entries = []
+    for _ in range(3):
+        env.step(env.get_random_actions())
+        entries.append(
+            np.asarray(scen._hist_entry(env.state, dict(env.state.scenario)))
+        )
+    assert int(env.state.scenario["hist_valid"][0]) == 4  # seed + 3 pushes
+
+    # real collisions during the steps above may already have recorded
+    # entries (probability_record=1) — index relative to the current size
+    size0 = int(env.state.scenario["isb_size"])
+    cap = scen.isb_capacity
+    buf, size = _force_record(env)
+    assert size == size0 + 2  # both envs recorded (probability_record=1)
+    # fewer than n_steps_stored steps since reset -> the recorded lead-up is
+    # the reset-time seed (CircularBuffer.get_latest n>valid_size fallback)
+    np.testing.assert_array_equal(buf[size0 % cap], seed_entry[0])
+    np.testing.assert_array_equal(buf[(size0 + 1) % cap], seed_entry[1])
+    # ... and NOT the collision-time state
+    assert not np.array_equal(buf[size0 % cap], entries[-1][0])
+
+
+def test_isb_records_n_steps_stored_ago(env):
+    scen = env.scenario
+    n = scen.n_steps_stored
+    env.reset(seed=1)
+    entries = []
+    for _ in range(n + 2):
+        env.step(env.get_random_actions())
+        entries.append(
+            np.asarray(scen._hist_entry(env.state, dict(env.state.scenario)))
+        )
+    assert int(env.state.scenario["hist_valid"][0]) == scen.n_steps_before_recording
+
+    size0 = int(env.state.scenario["isb_size"])
+    cap = scen.isb_capacity
+    buf, size = _force_record(env)
+    assert size == size0 + 2
+    # latest push is entries[-1] (n=1); get_latest(n) -> entries[-n]
+    np.testing.assert_array_equal(buf[size0 % cap], entries[-n][0])
+    np.testing.assert_array_equal(buf[(size0 + 1) % cap], entries[-n][1])

@@ -13,8 +13,10 @@ lines; from Xu et al. 2024, SigmaRL). TPU-native restructuring:
 * Per-(env,agent) resets in testing mode / map_type '3'
   (road_traffic.py:2308-2340) are masked overwrites in post_rewards.
 * The reference's CircularBuffer machinery reduces to the entries actually
-  consumed (latest states + two steps of actions); the map-2 challenging
-  initial-state buffer is a fixed-size ring in scratch.
+  consumed (two steps of actions; a per-env state-history ring of the last
+  ``n_steps_before_recording`` steps for map-2); the map-2 challenging
+  initial-state buffer is a fixed-size ring in scratch, recording the
+  ``n_steps_stored``-ago lead-up state of colliding envs.
 """
 
 from __future__ import annotations
@@ -239,7 +241,7 @@ class Scenario(BaseScenario):
         self.n_steps_stored = kwargs.pop("n_steps_stored", 10)
         self.isb_capacity = kwargs.pop("buffer_size", 100)
         self.probability_record = kwargs.pop("probability_record", 1.0)
-        kwargs.pop("n_steps_before_recording", None)
+        self.n_steps_before_recording = kwargs.pop("n_steps_before_recording", 10)
         self.n_points_nearing_boundary = kwargs.pop("n_points_nearing_boundary", 5)
         self.probability_use_recording = kwargs.pop("probability_use_recording", 0.2)
         map_file_path = kwargs.pop("map_file_path", None)
@@ -583,6 +585,15 @@ class Scenario(BaseScenario):
                 jnp.zeros((self.isb_capacity + 1, self.n_agents, 8), jnp.float32),
             )
             scratch["isb_size"] = scratch.get("isb_size", jnp.zeros((), jnp.int32))
+            # per-env state-history ring, seeded with the post-reset state
+            # (reference reset_world_at rebuilds the StateBuffer with one
+            # entry, road_traffic.py:1018-1030); leading-B leaves so partial
+            # resets blend per env
+            H = self.n_steps_before_recording
+            hist = jnp.zeros((B, H, self.n_agents, 8), jnp.float32)
+            scratch["hist"] = hist.at[:, 0].set(self._hist_entry(state, scratch))
+            scratch["hist_ptr"] = jnp.ones((B,), jnp.int32)
+            scratch["hist_valid"] = jnp.ones((B,), jnp.int32)
         return state.replace(scenario=scratch)
 
     # ------------------------------------------------------------------
@@ -650,6 +661,10 @@ class Scenario(BaseScenario):
         state = state.replace(scenario=scratch)
 
         if self.map_type == "2":
+            # reference order within a step: reward phase appends to the
+            # state buffer (road_traffic.py:1710-1725), then done() records
+            # the lead-up into the ISB (road_traffic.py:2296-2306)
+            state = self._hist_push(state)
             state = self._isb_record(state)
             scratch = dict(state.scenario)
 
@@ -698,14 +713,66 @@ class Scenario(BaseScenario):
             scratch["prev_pos"] = jnp.where(
                 agents_reset[..., None], pos_new, scratch["prev_pos"]
             )
+            if self.map_type == "2":
+                # in-step agent resets rebuild the reference's StateBuffer
+                # (reset_world_at, road_traffic.py:1018-1030)
+                scratch = self._hist_reseed(scratch, state, agents_reset.any(-1))
             state = state.replace(scenario=scratch)
         return state
 
+    def _hist_entry(self, state, scratch):
+        """One state-history record [B, A, 8]: pos, rot, vel, ids — the
+        reference's StateBuffer row layout (road_traffic.py:865-872)."""
+        pos, rot, vel = self._agent_arrays(state)
+        return jnp.concatenate(
+            [
+                pos, rot[..., None], vel,
+                scratch["scenario_id"][..., None].astype(jnp.float32),
+                scratch["path_id"][..., None].astype(jnp.float32),
+                scratch["point_id"][..., None].astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+
+    def _hist_push(self, state):
+        """Append the current post-step state to the per-env history ring
+        (reference update_state_after_rewarding, road_traffic.py:1710-1725,
+        which adds to the StateBuffer once per step after rewarding)."""
+        scratch = dict(state.scenario)
+        B = state.batch_dim
+        H = self.n_steps_before_recording
+        ptr = scratch["hist_ptr"]  # [B]
+        entry = self._hist_entry(state, scratch)
+        scratch["hist"] = scratch["hist"].at[jnp.arange(B), ptr].set(entry)
+        scratch["hist_ptr"] = (ptr + 1) % H
+        scratch["hist_valid"] = jnp.minimum(scratch["hist_valid"] + 1, H)
+        return state.replace(scenario=scratch)
+
+    def _hist_reseed(self, scratch, state, env_reset):
+        """Wipe + reseed the history ring for envs in ``env_reset`` with the
+        current (post-reset) state — the reference resets its StateBuffer and
+        adds one entry inside reset_world_at (road_traffic.py:1018-1030).
+        Deviation: the reference's single global buffer is wiped for ALL envs
+        on any (even partial) reset; we keep per-env rings so only the reset
+        envs lose their lead-up history, which preserves the recording intent
+        for the others."""
+        seed = self._hist_entry(state, scratch)  # [B, A, 8]
+        fresh = jnp.zeros_like(scratch["hist"]).at[:, 0].set(seed)
+        m = env_reset[:, None, None, None]
+        scratch["hist"] = jnp.where(m, fresh, scratch["hist"])
+        one = jnp.ones((), jnp.int32)
+        scratch["hist_ptr"] = jnp.where(env_reset, one, scratch["hist_ptr"])
+        scratch["hist_valid"] = jnp.where(env_reset, one, scratch["hist_valid"])
+        return scratch
+
     def _isb_record(self, state):
-        """map-2 challenging initial-state buffer: record colliding envs'
-        current agent states into the ring (reference done(),
-        road_traffic.py:2296-2306; records the current state rather than the
-        n_steps_stored-ago lead-up — a documented simplification)."""
+        """map-2 challenging initial-state buffer: for colliding envs, record
+        the state from ``n_steps_stored`` steps before the collision — the
+        lead-up, pulled from the per-env history ring (reference done(),
+        road_traffic.py:2296-2306: ``state_buffer.get_latest(n=n_steps_stored)``;
+        CircularBuffer.get_latest semantics at road_traffic.py:3023-3037 —
+        1-based n, falls back to slot 0 (the post-reset seed) while fewer
+        than n steps have elapsed)."""
         scratch = dict(state.scenario)
         B = state.batch_dim
         is_coll = (
@@ -716,16 +783,12 @@ class Scenario(BaseScenario):
         scratch["rng"] = rng
         gate = jax.random.uniform(kr, ()) < self.probability_record
         rec = is_coll & gate  # [B]
-        pos, rot, vel = self._agent_arrays(state)
-        entries = jnp.concatenate(
-            [
-                pos, rot[..., None], vel,
-                scratch["scenario_id"][..., None].astype(jnp.float32),
-                scratch["path_id"][..., None].astype(jnp.float32),
-                scratch["point_id"][..., None].astype(jnp.float32),
-            ],
-            axis=-1,
-        )  # [B, A, 8]
+        n = self.n_steps_stored
+        H = self.n_steps_before_recording
+        idx = jnp.where(
+            n > scratch["hist_valid"], 0, (scratch["hist_ptr"] - n) % H
+        )  # [B]
+        entries = scratch["hist"][jnp.arange(B), idx]  # [B, A, 8]
         cap = self.isb_capacity
         slots = (scratch["isb_size"] + jnp.cumsum(rec.astype(jnp.int32)) - 1) % cap
         slots = jnp.where(rec, slots, cap)  # non-recording envs hit the trash row

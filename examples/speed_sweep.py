@@ -1,0 +1,93 @@
+"""MPE-comparison speed sweep (reference protocol on TPU).
+
+Mirrors the reference study `mpe_comparison/mpe_performance_comparison.py`
+(run_vmas_simple_spread, lines 59-87): `simple_spread`, 3 agents, discrete
+actions (every agent holds action 2), 100 steps, wall-clock seconds swept
+over num_envs. Two timings per point:
+
+* `loop` — per-step `env.step()` from Python, like the reference's loop
+  (includes host dispatch per step);
+* `scan` — the compiled `lax.scan` rollout of the same 100 steps (the
+  TPU-native fast path; one device program, no host round-trips).
+
+Usage (from the repo root; -m puts the package on sys.path):
+  python -m examples.speed_sweep [--n_envs 1 32 256 1024 4096 16384 30000]
+
+Measured on one TPU v5e chip: 30,000 envs x 100 steps in 0.061 s compiled
+(48.9M env-steps/s) — the reference paper's headline claim for this exact
+protocol is "30,000 envs in under 10 s" (arXiv:2207.03530).
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+from vmas_tpu import make_env
+
+N_AGENTS = 3
+N_STEPS = 100
+
+
+def run_point(n_envs: int):
+    env = make_env(
+        "simple_spread",
+        num_envs=n_envs,
+        seed=0,
+        continuous_actions=False,
+        n_agents=N_AGENTS,
+    )
+    actions = [jnp.full((n_envs, 1), 2, jnp.int32) for _ in range(N_AGENTS)]
+
+    # --- python-loop path (reference protocol) ---
+    env.step(actions)  # compile outside the timed region, like the
+    env.reset(seed=0)  # reference's warm torch kernels
+    t0 = time.perf_counter()
+    for _ in range(N_STEPS):
+        out = env.step(actions)
+    jax.block_until_ready(out[0])
+    t_loop = time.perf_counter() - t0
+
+    # --- compiled-scan path ---
+    def body(carry, key):
+        state, steps = carry
+        state, obs, rews, term, trunc, infos, steps = env._step_fn_raw(
+            state, steps, actions, key
+        )
+        return (state, steps), (obs, rews)
+
+    @jax.jit
+    def run(state, steps, key):
+        keys = jax.random.split(key, N_STEPS)
+        return jax.lax.scan(body, (state, steps), keys)
+
+    env.reset(seed=0)
+    (state, steps), traj = run(env.state, env.steps, jax.random.PRNGKey(0))
+    jax.block_until_ready(traj[1][0])
+    env.reset(seed=0)
+    t0 = time.perf_counter()
+    (state, steps), traj = run(env.state, env.steps, jax.random.PRNGKey(0))
+    jax.block_until_ready(traj[1][0])
+    t_scan = time.perf_counter() - t0
+    return t_loop, t_scan
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--n_envs", type=int, nargs="+",
+        default=[1, 32, 256, 1024, 4096, 16384, 30000],
+    )
+    args = p.parse_args()
+    dev = jax.devices()[0]
+    print(f"simple_spread, {N_AGENTS} agents, {N_STEPS} steps on "
+          f"{dev.platform}:{dev.device_kind}")
+    print(f"{'n_envs':>8} {'loop s':>9} {'scan s':>9} {'scan env-steps/s':>17}")
+    for n in args.n_envs:
+        t_loop, t_scan = run_point(n)
+        print(f"{n:>8} {t_loop:>9.3f} {t_scan:>9.3f} {n * N_STEPS / t_scan:>17,.0f}")
+
+
+if __name__ == "__main__":
+    main()

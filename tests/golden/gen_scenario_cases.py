@@ -64,10 +64,20 @@ SCENARIOS = {
     "construction": {},
     # obs noise defaults ON in road_traffic (road_traffic.py:2635)
     "road_traffic": dict(is_add_noise=False),
+    # map 2: the whole CPM map + challenging initial-state buffer (the ISB
+    # record RNG gate only touches scratch, not trajectories)
+    "road_traffic_map2": dict(is_add_noise=False, map_type="2"),
+    # map 3: per-env random sub-maps + in-step entry/exit agent resets
+    "road_traffic_map3": dict(is_add_noise=False, map_type="3", n_agents=4,
+                          scenario_probabilities=[0.4, 0.3, 0.3]),
 }
 
 # case name -> scenario file when they differ (multiple configs per scenario)
-ALIASES = {"painting_full": "painting"}
+ALIASES = {
+    "painting_full": "painting",
+    "road_traffic_map2": "road_traffic",
+    "road_traffic_map3": "road_traffic",
+}
 
 MPE = {
     "mpe/simple": {},
@@ -158,6 +168,17 @@ EXTRA_RECORD = {
     "road_traffic": lambda scen: {
         "extra_path_id": scen.ref_paths_agent_related.path_id.numpy(),
         "extra_point_id": scen.ref_paths_agent_related.point_id.numpy(),
+    },
+    # maps 2/3 additionally need the per-(env,agent) sub-map assignment
+    "road_traffic_map2": lambda scen: {
+        "extra_path_id": scen.ref_paths_agent_related.path_id.numpy(),
+        "extra_point_id": scen.ref_paths_agent_related.point_id.numpy(),
+        "extra_scenario_id": scen.ref_paths_agent_related.scenario_id.numpy(),
+    },
+    "road_traffic_map3": lambda scen: {
+        "extra_path_id": scen.ref_paths_agent_related.path_id.numpy(),
+        "extra_point_id": scen.ref_paths_agent_related.point_id.numpy(),
+        "extra_scenario_id": scen.ref_paths_agent_related.scenario_id.numpy(),
     },
     "painting": _dots_knowledge,
     "painting_full": _dots_knowledge,

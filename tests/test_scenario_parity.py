@@ -30,9 +30,16 @@ KWARGS = {
     "asym_joint": dict(obs_noise=0),
     "pollock": dict(n_agents=6, n_lines=6, n_boxes=6, lidar=True),
     "road_traffic": dict(is_add_noise=False),
+    "road_traffic_map2": dict(is_add_noise=False, map_type="2"),
+    "road_traffic_map3": dict(is_add_noise=False, map_type="3", n_agents=4,
+                          scenario_probabilities=[0.4, 0.3, 0.3]),
 }
 # case name -> scenario name when they differ (multi-config scenarios)
-CASE_SCENARIO = {"painting_full": "painting"}
+CASE_SCENARIO = {
+    "painting_full": "painting",
+    "road_traffic_map2": "road_traffic",
+    "road_traffic_map3": "road_traffic",
+}
 # collision/contact-heavy scenes accumulate fp reorder noise faster
 ATOL = {
     "transport": 2e-3,
@@ -76,7 +83,8 @@ def inject(env, pos, vel, rot, ang_vel):
 # food-eaten events the reference scores on step 1 (agents spawn at the
 # origin, sometimes on food). flocking's reward cycle also advances the
 # scripted target's clock "t", which must stay at 0.
-NO_REFRESH = {"dispersion", "sampling", "road_traffic"}
+NO_REFRESH = {"dispersion", "sampling", "road_traffic", "road_traffic_map2",
+              "road_traffic_map3"}
 RESTORE_SCRATCH = {"flocking": ("t",), "wind_flocking": ("t", "wind_shaping")}
 # wind_flocking's reward cycle rescales the big agent's per-env wind gravity
 # (reference set_friction, wind_flocking.py:356-370); the reference's first
@@ -157,6 +165,17 @@ def _rebuild_road_traffic(env, state, d):
     scr = dict(state.scenario)
     scr["path_id"] = jnp.asarray(d["extra_path_id"], jnp.int32)
     scr["point_id"] = jnp.asarray(d["extra_point_id"], jnp.int32)
+    if "extra_scenario_id" in d:
+        # maps 2/3: per-(env,agent) sub-map assignment is random reset
+        # scratch too (reference reset_scenario_related_ref_paths)
+        sid = jnp.asarray(d["extra_scenario_id"], jnp.int32)
+        scr["scenario_id"] = sid
+        if sc.map_type == "3":
+            # the reference's path_id indexes the CURRENT sub-map's path
+            # list (road_traffic.py:1106); ours is global into the packed
+            # [intersection, merge-in, merge-out] table
+            offs = jnp.asarray(sc.section_offsets, jnp.int32)
+            scr["path_id"] = scr["path_id"] + offs[sid - 1]
     scr = sc._update_distances(state, scr)
     scr["short_term"] = jnp.zeros_like(scr["short_term"])
     scr = sc._refresh_short_term(scr)
@@ -187,6 +206,8 @@ REBUILD_SCRATCH = {
     "joint_passage_size": _rebuild_joint_passage_size,
     "sampling": _rebuild_sampling,
     "road_traffic": _rebuild_road_traffic,
+    "road_traffic_map2": _rebuild_road_traffic,
+    "road_traffic_map3": _rebuild_road_traffic,
     "painting": _rebuild_dots,
     "painting_full": _rebuild_dots,
     "simple_adversary": _broadcast_goal("goal_idx"),

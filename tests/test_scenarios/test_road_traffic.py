@@ -64,6 +64,32 @@ def test_isb_records_leadup_not_collision_state(env):
     assert not np.array_equal(buf[size0 % cap], entries[-1][0])
 
 
+def test_isb_edge_ring_sizes():
+    """n_steps_before_recording=1: the pointer wraps on the 1-slot ring and
+    the lead-up is simply the latest state (get_latest falls back to slot 0,
+    which the every-step push keeps current). buffer_size=1: when more envs
+    record than the ISB holds, the LAST env's entry wins deterministically
+    (the reference adds sequentially in env order)."""
+    env2 = make_env(
+        "road_traffic",
+        num_envs=2,
+        seed=0,
+        map_type="2",
+        n_agents=4,
+        probability_record=1.0,
+        is_add_noise=False,
+        n_steps_before_recording=1,
+        buffer_size=1,
+    )
+    scen = env2.scenario
+    for _ in range(2):
+        env2.step(env2.get_random_actions())
+    assert int(env2.state.scenario["hist_ptr"][0]) == 0  # wrapped, not OOB
+    latest = np.asarray(scen._hist_entry(env2.state, dict(env2.state.scenario)))
+    buf, _ = _force_record(env2)
+    np.testing.assert_array_equal(buf[0], latest[1])
+
+
 def test_isb_records_n_steps_stored_ago(env):
     scen = env.scenario
     n = scen.n_steps_stored

@@ -592,7 +592,9 @@ class Scenario(BaseScenario):
             H = self.n_steps_before_recording
             hist = jnp.zeros((B, H, self.n_agents, 8), jnp.float32)
             scratch["hist"] = hist.at[:, 0].set(self._hist_entry(state, scratch))
-            scratch["hist_ptr"] = jnp.ones((B,), jnp.int32)
+            # 1 % H: on an H=1 ring the next write lands back on slot 0
+            # (reference CircularBuffer pointer wraps modulo buffer_size)
+            scratch["hist_ptr"] = jnp.full((B,), 1 % H, jnp.int32)
             scratch["hist_valid"] = jnp.ones((B,), jnp.int32)
         return state.replace(scenario=scratch)
 
@@ -760,9 +762,12 @@ class Scenario(BaseScenario):
         fresh = jnp.zeros_like(scratch["hist"]).at[:, 0].set(seed)
         m = env_reset[:, None, None, None]
         scratch["hist"] = jnp.where(m, fresh, scratch["hist"])
-        one = jnp.ones((), jnp.int32)
-        scratch["hist_ptr"] = jnp.where(env_reset, one, scratch["hist_ptr"])
-        scratch["hist_valid"] = jnp.where(env_reset, one, scratch["hist_valid"])
+        H = self.n_steps_before_recording
+        ptr1 = jnp.asarray(1 % H, jnp.int32)  # wraps to 0 on an H=1 ring
+        scratch["hist_ptr"] = jnp.where(env_reset, ptr1, scratch["hist_ptr"])
+        scratch["hist_valid"] = jnp.where(
+            env_reset, jnp.ones((), jnp.int32), scratch["hist_valid"]
+        )
         return scratch
 
     def _isb_record(self, state):
@@ -775,10 +780,10 @@ class Scenario(BaseScenario):
         than n steps have elapsed)."""
         scratch = dict(state.scenario)
         B = state.batch_dim
-        is_coll = (
-            scratch["coll_agents"].reshape(B, -1).any(-1)
-            | scratch["coll_lanelets"].any(-1)
-        )
+        # agent-agent collisions only — lanelet scrapes are NOT recorded
+        # (reference iterates torch.where(is_collision_with_agents),
+        # road_traffic.py:2301)
+        is_coll = scratch["coll_agents"].reshape(B, -1).any(-1)
         rng, kr = jax.random.split(scratch["rng"])
         scratch["rng"] = rng
         gate = jax.random.uniform(kr, ()) < self.probability_record
@@ -790,10 +795,17 @@ class Scenario(BaseScenario):
         )  # [B]
         entries = scratch["hist"][jnp.arange(B), idx]  # [B, A, 8]
         cap = self.isb_capacity
-        slots = (scratch["isb_size"] + jnp.cumsum(rec.astype(jnp.int32)) - 1) % cap
-        slots = jnp.where(rec, slots, cap)  # non-recording envs hit the trash row
+        pos = jnp.cumsum(rec.astype(jnp.int32))  # 1-based position among recorders
+        total = pos[-1]
+        # if more envs record than the ring holds, only the LAST cap entries
+        # survive (the reference adds sequentially in env order, later adds
+        # overwrite earlier slots); masking the rest keeps the scatter free of
+        # duplicate indices, whose write order XLA leaves unspecified
+        keep = rec & (total - pos < cap)
+        slots = (scratch["isb_size"] + pos - 1) % cap
+        slots = jnp.where(keep, slots, cap)  # masked envs hit the trash row
         scratch["isb_buffer"] = scratch["isb_buffer"].at[slots].set(entries)
-        scratch["isb_size"] = scratch["isb_size"] + rec.sum().astype(jnp.int32)
+        scratch["isb_size"] = scratch["isb_size"] + total
         return state.replace(scenario=scratch)
 
     # ------------------------------------------------------------------

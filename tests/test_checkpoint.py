@@ -27,6 +27,29 @@ def test_env_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_extensionless_path(tmp_path):
+    """save/load round-trip when the caller omits .npz (np.savez appends the
+    suffix on save but np.load would not on load)."""
+    path = str(tmp_path / "ckpt")  # no extension
+    env = make_env("dispersion", num_envs=2, seed=1)
+    save_env(env, path)
+    load_env(env, path)
+
+
+def test_env_checkpoint_orbax_roundtrip(tmp_path):
+    """The orbax backend must handle zero-size leaves (comm state c[B,A,0]
+    when dim_c=0 — orbax refuses zero-size arrays natively)."""
+    path = str(tmp_path / "orbax_ck")
+    env = make_env("transport", num_envs=2, seed=3)
+    env.step(env.get_random_actions())
+    pos_before = np.asarray(env.state.pos).copy()
+    save_env(env, path, backend="orbax")
+    other = make_env("transport", num_envs=2, seed=9)
+    load_env(other, path, backend="orbax")
+    np.testing.assert_array_equal(np.asarray(other.state.pos), pos_before)
+    assert other.state.c.shape == env.state.c.shape  # zero-size leaf kept
+
+
 def test_state_checkpoint_shape_mismatch(tmp_path):
     path = str(tmp_path / "ckpt.npz")
     env = make_env("transport", num_envs=3, seed=0)
@@ -47,3 +70,25 @@ def test_step_timer_and_benchmark():
 
     mean_s, _ = benchmark_fn(lambda: env.step(acts), iters=2, warmup=1)
     assert mean_s > 0
+    # warmup=0 measures the first call; iters<1 is rejected
+    mean_s0, _ = benchmark_fn(lambda: env.step(acts), iters=1, warmup=0)
+    assert mean_s0 > 0
+    with pytest.raises(ValueError):
+        benchmark_fn(lambda: None, iters=0)
+
+
+def test_save_video_empty_raises(tmp_path):
+    from vmas_tpu.render.video import save_video
+
+    with pytest.raises(ValueError):
+        save_video(str(tmp_path / "v"), [], fps=10)
+
+
+def test_save_video_roundtrip(tmp_path):
+    from vmas_tpu.render.video import save_video
+
+    frames = [np.zeros((16, 16, 3), np.uint8) for _ in range(3)]
+    out = save_video(str(tmp_path / "v"), frames, fps=10)
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 0

@@ -8,12 +8,16 @@ cheap: save/restore round-trips bit-for-bit and resumed rollouts replay the
 same trajectories.
 
 Two backends:
-* orbax (async-capable, sharding-aware — right choice on multi-host meshes)
-* a dependency-free .npz fallback for host-local snapshots
+* orbax (async-capable, sharding-aware — right choice on multi-host meshes):
+  ``save_state_orbax`` / ``load_state_orbax``, or ``save_env`` /
+  ``load_env`` with ``backend="orbax"``
+* a dependency-free .npz fallback for host-local snapshots (the default)
 
 ``save_env`` / ``load_env`` capture an Environment's full mutable state.
 ``save_state`` / ``load_state`` operate on a raw pytree (e.g. inside a
-training loop that owns its own state).
+training loop that owns its own state). Leaves are matched by flatten order,
+so the restoring process must build the pytree with the same scenario config
+(shape/count mismatches are rejected with a clear error).
 """
 
 from __future__ import annotations
@@ -25,20 +29,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["save_env", "load_env", "save_state", "load_state"]
+__all__ = [
+    "save_env", "load_env", "save_state", "load_state",
+    "save_state_orbax", "load_state_orbax",
+]
 
-_SCALAR_KEY = "__leaf__"
 
-
-def _flatten_with_paths(tree: Any):
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    return leaves, treedef
+def _npz_path(path: str) -> str:
+    # np.savez_compressed appends ".npz" when missing but np.load does not;
+    # normalize so save/load round-trip with extension-less paths
+    return path if path.endswith(".npz") else path + ".npz"
 
 
 def save_state(state: Any, path: str) -> None:
     """Serialize a pytree of arrays to ``path`` (.npz, host-local)."""
-    leaves, _ = _flatten_with_paths(state)
+    leaves = jax.tree_util.tree_leaves(state)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    path = _npz_path(path)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez_compressed(path, **arrays)
 
@@ -46,8 +53,8 @@ def save_state(state: Any, path: str) -> None:
 def load_state(template: Any, path: str) -> Any:
     """Load a pytree saved by :func:`save_state`; ``template`` supplies the
     structure (and dtypes, which are enforced on the loaded leaves)."""
-    leaves, treedef = _flatten_with_paths(template)
-    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    data = np.load(_npz_path(path))
     assert len(data.files) == len(leaves), (
         f"checkpoint has {len(data.files)} leaves, template has {len(leaves)} "
         "(scenario config must match the one checkpointed)"
@@ -64,21 +71,40 @@ def load_state(template: Any, path: str) -> Any:
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
-def save_env(env, path: str) -> None:
+def save_env(env, path: str, backend: str = "npz") -> None:
     """Snapshot an Environment's full mutable state (world state pytree,
     step counters, PRNG key)."""
-    save_state({"state": env.state, "steps": env.steps, "key": env._key}, path)
+    tree = {"state": env.state, "steps": env.steps, "key": env._key}
+    if backend == "orbax":
+        save_state_orbax(tree, path)
+    else:
+        save_state(tree, path)
 
 
-def load_env(env, path: str) -> None:
+def load_env(env, path: str, backend: str = "npz") -> None:
     """Restore a snapshot taken by :func:`save_env` into ``env`` (must be
     built with the same scenario config)."""
-    restored = load_state(
-        {"state": env.state, "steps": env.steps, "key": env._key}, path
-    )
+    tree = {"state": env.state, "steps": env.steps, "key": env._key}
+    if backend == "orbax":
+        restored = load_state_orbax(tree, path)
+    else:
+        restored = load_state(tree, path)
     env.state = restored["state"]
     env.steps = restored["steps"]
     env._key = restored["key"]
+
+
+def _orbax_safe(tree: Any) -> Any:
+    # orbax refuses zero-size arrays ("Cannot save arrays with zero size"),
+    # and worlds without comms carry an empty c[B, A, 0] leaf — stand in a
+    # 1-element placeholder; load_state_orbax restores such leaves from the
+    # template instead
+    return jax.tree.map(
+        lambda l: jnp.zeros((1,), jnp.asarray(l).dtype)
+        if jnp.asarray(l).size == 0
+        else l,
+        tree,
+    )
 
 
 def save_state_orbax(state: Any, path: str) -> None:
@@ -86,11 +112,14 @@ def save_state_orbax(state: Any, path: str) -> None:
     import orbax.checkpoint as ocp
 
     ckpt = ocp.PyTreeCheckpointer()
-    ckpt.save(os.path.abspath(path), state, force=True)
+    ckpt.save(os.path.abspath(path), _orbax_safe(state), force=True)
 
 
 def load_state_orbax(template: Any, path: str) -> Any:
     import orbax.checkpoint as ocp
 
     ckpt = ocp.PyTreeCheckpointer()
-    return ckpt.restore(os.path.abspath(path), item=template)
+    restored = ckpt.restore(os.path.abspath(path), item=_orbax_safe(template))
+    return jax.tree.map(
+        lambda t, r: t if jnp.asarray(t).size == 0 else r, template, restored
+    )

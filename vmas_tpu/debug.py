@@ -12,10 +12,14 @@ Usage::
     from vmas_tpu.debug import checked_step
 
     step = checked_step(env)          # compile once
-    obs, rews, dones, infos = step(actions)   # raises on NaN/Inf
+    obs, rews, dones, infos = step(actions)   # raises on NaN / bad outputs
 
-Intended for debugging new scenarios/kernels; the check instrumentation
-costs throughput, so don't leave it on in production rollouts.
+Scope: checkify's float_checks catch NaN production and division by zero at
+the op that produced them; explicit isfinite invariants additionally catch
+Inf (e.g. overflow) reaching the post-step state, observations or rewards.
+Inf confined to intermediate scratch is not flagged. Intended for debugging
+new scenarios/kernels; the check instrumentation costs throughput, so don't
+leave it on in production rollouts.
 """
 
 from __future__ import annotations
@@ -36,12 +40,25 @@ def validate_state(state) -> None:
 
 
 def checked_step(env):
-    """A drop-in replacement for ``env.step`` that raises on NaN/Inf anywhere
-    in the compiled step (auto-inserted float checks + state invariants)."""
+    """A drop-in replacement for ``env.step`` that raises on NaN production
+    anywhere in the compiled step (auto-inserted float checks) and on
+    non-finite values reaching the post-step state, observations or
+    rewards (explicit invariants)."""
+
+    def _all_finite(tree):
+        leaves = [
+            l for l in jax.tree.leaves(tree)
+            if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
+        ]
+        if not leaves:
+            return jnp.asarray(True)
+        return jnp.asarray([jnp.isfinite(l).all() for l in leaves]).all()
 
     def raw_step(state, steps, actions, key):
         out = env._step_fn_raw(state, steps, actions, key)
         validate_state(out[0])
+        checkify.check(_all_finite(out[1]), "non-finite observations")
+        checkify.check(_all_finite(out[2]), "non-finite rewards")
         return out
 
     checked = checkify.checkify(

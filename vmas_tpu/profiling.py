@@ -8,7 +8,9 @@ examples, reference examples/use_vmas_env.py:74-109). The TPU build provides:
 * :func:`trace` — context manager around ``jax.profiler`` emitting a
   TensorBoard-loadable trace (XLA op timeline on the real chip).
 * :func:`benchmark_fn` — steady-state throughput of a compiled callable
-  (compile excluded, device-synced), the measurement protocol bench.py uses.
+  (compile excluded, device-synced). Mean-of-iters; bench.py uses its own
+  stricter steady-peak protocol (warm-until-stable, best of several
+  windows) because the v5e's clock state wanders run to run.
 """
 
 from __future__ import annotations
@@ -24,13 +26,22 @@ __all__ = ["StepTimer", "trace", "benchmark_fn"]
 
 
 class StepTimer:
-    """Accumulating named phase timer. Each phase ends with a device sync so
-    asynchronous dispatch doesn't attribute device time to the wrong phase.
+    """Accumulating named phase timer.
 
-    >>> timer = StepTimer()
-    >>> with timer.phase("physics"):
-    ...     state = step(state)      # doctest: +SKIP
-    >>> timer.summary()              # doctest: +SKIP
+    JAX dispatch is asynchronous: without a device sync at phase exit, a
+    phase measures only enqueue time (~µs) and its device time is attributed
+    to whichever later phase first blocks. Pass ``sync_on`` to block at exit:
+
+    * a zero-arg callable, evaluated AT EXIT — closures are late-bound, so
+      ``lambda: state`` picks up the ``state`` assigned inside the block:
+
+      >>> timer = StepTimer()
+      >>> with timer.phase("physics", sync_on=lambda: state):
+      ...     state = step(state)      # doctest: +SKIP
+
+    * or a pytree of arrays, blocked as-is (for values known up front).
+
+    Without ``sync_on`` the phase measures dispatch time only.
     """
 
     def __init__(self):
@@ -44,7 +55,7 @@ class StepTimer:
             yield
         finally:
             if sync_on is not None:
-                jax.block_until_ready(sync_on)
+                jax.block_until_ready(sync_on() if callable(sync_on) else sync_on)
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
@@ -76,12 +87,16 @@ def trace(log_dir: str):
 
 def benchmark_fn(fn: Callable, *args, iters: int = 5, warmup: int = 2):
     """Steady-state seconds/call of a jitted callable: runs ``warmup``
-    untimed calls (compile + clock ramp), then times ``iters`` calls with a
-    final device sync. Returns (mean_seconds, last_output)."""
+    untimed calls (compile + clock ramp; pass 0 to include first-call
+    compile in the measurement), then times ``iters`` calls with a final
+    device sync. Returns (mean_seconds, last_output)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     out = None
-    for _ in range(max(warmup, 1)):
+    for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    if out is not None:
+        jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)

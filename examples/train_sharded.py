@@ -6,9 +6,11 @@ Mesh: every chip steps its shard of environments, parameter gradients are
 all-reduced over ICI by XLA, and the whole loop (physics + backprop through
 physics) is one compiled program.
 
-Run on a pod slice (or locally on a virtual mesh):
-  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-  python examples/train_sharded.py --scenario transport --num_envs 512
+Run on a pod slice (real devices), or locally on a virtual CPU mesh:
+  python -m examples.train_sharded --scenario transport --num_envs 512 \
+      --virtual_devices 8
+(the flag forces the virtual mesh via jax.config, which also works where a
+sitecustomize overrides the JAX_PLATFORMS environment variable)
 """
 
 import argparse
@@ -22,7 +24,13 @@ from vmas_tpu.parallel.learner import init_mlp, make_train_step
 from vmas_tpu.parallel.mesh import env_mesh, shard_state
 
 
-def main(scenario="transport", num_envs=512, iters=20, horizon=5, lr=1e-3):
+def main(scenario="transport", num_envs=512, iters=20, horizon=5, lr=1e-3,
+         virtual_devices=0):
+    if virtual_devices:
+        # force an N-device virtual CPU mesh BEFORE backend init — works
+        # even where a sitecustomize overrides the JAX_PLATFORMS env var
+        jax.config.update("jax_num_cpu_devices", int(virtual_devices))
+        jax.config.update("jax_platforms", "cpu")
     env = make_env(scenario, num_envs=num_envs, seed=0, grad_enabled=True)
     mesh = env_mesh()
     print(f"mesh: {mesh.devices.size} devices, {num_envs} envs "
@@ -56,5 +64,8 @@ if __name__ == "__main__":
     p.add_argument("--num_envs", type=int, default=512)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--horizon", type=int, default=5)
+    p.add_argument("--virtual_devices", type=int, default=0,
+                   help="simulate an N-device CPU mesh (0 = real devices)")
     args = p.parse_args()
-    main(args.scenario, args.num_envs, args.iters, args.horizon)
+    main(args.scenario, args.num_envs, args.iters, args.horizon,
+         virtual_devices=args.virtual_devices)

@@ -183,6 +183,14 @@ def render_env(
         ax.add_patch(patch)
     _draw_sensors(ax, env, state, env_index)
     _draw_actions(ax, env, state, env_index)
+    # drawn ABOVE the entity geoms (reference BaseScenario.top_layer_render,
+    # scenario.py:24-451 hook list)
+    top = getattr(scenario, "top_layer_render", None)
+    if top is not None:
+        try:
+            top(env, ax, env_index)
+        except TypeError:
+            pass  # base no-op signature takes only env_index
 
     # camera (reference environment.py:855-903)
     pos = np.asarray(state.pos[env_index])

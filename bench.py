@@ -54,19 +54,26 @@ def main():
 
     # the v5e's clock state wanders run to run; take the best of several
     # measurement windows (steady-state peak, the standard hardware-bench
-    # convention)
-    dt = float("inf")
+    # convention), and report mean±spread alongside so round-over-round
+    # deltas are attributable (VERDICT r1 weak #6)
+    windows = []
     for w in range(4):
         t0 = time.perf_counter()
         for i in range(ITERS):
             state, steps, traj = run(state, steps, jax.random.fold_in(key, 10 * w + i))
         jax.block_until_ready(traj["rewards"])
-        dt = min(dt, time.perf_counter() - t0)
+        windows.append(time.perf_counter() - t0)
+    dt = min(windows)
 
     value = NUM_ENVS * HORIZON * ITERS / dt
+    rates = [NUM_ENVS * HORIZON * ITERS / w for w in windows]
+    mean = sum(rates) / len(rates)
+    spread = max(rates) - min(rates)
     print(
         f"[bench] transport {NUM_ENVS} envs x {HORIZON * ITERS} steps in {dt:.3f}s "
-        f"on {jax.devices()[0].platform}:{jax.devices()[0].device_kind}",
+        f"on {jax.devices()[0].platform}:{jax.devices()[0].device_kind} | "
+        f"peak {value / 1e6:.1f}M, mean {mean / 1e6:.1f}M +- {spread / 2e6:.1f}M env-steps/s "
+        f"over {len(windows)} windows",
         file=sys.stderr,
     )
     print(

@@ -55,18 +55,20 @@ def load_state(template: Any, path: str) -> Any:
     structure (and dtypes, which are enforced on the loaded leaves)."""
     leaves, treedef = jax.tree_util.tree_flatten(template)
     data = np.load(_npz_path(path))
-    assert len(data.files) == len(leaves), (
-        f"checkpoint has {len(data.files)} leaves, template has {len(leaves)} "
-        "(scenario config must match the one checkpointed)"
-    )
+    if len(data.files) != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(data.files)} leaves, template has {len(leaves)} "
+            "(scenario config must match the one checkpointed)"
+        )
     new_leaves = []
     for i, l in enumerate(leaves):
         loaded = data[f"leaf_{i}"]
         tmpl = jnp.asarray(l)
-        assert loaded.shape == tmpl.shape, (
-            f"checkpoint leaf {i} has shape {loaded.shape}, template expects "
-            f"{tmpl.shape} (scenario config must match the one checkpointed)"
-        )
+        if loaded.shape != tmpl.shape:
+            raise ValueError(
+                f"checkpoint leaf {i} has shape {loaded.shape}, template expects "
+                f"{tmpl.shape} (scenario config must match the one checkpointed)"
+            )
         new_leaves.append(jnp.asarray(loaded, tmpl.dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 

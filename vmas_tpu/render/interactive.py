@@ -153,3 +153,43 @@ def render_interactively(
         save_render=save_render,
         render_name=str(scenario),
     ).run()
+
+
+def parse_args(argv=None):
+    """CLI flags mirroring the reference
+    (interactive_rendering.py:385-410)."""
+    from argparse import ArgumentParser, BooleanOptionalAction
+
+    parser = ArgumentParser(description="Interactive rendering")
+    parser.add_argument(
+        "--scenario", type=str, default="waterfall",
+        help="Scenario to load (a name from vmas_tpu.scenarios)",
+    )
+    parser.add_argument(
+        "--control_two_agents", action=BooleanOptionalAction, default=True,
+        help="Whether to control two agents or just one",
+    )
+    parser.add_argument(
+        "--display_info", action=BooleanOptionalAction, default=True,
+        help="Display name/reward/total reward/done/observation of the first "
+             "controlled agent",
+    )
+    parser.add_argument(
+        "--save_render", action="store_true",
+        help="Save a video of the render up to the first reset",
+    )
+    return parser.parse_args(argv)
+
+
+if __name__ == "__main__":
+    # Interactively play with scenarios (reference
+    # interactive_rendering.py:414-429): TAB/LSHIFT switch agents, R resets,
+    # arrows + M/N drive agent one, WASD + Q/E drive agent two, digits set
+    # comm channels.
+    args = parse_args()
+    render_interactively(
+        scenario=args.scenario,
+        control_two_agents=args.control_two_agents,
+        display_info=args.display_info,
+        save_render=args.save_render,
+    )

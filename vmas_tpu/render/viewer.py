@@ -173,24 +173,14 @@ def render_env(
             cmap_name=plot_position_function_cmap_name,
         )
     # scenario-specific extras (reference BaseScenario.extra_render)
-    extra = getattr(scenario, "extra_render", None)
-    if extra is not None:
-        try:
-            extra(env, ax, env_index)
-        except TypeError:
-            pass
+    scenario.extra_render(env, ax, env_index)
     for patch in _entity_patches(env, state, env_index, ax):
         ax.add_patch(patch)
     _draw_sensors(ax, env, state, env_index)
     _draw_actions(ax, env, state, env_index)
     # drawn ABOVE the entity geoms (reference BaseScenario.top_layer_render,
     # scenario.py:24-451 hook list)
-    top = getattr(scenario, "top_layer_render", None)
-    if top is not None:
-        try:
-            top(env, ax, env_index)
-        except TypeError:
-            pass  # base no-op signature takes only env_index
+    scenario.top_layer_render(env, ax, env_index)
 
     # camera (reference environment.py:855-903)
     pos = np.asarray(state.pos[env_index])

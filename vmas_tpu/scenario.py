@@ -119,11 +119,16 @@ class BaseScenario(ABC):
 
         return jax.random.fold_in(state.scenario["__obs_key"], i)
 
-    def extra_render(self, env_index: int = 0) -> List:
-        return []
+    def extra_render(self, env, ax, env_index: int = 0) -> None:
+        """Draw scenario-specific debug geoms BELOW the entity layer.
 
-    def top_layer_render(self, env_index: int = 0) -> List:
-        return []
+        Reference BaseScenario.extra_render returns pyglet Geoms
+        (scenario.py:24-451); the TPU build draws host-side, so hooks
+        receive the live Environment, a matplotlib Axes, and the env index,
+        and paint with :mod:`vmas_tpu.render.draw` helpers."""
+
+    def top_layer_render(self, env, ax, env_index: int = 0) -> None:
+        """Like :meth:`extra_render`, drawn ABOVE the entity layer."""
 
 
 class BaseHeuristicPolicy(ABC):

@@ -202,3 +202,9 @@ class Scenario(BaseScenario):
 
     def info(self, agent, state):
         return {"pos_rew": state.scenario["pos_rew"], "collision_rew": state.scenario["collision_rew"]}
+
+    def extra_render(self, env, ax, env_index: int = 0):
+        """Arena perimeter (reference ball_passage.py extra_render)."""
+        from vmas_tpu.render import draw
+
+        draw.draw_perimeter(ax, float(self.world.x_semidim), pad=self.agent_radius)

@@ -132,3 +132,9 @@ class Scenario(BaseScenario):
     def info(self, agent, state):
         s = state.scenario
         return {"pos_rew": s["pos_rew"], "speed_rew": s["speed_rew"], "dist_rew": s["dist_rew"]}
+
+    def extra_render(self, env, ax, env_index: int = 0):
+        """Trajectory goal circle (reference ball_trajectory.py extra_render)."""
+        from vmas_tpu.render import draw
+
+        draw.draw_circle(ax, (0.0, 0.0), self.desired_radius, (0, 0, 0))

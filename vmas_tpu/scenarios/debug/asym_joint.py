@@ -171,3 +171,10 @@ class Scenario(BaseScenario):
 
     def info(self, agent, state):
         return {"rot_rew": state.scenario["rot_rew"], "energy_rew": state.scenario["energy_rew"]}
+
+    def extra_render(self, env, ax, env_index: int = 0):
+        """Green origin marker (reference debug/asym_joint.py extra_render)."""
+        from vmas_tpu.core.utils import Color
+        from vmas_tpu.render import draw
+
+        draw.draw_circle(ax, (0.0, 0.0), 0.01, Color.GREEN, filled=True)

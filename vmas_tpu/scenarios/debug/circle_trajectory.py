@@ -93,3 +93,16 @@ class Scenario(BaseScenario):
 
     def observation(self, agent, state):
         return jnp.concatenate([agent.pos(state), agent.vel(state), agent.pos(state)], axis=-1)
+
+    def extra_render(self, env, ax, env_index: int = 0):
+        """Trajectory goal circle + tangent-velocity line (reference
+        debug/circle_trajectory.py extra_render)."""
+        import numpy as np
+
+        from vmas_tpu.render import draw
+
+        draw.draw_circle(ax, (0.0, 0.0), self.desired_radius, (0, 0, 0))
+        agent = self.world.agents[0]
+        closest = self._closest_point_circle(env.state, agent)
+        tangent = np.asarray(self._tangent_to_circle(env.state, agent, closest)[env_index])
+        draw.draw_line(ax, (0, 0), tangent, (0, 0, 0))

@@ -47,3 +47,10 @@ class Scenario(BaseScenario):
 
     def observation(self, agent, state):
         return jnp.concatenate([agent.pos(state), agent.vel(state)], axis=-1)
+
+    def extra_render(self, env, ax, env_index: int = 0):
+        """Heading ticks (reference debug/diff_drive.py extra_render)."""
+        from vmas_tpu.render import draw
+
+        for agent in self.world.agents:
+            draw.plot_entity_rotation(ax, agent, env.state, env_index, length=0.1)

@@ -54,3 +54,10 @@ class Scenario(BaseScenario):
             jnp.stack([a.dynamics.needs_reset(state) for a in self.world.agents], axis=-1),
             axis=-1,
         )
+
+    def extra_render(self, env, ax, env_index: int = 0):
+        """Heading ticks (reference debug/drone.py extra_render)."""
+        from vmas_tpu.render import draw
+
+        for agent in self.world.agents:
+            draw.plot_entity_rotation(ax, agent, env.state, env_index, length=0.1)

@@ -78,3 +78,9 @@ class Scenario(BaseScenario):
 
     def done(self, state):
         return self.world.agents[0].pos(state)[:, Y] > self.line_length - 1
+
+    def extra_render(self, env, ax, env_index: int = 0):
+        """Trajectory goal line (reference debug/line_trajectory.py extra_render)."""
+        from vmas_tpu.render import draw
+
+        draw.draw_line(ax, (0, -1), (0, -1 + self.line_length), (0, 0, 0))

@@ -203,6 +203,19 @@ class Scenario(BaseScenario):
             "targets_covered": s["covered_targets"].sum(-1),
         }
 
+    def extra_render(self, env, ax, env_index: int = 0):
+        """Target covering-range circles + agent communication lines
+        (reference discovery.py extra_render)."""
+        import numpy as np
+
+        from vmas_tpu.core.utils import Color
+        from vmas_tpu.render import draw
+
+        pos = np.asarray(env.state.pos[env_index])
+        for target in self._targets:
+            draw.draw_circle(ax, pos[target.index], self._covering_range, Color.GREEN)
+        draw.draw_comm_lines(ax, env, env.state, env_index, self._comms_range)
+
 
 class HeuristicPolicy(BaseHeuristicPolicy):
     """Circle-patrol + lidar-chase heuristic (reference discovery.py:307-357):

@@ -847,3 +847,77 @@ class Scenario(BaseScenario):
             "touching_ball": s[f"min_agent_dist_to_ball_{tag}"]
             <= self.agent_size + self.ball_size + 1e-2,
         }
+
+    # -- rendering ----------------------------------------------------------
+    def extra_render(self, env, ax, env_index: int = 0):
+        """Field background + blue-agent indices + shooting sectors
+        (reference football.py extra_render + _get_background_geoms,
+        football.py:1514-1566)."""
+        import numpy as np
+
+        from vmas_tpu.core.utils import Color
+        from vmas_tpu.render import draw
+
+        state = env.state
+        half_l = self.pitch_length / 2
+        half_w = self.pitch_width / 2
+        if getattr(self, "_render_field", True):
+            draw.draw_rect(ax, (0, 0), self.pitch_length, self.pitch_width, 0.0,
+                           Color.GREEN, zorder=0)
+            draw.draw_circle(ax, (0, 0), self.goal_size / 2, Color.WHITE,
+                             filled=True, zorder=0)
+            draw.draw_circle(ax, (0, 0), self.goal_size / 2 - 0.02, Color.GREEN,
+                             filled=True, zorder=0)
+        # white pitch lines (centre/left/right verticals, top/bottom horizontals)
+        vlen = half_w - self.agent_size
+        for x in (0.0, half_l - self.agent_size, -half_l + self.agent_size):
+            draw.draw_line(ax, (x, -vlen), (x, vlen), Color.WHITE, zorder=1)
+        hlen = half_l - self.agent_size
+        for y in (half_w - self.agent_size, -half_w + self.agent_size):
+            draw.draw_line(ax, (-hlen, y), (hlen, y), Color.WHITE, zorder=1)
+
+        draw.draw_agent_indices(ax, env, state, env_index, start_from=1,
+                                exclude=self.red_agents + [self.ball])
+
+        if self.enable_shooting:
+            pos = np.asarray(state.pos[env_index])
+            rot = np.asarray(state.rot[env_index]).reshape(-1)
+            ball_p = pos[self.ball.index]
+            for agent in self.blue_agents:
+                p, r = pos[agent.index], rot[agent.index]
+                rel = ball_p - p
+                within_range = np.linalg.norm(rel) <= self.shooting_radius
+                rel_angle = (r - np.arctan2(rel[1], rel[0]) + np.pi) % (2 * np.pi) - np.pi
+                within_angle = abs(rel_angle) <= self.shooting_angle / 2
+                color = Color.PINK if (within_range and within_angle) else agent.color
+                draw.draw_wedge(
+                    ax, p, self.shooting_radius, r - self.shooting_angle / 2,
+                    r + self.shooting_angle / 2, color, alpha=0.3, zorder=2,
+                )
+
+    def top_layer_render(self, env, ax, env_index: int = 0):
+        """AI trajectory points: hermite-spline knots of each scripted team's
+        current objectives, ``n_traj_points`` per agent (reference
+        AgentPolicy.plot_traj + init_traj_pts, football.py:1020-1047,2051)."""
+        if self.n_traj_points <= 0:
+            return
+        import numpy as np
+
+        from vmas_tpu.render import draw
+
+        scratch = env.state.scenario
+        for controller, team in ((self.red_controller, self.red_agents),
+                                 (self.blue_controller, self.blue_agents)):
+            if controller is None or controller.key not in scratch:
+                continue
+            ai = scratch[controller.key]
+            for i in range(len(team)):
+                p0 = np.asarray(ai["start_pos"][env_index, i])
+                p1 = np.asarray(ai["target_pos"][env_index, i])
+                v0 = np.asarray(ai["start_vel"][env_index, i])
+                v1 = np.asarray(ai["target_vel"][env_index, i])
+                ctrl = np.stack([p0, p1, v0, v1])  # [4, 2]
+                for u in np.linspace(0.0, 1.0, self.n_traj_points):
+                    pt = hermite_coeffs(float(u), 0) @ ctrl
+                    draw.draw_circle(ax, pt, 0.01, (0.5, 0.5, 0.5), filled=True,
+                                     zorder=6)

@@ -375,3 +375,16 @@ class Scenario(BaseScenario):
             "energy_rew": s["energy_rew"],
             "passed": s["just_passed"].astype(jnp.int32),
         }
+
+    def extra_render(self, env, ax, env_index: int = 0):
+        """Goal circles at the two joint endpoints (reference
+        joint_passage_size.py extra_render)."""
+        import numpy as np
+
+        from vmas_tpu.render import draw
+
+        p = np.asarray(self.goal.pos(env.state)[env_index])
+        r = float(np.asarray(self.goal.rot(env.state)[env_index]).reshape(-1)[0])
+        d = self.joint_length / 2 * np.array([np.cos(r), np.sin(r)])
+        for end in (p - d, p + d):
+            draw.draw_circle(ax, end, self.agent_radius, self.goal.color, filled=True)

@@ -173,3 +173,9 @@ class Scenario(BaseScenario):
             ],
             axis=-1,
         )
+
+    def extra_render(self, env, ax, env_index: int = 0):
+        """Arena perimeter (reference mpe/simple_tag.py extra_render)."""
+        from vmas_tpu.render import draw
+
+        draw.draw_perimeter(ax, self.bound, pad=self.adversary_radius)

@@ -218,3 +218,9 @@ class Scenario(BaseScenario):
             "pos_rew": s["pos_rew"] if self.shared_rew else s["pos_rew_per_agent"][:, agent.slot],
             "final_rew": s["final_rew"],
         }
+
+    def extra_render(self, env, ax, env_index: int = 0):
+        """Agent communication lines (reference multi_give_way.py extra_render)."""
+        from vmas_tpu.render import draw
+
+        draw.draw_comm_lines(ax, env, env.state, env_index, self.comms_range)

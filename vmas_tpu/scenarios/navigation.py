@@ -188,6 +188,13 @@ class Scenario(BaseScenario):
         }
 
 
+    def extra_render(self, env, ax, env_index: int = 0):
+        """Agent communication lines (reference navigation.py extra_render)."""
+        from vmas_tpu.render import draw
+
+        draw.draw_comm_lines(ax, env, env.state, env_index, self.comms_range)
+
+
 class HeuristicPolicy(BaseHeuristicPolicy):
     """Proportional controller toward the goal (the reference's heuristic uses
     cvxpylayers; this is the dependency-free equivalent used by tests)."""

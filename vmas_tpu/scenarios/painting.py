@@ -417,3 +417,34 @@ class Scenario(BaseScenario):
             "mix_reward": s["agent_mixing_reward"][:, i],
             "final_rew": s["final_rew"],
         }
+
+    def top_layer_render(self, env, ax, env_index: int = 0):
+        """Knowledge visualization on top of the entity layer (reference
+        painting.py top_layer_render): each goal shows its expected-knowledge
+        color as a patch, each agent shows its primary/mixed knowledge as two
+        half-discs, and agents that have matched a goal get a yellow ring."""
+        import numpy as np
+
+        from vmas_tpu.render import draw
+
+        state = env.state
+        pos = np.asarray(state.pos[env_index])
+        for goal in self.goals:
+            col = np.clip(np.asarray(goal.expected_knowledge(state)[env_index]), 0, 1)
+            p = pos[goal.index]
+            draw.draw_rect(
+                ax, (p[0] - goal.shape.width / 8, p[1]),
+                goal.shape.width / 4, goal.shape.length / 2, 0.0, col, zorder=4,
+            )
+        for agent in self.agent_list:
+            p = pos[agent.index]
+            if bool(np.asarray(agent.seeking_goal(state)[env_index])):
+                draw.draw_circle(ax, p, self.agent_radius, (1, 1, 0), filled=True,
+                                 zorder=4)
+            know = np.clip(np.asarray(agent.knowledge(state)[env_index]), 0, 1)
+            # primary on the upper half-disc, mixed on the lower (the
+            # reference's two proportion=0.5 circles rotated +-pi/2)
+            draw.draw_wedge(ax, p, self.agent_radius / 2, 0, np.pi, know[0],
+                            zorder=5)
+            draw.draw_wedge(ax, p, self.agent_radius / 2, np.pi, 2 * np.pi,
+                            know[1], zorder=5)

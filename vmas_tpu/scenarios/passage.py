@@ -183,3 +183,9 @@ class Scenario(BaseScenario):
             ),
             axis=1,
         )
+
+    def extra_render(self, env, ax, env_index: int = 0):
+        """Arena perimeter (reference passage.py extra_render)."""
+        from vmas_tpu.render import draw
+
+        draw.draw_perimeter(ax, 1.0, pad=self.agent_radius)

@@ -196,3 +196,22 @@ class Scenario(BaseScenario):
 
     def info(self, agent, state):
         return {"agent_sample": state.scenario["agent_samples"][:, agent.slot]}
+
+    def extra_render(self, env, ax, env_index: int = 0):
+        """Gaussian-density heat map + communication lines + perimeter
+        (reference sampling.py extra_render)."""
+        import numpy as np
+
+        from vmas_tpu.render import draw
+        from vmas_tpu.render.viewer import render_function_util
+
+        locs = env.state.scenario["locs"][env_index : env_index + 1]  # [1, G, 2]
+
+        def density(pts):
+            return np.asarray(self._pdf(locs, jnp.asarray(pts)[:, None, :])[:, 0])
+
+        render_function_util(
+            density, (self.xdim, self.ydim), ax, cmap_alpha=0.5, precision=0.05
+        )
+        draw.draw_comm_lines(ax, env, env.state, env_index, self.comms_range)
+        draw.draw_perimeter(ax, self.xdim, self.ydim)

@@ -253,3 +253,20 @@ class Scenario(BaseScenario):
             "agent_energy_rew": s["agent_energy_rew"][:, i],
             "delta_vel_to_goal": safe_norm(agent.vel(state) - self.desired_vel),
         }
+
+    def extra_render(self, env, ax, env_index: int = 0):
+        """Pair-axis line between the agents + the goal Y line (reference
+        wind_flocking.py extra_render)."""
+        import numpy as np
+
+        from vmas_tpu.render import draw
+
+        state = env.state
+        pb = np.asarray(self.big_agent.pos(state)[env_index])
+        ps = np.asarray(self.small_agent.pos(state)[env_index])
+        mid = (pb + ps) / 2
+        ang = np.arctan2(*(pb - ps)[::-1])
+        d = self.desired_distance / 2 * np.array([np.cos(ang), np.sin(ang)])
+        draw.draw_line(ax, mid - d, mid + d, (0, 0, 0))
+        half = self.desired_distance / 2
+        draw.draw_line(ax, (-half, self.max_pos), (half, self.max_pos), (1, 0, 0))

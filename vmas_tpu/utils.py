@@ -87,9 +87,10 @@ class ScenarioUtils:
         ``n_candidates`` proposals in one batch and keeps the first clear one
         instead of a serialized rejection ``while_loop`` — the right choice
         inside per-step hooks (e.g. covered-target respawn), where a
-        while_loop would serialize the whole step. Falls back to the last
-        candidate when all overlap (the reference also gives up after
-        enough tries, utils.py:301-316)."""
+        while_loop would serialize the whole step. Falls back to the first
+        candidate when all overlap (argmax over an all-False mask picks
+        index 0; the reference also gives up after enough tries,
+        utils.py:301-316)."""
         B = occupied_positions.shape[0]
         kx, ky = jax.random.split(key)
         cands = jnp.stack(

@@ -24,9 +24,45 @@ from vmas_tpu.parallel.learner import init_mlp, make_train_step
 from vmas_tpu.parallel.mesh import env_mesh, shard_state
 
 
+def spawn_processes(n, argv):
+    """Self-spawn ``n`` coordinated jax.distributed processes (2 virtual CPU
+    devices each, gloo TCP collectives) — the single-machine stand-in for a
+    multi-host launch, where each host runs this same script with its own
+    --process_id and a shared --coordinator address."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "examples.train_sharded", *argv,
+             "--process_id", str(i), "--num_processes", str(n),
+             "--coordinator", f"localhost:{port}"],
+        )
+        for i in range(n)
+    ]
+    return max(p.wait() for p in procs)
+
+
 def main(scenario="transport", num_envs=512, iters=20, horizon=5, lr=1e-3,
-         virtual_devices=0):
-    if virtual_devices:
+         virtual_devices=0, process_id=None, num_processes=None,
+         coordinator=None):
+    if process_id is not None:
+        # one process of a multi-process (multi-host-style) launch
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", max(2, virtual_devices or 2))
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        print(f"process {process_id}/{num_processes}: "
+              f"{len(jax.local_devices())} local / {len(jax.devices())} global devices")
+    elif virtual_devices:
         # force an N-device virtual CPU mesh BEFORE backend init — works
         # even where a sitecustomize overrides the JAX_PLATFORMS env var
         jax.config.update("jax_num_cpu_devices", int(virtual_devices))
@@ -59,6 +95,8 @@ def main(scenario="transport", num_envs=512, iters=20, horizon=5, lr=1e-3,
 
 
 if __name__ == "__main__":
+    import sys
+
     p = argparse.ArgumentParser()
     p.add_argument("--scenario", default="transport")
     p.add_argument("--num_envs", type=int, default=512)
@@ -66,6 +104,25 @@ if __name__ == "__main__":
     p.add_argument("--horizon", type=int, default=5)
     p.add_argument("--virtual_devices", type=int, default=0,
                    help="simulate an N-device CPU mesh (0 = real devices)")
+    p.add_argument("--processes", type=int, default=0,
+                   help="self-spawn N jax.distributed processes (multi-host "
+                        "stand-in: 2 virtual CPU devices each, gloo TCP)")
+    # set on the spawned workers by spawn_processes
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--coordinator", default=None)
     args = p.parse_args()
+    if args.processes:
+        argv, skip = [], False
+        for a in sys.argv[1:]:
+            if skip:
+                skip = False
+                continue
+            if a == "--processes":
+                skip = True
+            elif not a.startswith("--processes="):
+                argv.append(a)
+        sys.exit(spawn_processes(args.processes, argv))
     main(args.scenario, args.num_envs, args.iters, args.horizon,
-         virtual_devices=args.virtual_devices)
+         virtual_devices=args.virtual_devices, process_id=args.process_id,
+         num_processes=args.num_processes, coordinator=args.coordinator)

@@ -27,7 +27,9 @@ EXTRA_RENDER_SCENARIOS = {
     "joint_passage_size": ({}, ["extra_render"]),
     "wind_flocking": ({}, ["extra_render"]),
     "multi_give_way": ({}, ["extra_render"]),
-    "navigation": ({"n_agents": 2}, ["extra_render"]),
+    # comms_range defaults to 0 (no comm lines) — use the reference's
+    # lidar_range-ish value so the lines actually draw
+    "navigation": ({"n_agents": 2, "comms_range": 5.0}, ["extra_render"]),
     "discovery": ({"n_agents": 2, "n_targets": 3}, ["extra_render"]),
     "sampling": ({"n_agents": 2}, ["extra_render"]),
     "simple_tag": ({}, ["extra_render"]),
@@ -38,7 +40,7 @@ EXTRA_RENDER_SCENARIOS = {
     "diff_drive": ({}, ["extra_render"]),
     "kinematic_bicycle": ({}, ["extra_render"]),
     "painting": ({"n_agents": 2, "n_goals": 2}, ["top_layer_render"]),
-    "road_traffic": ({"n_agents": 2}, ["extra_render"]),
+    "road_traffic": ({"n_agents": 3}, ["extra_render"]),
     "football": (
         {"n_blue_agents": 2, "n_red_agents": 2, "ai_red_agents": True,
          "n_traj_points": 4},

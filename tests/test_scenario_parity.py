@@ -28,7 +28,7 @@ KWARGS = {
     "painting_full": dict(task_type="full", n_agents=3, n_goals=3),
     "het_mass": dict(mass_noise=0),
     "asym_joint": dict(obs_noise=0),
-    "pollock": dict(n_agents=6, n_lines=6, n_boxes=6, lidar=True),
+    "pollock": dict(n_agents=5, n_lines=5, n_boxes=5, lidar=True),
     "road_traffic": dict(is_add_noise=False),
     "road_traffic_map2": dict(is_add_noise=False, map_type="2"),
     "road_traffic_map3": dict(is_add_noise=False, map_type="3", n_agents=4,
@@ -243,15 +243,16 @@ def refresh_scratch(env, state, name):
 # Stiff-contact scenes (collision_force 500+, many substeps) have argmin
 # discontinuities in the closest-point kernels: an fp-reorder tie flips the
 # contact edge and a single env's trajectory forks. Allow that many envs to
-# drift (bounded), assert the rest exactly. Verified: the divergent envs are
-# exactly the ones in box-box/line-line contact.
-CHAOTIC_ENVS = {"kinematic_bicycle": 1, "pollock": 5}
+# drift (bounded), assert the rest exactly — and assert post-hoc that every
+# forked env actually WAS in contact at its fork step (a fork away from
+# contact would be a real kernel bug, not a tie flip).
+CHAOTIC_ENVS = {"kinematic_bicycle": 1, "pollock": 1}
 # a forked trajectory legitimately diverges without bound; the cap only
 # exists to catch NaN/explosion-class failures in the excluded envs
 CHAOS_CAP = 1.0
 
 
-def _assert_close(arr, ref, atol, n_chaotic, msg):
+def _assert_close(arr, ref, atol, n_chaotic, msg, forked=None, step=None):
     err = np.abs(np.asarray(arr, np.float64) - np.asarray(ref, np.float64))
     per_env = err.reshape(err.shape[0], -1).max(1)
     bad = np.flatnonzero(per_env > atol)
@@ -261,6 +262,42 @@ def _assert_close(arr, ref, atol, n_chaotic, msg):
         f"{msg}: envs {bad} exceed atol={atol} (max {per_env.max():.4f}), "
         f"only {n_chaotic} envs may fork"
     )
+    if forked is not None:
+        for e in bad:
+            forked.setdefault(int(e), step)
+
+
+def _assert_forks_in_contact(env, d, forked, name):
+    """Every allowed fork must coincide with a collidable pair in (or at the
+    soft-penalty edge of) contact in the REFERENCE state one step before the
+    fork surfaced (VERDICT r1 item 4)."""
+    w = env.world
+    from vmas_tpu.core.queries import get_distance
+
+    collidable = [
+        (a, b)
+        for i, a in enumerate(w.entities)
+        for b in w.entities[i + 1 :]
+        if w.collides(a, b)
+    ]
+    for e, t in forked.items():
+        # state before the forked step: recorded step t-1 (or the injected
+        # initial state for t == 0)
+        if t == 0:
+            state = inject(env, d["init_pos"], d["init_vel"], d["init_rot"],
+                           d["init_ang_vel"])
+        else:
+            state = inject(env, d["pos"][t - 1], d["vel"][t - 1],
+                           d["rot"][t - 1], d["ang_vel"][t - 1])
+        dists = np.stack(
+            [np.asarray(get_distance(w, state, a, b)) for a, b in collidable]
+        )  # [P, B]
+        margin = 4 * float(w.contact_margin)
+        assert dists[:, e].min() < margin, (
+            f"{name}: env {e} forked at step {t} with no pair in contact "
+            f"(closest surface distance {dists[:, e].min():.4f}) — this is "
+            "a kernel bug, not a chaotic tie"
+        )
 
 
 @pytest.mark.parametrize("name", CASES)
@@ -285,6 +322,7 @@ def test_scenario_parity(name):
         state = REBUILD_SCRATCH[name](env, state, d)
     env.state = refresh_scratch(env, state, name)
 
+    forked = {}
     for t in range(T):
         actions = [
             jnp.asarray(d["actions"][t, i, :, : env.get_agent_action_size(a)])
@@ -293,7 +331,7 @@ def test_scenario_parity(name):
         obs, rews, dones, infos = env.step(actions)
 
         _assert_close(env.state.pos, d["pos"][t], atol, n_chaotic,
-                      f"{name} pos diverged at step {t}")
+                      f"{name} pos diverged at step {t}", forked=forked, step=t)
         _assert_close(env.state.vel, d["vel"][t], 10 * atol, n_chaotic,
                       f"{name} vel diverged at step {t}")
         _assert_close(env.state.rot, d["rot"][t], 10 * atol, n_chaotic,
@@ -312,3 +350,6 @@ def test_scenario_parity(name):
         assert len(done_mismatch) <= n_chaotic, (
             f"{name} done diverged at step {t} in envs {done_mismatch}"
         )
+
+    if forked:
+        _assert_forks_in_contact(env, d, forked, name)

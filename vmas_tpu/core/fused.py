@@ -8,9 +8,18 @@ keeps the whole state in VMEM for all substeps.
 Layout: the state is packed as component-rows [9E, B] (px, py, vx, vy, rot,
 w, fx, fy, tq per entity); lanes are environments. The kernel is generated
 per spec with every entity/pair rule unrolled over static python indices —
-a pure-VPU instruction stream with no gathers, scatters or layout changes.
+a pure-VPU instruction stream with no dynamic gathers or layout changes.
 (A matrix formulation with one-hot MXU gathers was measured slower at VMAS
 entity counts: MXU<->VPU switching costs more than the extra VPU ops.)
+
+Two pair formulations, auto-selected per pair type: few pairs run one
+(1, BLK) row computation each (transport/joint-class worlds); a type with
+>= _LANE_MIN pairs instead stacks its operands into a [P, BLK] tile
+(static sublane concatenation — the indices are compile-time constants) and
+runs ONE vectorized computation for all its pairs, with per-pair slice-adds
+scattering forces back. The tile form fills all 8 sublanes of every VREG,
+which is where the per-entity unroll lost to XLA on many-entity/few-type
+worlds (football-class).
 
 Semantics mirror physics.py exactly (same guard chains, same first-min
 tie-breaks); tests/test_fused.py asserts near-bitwise agreement against the
@@ -191,22 +200,35 @@ def _inner_point_box(ox, oy, sx, sy, bx, by):
 # 8 line-box candidates of 4 line-line tests each
 _PAIR_WEIGHT = {"ss": 1, "ls": 2, "ll": 5, "bs": 5, "bl": 20, "bb": 40}
 _MAX_UNROLL = 4000
+# pair types with at least this many pairs switch from per-pair unrolling to
+# ONE vectorized computation over a [P, BLK] tile (pairs on sublanes, envs on
+# lanes) — the many-entity/few-pair-type regime (football-class worlds) where
+# per-pair (1, BLK) rows waste 7/8 of every VREG
+_LANE_MIN = 8
+
+
+def _pair_cost(n, weight, substeps):
+    """Instruction-stream cost of one pair type: batched types cost one
+    vectorized computation per 8 sublanes, unrolled types one per pair."""
+    if n >= _LANE_MIN:
+        return (-(-n // 8) + n // 4) * weight * substeps  # compute + scatter
+    return n * weight * substeps
 
 
 def supports(world) -> bool:
     """Static eligibility for the fused path."""
     spec = world.spec
+    substeps = int(world.substeps)
     cost = (
-        len(spec.ss_a) * _PAIR_WEIGHT["ss"]
-        + len(spec.ls_line) * _PAIR_WEIGHT["ls"]
-        + len(spec.ll_a) * _PAIR_WEIGHT["ll"]
-        + len(spec.bs_box) * _PAIR_WEIGHT["bs"]
-        + len(spec.bl_box) * _PAIR_WEIGHT["bl"]
-        + len(spec.bb_a) * _PAIR_WEIGHT["bb"]
-        + len(spec.joint_idx_a) * 2
-    ) * int(world.substeps)
-    # very large unrolled programs (road_traffic-class worlds: hundreds of
-    # box-box pairs x substeps) explode Mosaic compile time; use the XLA path
+        _pair_cost(len(spec.ss_a), _PAIR_WEIGHT["ss"], substeps)
+        + _pair_cost(len(spec.ls_line), _PAIR_WEIGHT["ls"], substeps)
+        + _pair_cost(len(spec.ll_a), _PAIR_WEIGHT["ll"], substeps)
+        + _pair_cost(len(spec.bs_box), _PAIR_WEIGHT["bs"], substeps)
+        + _pair_cost(len(spec.bl_box), _PAIR_WEIGHT["bl"], substeps)
+        + _pair_cost(len(spec.bb_a), _PAIR_WEIGHT["bb"], substeps)
+        + len(spec.joint_idx_a) * 2 * substeps
+    )
+    # very large unrolled programs explode Mosaic compile time; use XLA
     return cost <= _MAX_UNROLL
 
 
@@ -249,6 +271,36 @@ def _make_kernel(world):
             dgx = [row(9 * E + J + e) for e in range(E)]
             dgy = [row(9 * E + J + E + e) for e in range(E)]
 
+        stack = lambda rows: jnp.concatenate(rows, axis=0)  # [(1,BLK)] -> [P,BLK]
+        crow = lambda vals: stack([jnp.full_like(px[0], float(v)) for v in vals])
+
+        # per-pair-type constant tiles, hoisted out of the substep loop
+        if len(spec.ss_a) >= _LANE_MIN:
+            ss_dmin = crow(np.asarray(spec.ss_ra) + np.asarray(spec.ss_rb))
+        if len(spec.ls_line) >= _LANE_MIN:
+            ls_half = crow(np.asarray(spec.ls_len) / 2)
+            ls_dmin = crow(np.asarray(spec.ls_rad) + LINE_MIN_DIST)
+        if len(spec.ll_a) >= _LANE_MIN:
+            ll_ha = crow(np.asarray(spec.ll_la) / 2)
+            ll_hb = crow(np.asarray(spec.ll_lb) / 2)
+        if len(spec.bs_box) >= _LANE_MIN:
+            bs_hw = crow(np.asarray(spec.bs_wid) / 2)
+            bs_hl = crow(np.asarray(spec.bs_len) / 2)
+            bs_rad = crow(np.asarray(spec.bs_rad))
+            bs_nh = crow(np.asarray(spec.bs_not_hollow, np.float32))
+        if len(spec.bl_box) >= _LANE_MIN:
+            bl_hw = crow(np.asarray(spec.bl_bwid) / 2)
+            bl_hl = crow(np.asarray(spec.bl_blen) / 2)
+            bl_lh = crow(np.asarray(spec.bl_llen) / 2)
+            bl_nh = crow(np.asarray(spec.bl_not_hollow, np.float32))
+        if len(spec.bb_a) >= _LANE_MIN:
+            bb_hwa = crow(np.asarray(spec.bb_wa) / 2)
+            bb_hla = crow(np.asarray(spec.bb_la) / 2)
+            bb_hwb = crow(np.asarray(spec.bb_wb) / 2)
+            bb_hlb = crow(np.asarray(spec.bb_lb) / 2)
+            bb_nha = crow(np.asarray(spec.bb_nha, np.float32))
+            bb_nhb = crow(np.asarray(spec.bb_nhb, np.float32))
+
         # action clamps persist on state.force/torque (physics.py:229-247);
         # idempotent, so hoisted out of the substep loop
         for e in range(E):
@@ -276,6 +328,13 @@ def _make_kernel(world):
             Fx = [None] * E
             Fy = [None] * E
             Tq = [None] * E
+            trig = {}
+
+            def cs(e):
+                """cos/sin of entity e's rotation, computed once per substep."""
+                if e not in trig:
+                    trig[e] = (jnp.cos(rot[e]), jnp.sin(rot[e]))
+                return trig[e]
 
             def addf(e, ax, ay):
                 if not movable[e]:
@@ -331,8 +390,8 @@ def _make_kernel(world):
                 aax, aay = float(spec.joint_anchor_a[j, 0]), float(spec.joint_anchor_a[j, 1])
                 abx, aby = float(spec.joint_anchor_b[j, 0]), float(spec.joint_anchor_b[j, 1])
                 dist = float(spec.joint_dist[j])
-                ca, sa = jnp.cos(rot[a]), jnp.sin(rot[a])
-                cb, sb = jnp.cos(rot[b]), jnp.sin(rot[b])
+                ca, sa = cs(a)
+                cb, sb = cs(b)
                 pjax = px[a] + aax * ca - aay * sa
                 pjay = py[a] + aax * sa + aay * ca
                 pjbx = px[b] + abx * cb - aby * sb
@@ -360,112 +419,250 @@ def _make_kernel(world):
                 addf(b, -fax, -fay)
                 addt(b, tb)
 
+            def scatter2(pairs, fx_p, fy_p):
+                """Slice-add a [P, BLK] pair force onto its two entities
+                (+ on a, - on b), in pair order — the same accumulation
+                order as the unrolled path."""
+                for k, (a, b) in enumerate(pairs):
+                    addf(a, fx_p[k : k + 1], fy_p[k : k + 1])
+                    addf(b, -fx_p[k : k + 1], -fy_p[k : k + 1])
+
             # sphere-sphere
-            for k in range(len(spec.ss_a)):
-                a, b = int(spec.ss_a[k]), int(spec.ss_b[k])
-                dmin = float(spec.ss_ra[k] + spec.ss_rb[k])
-                cfx, cfy = _constraint_force(cm, px[a], py[a], px[b], py[b], dmin, cf)
-                addf(a, cfx, cfy)
-                addf(b, -cfx, -cfy)
+            ss_pairs = [(int(a), int(b)) for a, b in zip(spec.ss_a, spec.ss_b)]
+            if len(ss_pairs) >= _LANE_MIN:
+                ax = stack([px[a] for a, _ in ss_pairs])
+                ay = stack([py[a] for a, _ in ss_pairs])
+                bx = stack([px[b] for _, b in ss_pairs])
+                by = stack([py[b] for _, b in ss_pairs])
+                cfx, cfy = _constraint_force(cm, ax, ay, bx, by, ss_dmin, cf)
+                scatter2(ss_pairs, cfx, cfy)
+            else:
+                for k, (a, b) in enumerate(ss_pairs):
+                    dmin = float(spec.ss_ra[k] + spec.ss_rb[k])
+                    cfx, cfy = _constraint_force(cm, px[a], py[a], px[b], py[b], dmin, cf)
+                    addf(a, cfx, cfy)
+                    addf(b, -cfx, -cfy)
 
             # line-sphere
-            for k in range(len(spec.ls_line)):
-                l, s = int(spec.ls_line[k]), int(spec.ls_sphere[k])
-                half = float(spec.ls_len[k]) / 2
-                cos, sin = jnp.cos(rot[l]), jnp.sin(rot[l])
-                cx, cy = _closest_point_line(px[l], py[l], cos, sin, half, px[s], py[s])
-                dmin = float(spec.ls_rad[k] + LINE_MIN_DIST)
-                sfx, sfy = _constraint_force(cm, px[s], py[s], cx, cy, dmin, cf)
-                addf(s, sfx, sfy)
-                addf(l, -sfx, -sfy)
-                addt(l, (cx - px[l]) * (-sfy) - (cy - py[l]) * (-sfx))
+            ls_pairs = [(int(l), int(s)) for l, s in zip(spec.ls_line, spec.ls_sphere)]
+            if len(ls_pairs) >= _LANE_MIN:
+                lx = stack([px[l] for l, _ in ls_pairs])
+                ly = stack([py[l] for l, _ in ls_pairs])
+                sx = stack([px[s] for _, s in ls_pairs])
+                sy = stack([py[s] for _, s in ls_pairs])
+                lcs = stack([cs(l)[0] for l, _ in ls_pairs])
+                lsn = stack([cs(l)[1] for l, _ in ls_pairs])
+                cx, cy = _closest_point_line(lx, ly, lcs, lsn, ls_half, sx, sy)
+                sfx, sfy = _constraint_force(cm, sx, sy, cx, cy, ls_dmin, cf)
+                tql = (cx - lx) * (-sfy) - (cy - ly) * (-sfx)
+                for k, (l, s) in enumerate(ls_pairs):
+                    addf(s, sfx[k : k + 1], sfy[k : k + 1])
+                    addf(l, -sfx[k : k + 1], -sfy[k : k + 1])
+                    addt(l, tql[k : k + 1])
+            else:
+                for k, (l, s) in enumerate(ls_pairs):
+                    half = float(spec.ls_len[k]) / 2
+                    cos, sin = cs(l)
+                    cx, cy = _closest_point_line(px[l], py[l], cos, sin, half, px[s], py[s])
+                    dmin = float(spec.ls_rad[k] + LINE_MIN_DIST)
+                    sfx, sfy = _constraint_force(cm, px[s], py[s], cx, cy, dmin, cf)
+                    addf(s, sfx, sfy)
+                    addf(l, -sfx, -sfy)
+                    addt(l, (cx - px[l]) * (-sfy) - (cy - py[l]) * (-sfx))
 
             # line-line
-            for k in range(len(spec.ll_a)):
-                a, b = int(spec.ll_a[k]), int(spec.ll_b[k])
-                ha, hb = float(spec.ll_la[k]) / 2, float(spec.ll_lb[k]) / 2
-                ca, sa = jnp.cos(rot[a]), jnp.sin(rot[a])
-                cb, sb = jnp.cos(rot[b]), jnp.sin(rot[b])
+            ll_pairs = [(int(a), int(b)) for a, b in zip(spec.ll_a, spec.ll_b)]
+            if len(ll_pairs) >= _LANE_MIN:
+                ax = stack([px[a] for a, _ in ll_pairs])
+                ay = stack([py[a] for a, _ in ll_pairs])
+                bx = stack([px[b] for _, b in ll_pairs])
+                by = stack([py[b] for _, b in ll_pairs])
+                ca = stack([cs(a)[0] for a, _ in ll_pairs])
+                sa = stack([cs(a)[1] for a, _ in ll_pairs])
+                cb = stack([cs(b)[0] for _, b in ll_pairs])
+                sb = stack([cs(b)[1] for _, b in ll_pairs])
                 pax, pay, pbx, pby = _closest_points_line_line(
-                    px[a], py[a], ca, sa, ha, px[b], py[b], cb, sb, hb
+                    ax, ay, ca, sa, ll_ha, bx, by, cb, sb, ll_hb
                 )
                 afx, afy = _constraint_force(cm, pax, pay, pbx, pby, LINE_MIN_DIST, cf)
-                addf(a, afx, afy)
-                addt(a, (pax - px[a]) * afy - (pay - py[a]) * afx)
-                addf(b, -afx, -afy)
-                addt(b, (pbx - px[b]) * (-afy) - (pby - py[b]) * (-afx))
+                tqa = (pax - ax) * afy - (pay - ay) * afx
+                tqb = (pbx - bx) * (-afy) - (pby - by) * (-afx)
+                for k, (a, b) in enumerate(ll_pairs):
+                    addf(a, afx[k : k + 1], afy[k : k + 1])
+                    addt(a, tqa[k : k + 1])
+                    addf(b, -afx[k : k + 1], -afy[k : k + 1])
+                    addt(b, tqb[k : k + 1])
+            else:
+                for k, (a, b) in enumerate(ll_pairs):
+                    ha, hb = float(spec.ll_la[k]) / 2, float(spec.ll_lb[k]) / 2
+                    ca, sa = cs(a)
+                    cb, sb = cs(b)
+                    pax, pay, pbx, pby = _closest_points_line_line(
+                        px[a], py[a], ca, sa, ha, px[b], py[b], cb, sb, hb
+                    )
+                    afx, afy = _constraint_force(cm, pax, pay, pbx, pby, LINE_MIN_DIST, cf)
+                    addf(a, afx, afy)
+                    addt(a, (pax - px[a]) * afy - (pay - py[a]) * afx)
+                    addf(b, -afx, -afy)
+                    addt(b, (pbx - px[b]) * (-afy) - (pby - py[b]) * (-afx))
 
             # box-sphere
-            for k in range(len(spec.bs_box)):
-                b, s = int(spec.bs_box[k]), int(spec.bs_sphere[k])
-                cos, sin = jnp.cos(rot[b]), jnp.sin(rot[b])
-                hw, hl = float(spec.bs_wid[k]) / 2, float(spec.bs_len[k]) / 2
-                cx, cy = _closest_point_box(px[b], py[b], cos, sin, hw, hl, px[s], py[s])
-                if bool(spec.bs_not_hollow[k]):
-                    ix, iy, d = _inner_point_box(px[s], py[s], cx, cy, px[b], py[b])
-                else:
-                    ix, iy, d = cx, cy, 0.0
-                dmin = float(spec.bs_rad[k]) + LINE_MIN_DIST + d
-                sfx, sfy = _constraint_force(cm, px[s], py[s], ix, iy, dmin, cf)
-                addf(s, sfx, sfy)
-                addf(b, -sfx, -sfy)
-                addt(b, (cx - px[b]) * (-sfy) - (cy - py[b]) * (-sfx))
+            bs_pairs = [(int(b), int(s)) for b, s in zip(spec.bs_box, spec.bs_sphere)]
+            if len(bs_pairs) >= _LANE_MIN:
+                bx = stack([px[b] for b, _ in bs_pairs])
+                by = stack([py[b] for b, _ in bs_pairs])
+                sx = stack([px[s] for _, s in bs_pairs])
+                sy = stack([py[s] for _, s in bs_pairs])
+                bcs = stack([cs(b)[0] for b, _ in bs_pairs])
+                bsn = stack([cs(b)[1] for b, _ in bs_pairs])
+                cx, cy = _closest_point_box(bx, by, bcs, bsn, bs_hw, bs_hl, sx, sy)
+                ihx, ihy, dh = _inner_point_box(sx, sy, cx, cy, bx, by)
+                nh = bs_nh > 0.5
+                ix = jnp.where(nh, ihx, cx)
+                iy = jnp.where(nh, ihy, cy)
+                d = jnp.where(nh, dh, 0.0)
+                dmin = bs_rad + LINE_MIN_DIST + d
+                sfx, sfy = _constraint_force(cm, sx, sy, ix, iy, dmin, cf)
+                tqb = (cx - bx) * (-sfy) - (cy - by) * (-sfx)
+                for k, (b, s) in enumerate(bs_pairs):
+                    addf(s, sfx[k : k + 1], sfy[k : k + 1])
+                    addf(b, -sfx[k : k + 1], -sfy[k : k + 1])
+                    addt(b, tqb[k : k + 1])
+            else:
+                for k, (b, s) in enumerate(bs_pairs):
+                    cos, sin = cs(b)
+                    hw, hl = float(spec.bs_wid[k]) / 2, float(spec.bs_len[k]) / 2
+                    cx, cy = _closest_point_box(px[b], py[b], cos, sin, hw, hl, px[s], py[s])
+                    if bool(spec.bs_not_hollow[k]):
+                        ix, iy, d = _inner_point_box(px[s], py[s], cx, cy, px[b], py[b])
+                    else:
+                        ix, iy, d = cx, cy, 0.0
+                    dmin = float(spec.bs_rad[k]) + LINE_MIN_DIST + d
+                    sfx, sfy = _constraint_force(cm, px[s], py[s], ix, iy, dmin, cf)
+                    addf(s, sfx, sfy)
+                    addf(b, -sfx, -sfy)
+                    addt(b, (cx - px[b]) * (-sfy) - (cy - py[b]) * (-sfx))
 
             # box-line
-            for k in range(len(spec.bl_box)):
-                b, l = int(spec.bl_box[k]), int(spec.bl_line[k])
-                cos, sin = jnp.cos(rot[b]), jnp.sin(rot[b])
-                lcos, lsin = jnp.cos(rot[l]), jnp.sin(rot[l])
-                hw, hl = float(spec.bl_bwid[k]) / 2, float(spec.bl_blen[k]) / 2
-                lhalf = float(spec.bl_llen[k]) / 2
+            bl_pairs = [(int(b), int(l)) for b, l in zip(spec.bl_box, spec.bl_line)]
+            if len(bl_pairs) >= _LANE_MIN:
+                bx = stack([px[b] for b, _ in bl_pairs])
+                by = stack([py[b] for b, _ in bl_pairs])
+                lx = stack([px[l] for _, l in bl_pairs])
+                ly = stack([py[l] for _, l in bl_pairs])
+                bcs = stack([cs(b)[0] for b, _ in bl_pairs])
+                bsn = stack([cs(b)[1] for b, _ in bl_pairs])
+                lcs = stack([cs(l)[0] for _, l in bl_pairs])
+                lsn = stack([cs(l)[1] for _, l in bl_pairs])
                 qbx, qby, qlx, qly = _closest_line_box(
-                    px[b], py[b], cos, sin, hw, hl, px[l], py[l], lcos, lsin, lhalf
+                    bx, by, bcs, bsn, bl_hw, bl_hl, lx, ly, lcs, lsn, bl_lh
                 )
-                if bool(spec.bl_not_hollow[k]):
-                    ix, iy, d = _inner_point_box(qlx, qly, qbx, qby, px[b], py[b])
-                else:
-                    ix, iy, d = qbx, qby, 0.0
+                ihx, ihy, dh = _inner_point_box(qlx, qly, qbx, qby, bx, by)
+                nh = bl_nh > 0.5
+                ix = jnp.where(nh, ihx, qbx)
+                iy = jnp.where(nh, ihy, qby)
+                d = jnp.where(nh, dh, 0.0)
                 bfx, bfy = _constraint_force(cm, ix, iy, qlx, qly, LINE_MIN_DIST + d, cf)
-                addf(b, bfx, bfy)
-                addt(b, (qbx - px[b]) * bfy - (qby - py[b]) * bfx)
-                addf(l, -bfx, -bfy)
-                addt(l, (qlx - px[l]) * (-bfy) - (qly - py[l]) * (-bfx))
+                tqb = (qbx - bx) * bfy - (qby - by) * bfx
+                tql = (qlx - lx) * (-bfy) - (qly - ly) * (-bfx)
+                for k, (b, l) in enumerate(bl_pairs):
+                    addf(b, bfx[k : k + 1], bfy[k : k + 1])
+                    addt(b, tqb[k : k + 1])
+                    addf(l, -bfx[k : k + 1], -bfy[k : k + 1])
+                    addt(l, tql[k : k + 1])
+            else:
+                for k, (b, l) in enumerate(bl_pairs):
+                    cos, sin = cs(b)
+                    lcos, lsin = cs(l)
+                    hw, hl = float(spec.bl_bwid[k]) / 2, float(spec.bl_blen[k]) / 2
+                    lhalf = float(spec.bl_llen[k]) / 2
+                    qbx, qby, qlx, qly = _closest_line_box(
+                        px[b], py[b], cos, sin, hw, hl, px[l], py[l], lcos, lsin, lhalf
+                    )
+                    if bool(spec.bl_not_hollow[k]):
+                        ix, iy, d = _inner_point_box(qlx, qly, qbx, qby, px[b], py[b])
+                    else:
+                        ix, iy, d = qbx, qby, 0.0
+                    bfx, bfy = _constraint_force(cm, ix, iy, qlx, qly, LINE_MIN_DIST + d, cf)
+                    addf(b, bfx, bfy)
+                    addt(b, (qbx - px[b]) * bfy - (qby - py[b]) * bfx)
+                    addf(l, -bfx, -bfy)
+                    addt(l, (qlx - px[l]) * (-bfy) - (qly - py[l]) * (-bfx))
 
             # box-box
-            for k in range(len(spec.bb_a)):
-                a, b = int(spec.bb_a[k]), int(spec.bb_b[k])
-                ca, sa = jnp.cos(rot[a]), jnp.sin(rot[a])
-                cb, sb = jnp.cos(rot[b]), jnp.sin(rot[b])
-                hwa, hla = float(spec.bb_wa[k]) / 2, float(spec.bb_la[k]) / 2
-                hwb, hlb = float(spec.bb_wb[k]) / 2, float(spec.bb_lb[k]) / 2
+            bb_pairs = [(int(a), int(b)) for a, b in zip(spec.bb_a, spec.bb_b)]
+
+            def _bb_closest(ax_, ay_, ca, sa, hwa, hla, bx_, by_, cb, sb, hwb, hlb):
                 # candidate order mirrors geometry.closest_box_box: a's edges
                 # vs b's perimeter first, then b's edges vs a's perimeter;
                 # tuples are (point_on_a, point_on_b), first minimum wins
                 cands = []
-                for ex, ey, ecos, esin, ehalf in _box_edges(px[a], py[a], ca, sa, hwa, hla):
+                for ex, ey, ecos, esin, ehalf in _box_edges(ax_, ay_, ca, sa, hwa, hla):
                     onb_x, onb_y, ona_x, ona_y = _closest_line_box(
-                        px[b], py[b], cb, sb, hwb, hlb, ex, ey, ecos, esin, ehalf
+                        bx_, by_, cb, sb, hwb, hlb, ex, ey, ecos, esin, ehalf
                     )
                     cands.append((ona_x, ona_y, onb_x, onb_y))
-                for ex, ey, ecos, esin, ehalf in _box_edges(px[b], py[b], cb, sb, hwb, hlb):
+                for ex, ey, ecos, esin, ehalf in _box_edges(bx_, by_, cb, sb, hwb, hlb):
                     ona_x, ona_y, onb_x, onb_y = _closest_line_box(
-                        px[a], py[a], ca, sa, hwa, hla, ex, ey, ecos, esin, ehalf
+                        ax_, ay_, ca, sa, hwa, hla, ex, ey, ecos, esin, ehalf
                     )
                     cands.append((ona_x, ona_y, onb_x, onb_y))
-                qax, qay, qbx, qby = _pick_closest(cands)
-                if bool(spec.bb_nha[k]):
-                    iax, iay, da = _inner_point_box(qbx, qby, qax, qay, px[a], py[a])
-                else:
-                    iax, iay, da = qax, qay, 0.0
-                if bool(spec.bb_nhb[k]):
-                    ibx, iby, db = _inner_point_box(qax, qay, qbx, qby, px[b], py[b])
-                else:
-                    ibx, iby, db = qbx, qby, 0.0
-                afx, afy = _constraint_force(cm, iax, iay, ibx, iby, da + db + LINE_MIN_DIST, cf)
-                addf(a, afx, afy)
-                addt(a, (qax - px[a]) * afy - (qay - py[a]) * afx)
-                addf(b, -afx, -afy)
-                addt(b, (qbx - px[b]) * (-afy) - (qby - py[b]) * (-afx))
+                return _pick_closest(cands)
+
+            if len(bb_pairs) >= _LANE_MIN:
+                ax = stack([px[a] for a, _ in bb_pairs])
+                ay = stack([py[a] for a, _ in bb_pairs])
+                bx = stack([px[b] for _, b in bb_pairs])
+                by = stack([py[b] for _, b in bb_pairs])
+                ca = stack([cs(a)[0] for a, _ in bb_pairs])
+                sa = stack([cs(a)[1] for a, _ in bb_pairs])
+                cb = stack([cs(b)[0] for _, b in bb_pairs])
+                sb = stack([cs(b)[1] for _, b in bb_pairs])
+                qax, qay, qbx, qby = _bb_closest(
+                    ax, ay, ca, sa, bb_hwa, bb_hla, bx, by, cb, sb, bb_hwb, bb_hlb
+                )
+                iahx, iahy, dah = _inner_point_box(qbx, qby, qax, qay, ax, ay)
+                nha = bb_nha > 0.5
+                iax = jnp.where(nha, iahx, qax)
+                iay = jnp.where(nha, iahy, qay)
+                da = jnp.where(nha, dah, 0.0)
+                ibhx, ibhy, dbh = _inner_point_box(qax, qay, qbx, qby, bx, by)
+                nhb = bb_nhb > 0.5
+                ibx = jnp.where(nhb, ibhx, qbx)
+                iby = jnp.where(nhb, ibhy, qby)
+                db = jnp.where(nhb, dbh, 0.0)
+                afx, afy = _constraint_force(
+                    cm, iax, iay, ibx, iby, da + db + LINE_MIN_DIST, cf
+                )
+                tqa = (qax - ax) * afy - (qay - ay) * afx
+                tqb = (qbx - bx) * (-afy) - (qby - by) * (-afx)
+                for k, (a, b) in enumerate(bb_pairs):
+                    addf(a, afx[k : k + 1], afy[k : k + 1])
+                    addt(a, tqa[k : k + 1])
+                    addf(b, -afx[k : k + 1], -afy[k : k + 1])
+                    addt(b, tqb[k : k + 1])
+            else:
+                for k, (a, b) in enumerate(bb_pairs):
+                    ca, sa = cs(a)
+                    cb, sb = cs(b)
+                    hwa, hla = float(spec.bb_wa[k]) / 2, float(spec.bb_la[k]) / 2
+                    hwb, hlb = float(spec.bb_wb[k]) / 2, float(spec.bb_lb[k]) / 2
+                    qax, qay, qbx, qby = _bb_closest(
+                        px[a], py[a], ca, sa, hwa, hla, px[b], py[b], cb, sb, hwb, hlb
+                    )
+                    if bool(spec.bb_nha[k]):
+                        iax, iay, da = _inner_point_box(qbx, qby, qax, qay, px[a], py[a])
+                    else:
+                        iax, iay, da = qax, qay, 0.0
+                    if bool(spec.bb_nhb[k]):
+                        ibx, iby, db = _inner_point_box(qax, qay, qbx, qby, px[b], py[b])
+                    else:
+                        ibx, iby, db = qbx, qby, 0.0
+                    afx, afy = _constraint_force(cm, iax, iay, ibx, iby, da + db + LINE_MIN_DIST, cf)
+                    addf(a, afx, afy)
+                    addt(a, (qax - px[a]) * afy - (qay - py[a]) * afx)
+                    addf(b, -afx, -afy)
+                    addt(b, (qbx - px[b]) * (-afy) - (qby - py[b]) * (-afx))
 
             # integrate (physics.py:413-441)
             for e in range(E):
@@ -521,7 +718,9 @@ def _make_kernel(world):
 def _blk_for(bp: int, n_rows: int) -> int:
     """Largest 128-multiple block that divides the padded batch while the
     kernel's in+out VMEM blocks stay within budget (~8 MB of the v5e's
-    ~16 MB VMEM, leaving room for live intermediates)."""
+    ~16 MB VMEM, leaving room for live intermediates). ``n_rows`` should
+    include an allowance for the lane-batched pair tiles' live
+    intermediates."""
     budget = 8 * 2**20
     best = 128
     blk = 128
@@ -530,6 +729,23 @@ def _blk_for(bp: int, n_rows: int) -> int:
             best = blk
         blk += 128
     return best
+
+
+def _batched_rows_estimate(spec) -> int:
+    """Rough count of live [P, BLK] intermediate rows for the lane-batched
+    pair computations (used to shrink the batch block so they fit VMEM)."""
+    rows = 0
+    for n, per_pair in (
+        (len(spec.ss_a), 6),
+        (len(spec.ls_line), 10),
+        (len(spec.ll_a), 16),
+        (len(spec.bs_box), 14),
+        (len(spec.bl_box), 24),
+        (len(spec.bb_a), 32),
+    ):
+        if n >= _LANE_MIN:
+            rows = max(rows, n * per_pair)
+    return rows
 
 
 def fused_physics_step(world, state):
@@ -557,7 +773,7 @@ def fused_physics_step(world, state):
     bp = -(-B // 128) * 128
     if bp != B:
         x = jnp.pad(x, ((0, 0), (0, bp - B)))
-    blk = _blk_for(bp, R + 9 * E)
+    blk = _blk_for(bp, R + 9 * E + _batched_rows_estimate(spec))
 
     kernel = _make_kernel(world)
     # when the input has no extra (joint / dyn-gravity) rows it can donate its

@@ -62,24 +62,43 @@ def rectangle_vertices(center, yaw, width, length):
 
 def perpendicular_distances(point, polyline, n_points):
     """Min distance from point [..., 2] to padded polyline [..., M, 2]
-    (reference road_traffic.py:3395-3455). Returns (dist, adjusted index)."""
-    starts = polyline[..., :-1, :]
-    vecs = polyline[..., 1:, :] - starts
-    pv = point[..., None, :] - starts
-    ll = jnp.sum(vecs * vecs, -1) + 1e-8
-    t = jnp.clip(jnp.sum(pv * vecs, -1) / ll, 0, 1)
-    closest = starts + vecs * t[..., None]
-    d = safe_norm(closest - point[..., None, :])  # [..., M-1]
+    (reference road_traffic.py:3395-3455). Returns (dist, adjusted index).
+
+    Internally computed on x/y-component-split [..., M] arrays: identical
+    arithmetic (every multiply/add pairs up the same way), but the big
+    intermediates carry M on the minor axis instead of the coordinate pair —
+    a [..., M, 2] array puts 2 elements on the TPU's 128 lanes, and these
+    sweeps are road_traffic's hot spot (~86% of its step)."""
+    sx = polyline[..., :-1, 0]
+    sy = polyline[..., :-1, 1]
+    vx = polyline[..., 1:, 0] - sx
+    vy = polyline[..., 1:, 1] - sy
+    px = point[..., 0:1]
+    py = point[..., 1:2]
+    pvx = px - sx
+    pvy = py - sy
+    ll = vx * vx + vy * vy + 1e-8
+    t = jnp.clip((pvx * vx + pvy * vy) / ll, 0, 1)
+    dx = (sx + vx * t) - px
+    dy = (sy + vy * t) - py
+    sq = dx * dx + dy * dy
+    d = jnp.where(sq == 0.0, 0.0, jnp.sqrt(jnp.where(sq == 0.0, 1.0, sq)))  # [..., M-1]
     M1 = d.shape[-1]
     seg_idx = jnp.arange(M1)
-    # segments at/after the polyline end inherit the end-segment distance
-    end_d = jnp.take_along_axis(d, jnp.maximum(n_points - 2, 0)[..., None], axis=-1)
+    # segments at/after the polyline end inherit the end-segment distance.
+    # end_d / the returned min are one-hot reductions, not take_along_axis
+    # gathers: gathers break XLA's loop fusion and force the [..., M]
+    # intermediates through HBM (values are bitwise identical — the one-hot
+    # sum has exactly one nonzero term, and min == d[argmin])
+    end_seg = jnp.maximum(n_points - 2, 0)[..., None]
+    end_d = jnp.sum(jnp.where(seg_idx == end_seg, d, 0.0), axis=-1, keepdims=True)
     d = jnp.where(seg_idx >= (n_points - 1)[..., None], end_d, d)
     idx = jnp.argmin(d, axis=-1)
-    return jnp.take_along_axis(d, idx[..., None], -1)[..., 0], (idx + 1).astype(jnp.int32)
+    return jnp.min(d, axis=-1), (idx + 1).astype(jnp.int32)
 
 
-def short_term_path(polyline, idx_closest, n_return, is_loop, n_points, sample_interval, n_points_shift):
+def short_term_path(polyline, idx_closest, n_return, is_loop, n_points,
+                    sample_interval, n_points_shift):
     """Reference road_traffic.py:3458-3525. Returns [..., n_return, 2]."""
     fut = (
         jnp.arange(n_return, dtype=jnp.int32) * sample_interval
@@ -464,12 +483,11 @@ class Scenario(BaseScenario):
         n_l = self.P.n_left[pid]
         n_r = self.P.n_right[pid]
 
-        d_ref, idx_ref = perpendicular_distances(pos, center, n_pts)
-
         verts = rectangle_vertices(pos, rot, self.agent_width, self.l_f + self.l_r)
         # one batched sweep for CG + 4 corners against each boundary
         # (reference loops 5 separate cdist scans, road_traffic.py:1650-1700)
         pts = jnp.concatenate([pos[:, :, None, :], verts[:, :, :4]], axis=2)  # [B, A, 5, 2]
+        d_ref, idx_ref = perpendicular_distances(pos, center, n_pts)
         dl5, idx_l5 = perpendicular_distances(
             pts, left_b[:, :, None], jnp.broadcast_to(n_l[:, :, None], n_l.shape + (5,))
         )  # [B, A, 5]
@@ -947,6 +965,15 @@ class Scenario(BaseScenario):
             "is_collision_with_agents": s["coll_agents"][:, i].any(-1),
             "is_collision_with_lanelets": s["coll_lanelets"].any(-1),
         }
+
+    def extra_render(self, env, ax, env_index: int = 0):
+        """All lanelet left/right boundary polylines (reference
+        road_traffic.py extra_render 'Visualize all lanelets' block)."""
+        from vmas_tpu.render import draw
+
+        for lanelet in self.map_data["lanelets"].values():
+            draw.draw_polyline(ax, lanelet["left"], (0, 0, 0), width=0.5)
+            draw.draw_polyline(ax, lanelet["right"], (0, 0, 0), width=0.5)
 
 
 class SimpleNamespaceJnp:

@@ -1,6 +1,9 @@
-"""road_traffic step-time: global polyline sweep vs windowed search.
+"""road_traffic step-time benchmark.
 
 Run on the real TPU:  python tests/golden/bench_road_traffic.py
+History: the windowed-search variant this script once compared was measured
+slower than the dense sweep (TPU element gathers ~20 GB/s) and removed; see
+docs/PERFORMANCE.md "road_traffic" notes.
 """
 
 import os
@@ -15,9 +18,8 @@ from vmas_tpu import make_env
 from vmas_tpu.parallel.rollout import rollout_fn
 
 
-def bench(B, window, horizon=20, reps=5, **kw):
-    env = make_env("road_traffic", num_envs=B, seed=0, search_window=window,
-                   is_add_noise=False, **kw)
+def bench(B, horizon=20, reps=5, **kw):
+    env = make_env("road_traffic", num_envs=B, seed=0, is_add_noise=False, **kw)
     run = jax.jit(rollout_fn(env, horizon=horizon))
     key = jax.random.PRNGKey(0)
     state, steps, traj = run(env.state, env.steps, key)
@@ -37,15 +39,11 @@ def bench(B, window, horizon=20, reps=5, **kw):
         state, steps, traj = run(state, steps, jax.random.fold_in(key, r))
         jax.block_until_ready(traj["rewards"])
         best = min(best, (time.perf_counter() - t0) / horizon)
-    tag = f"W={window}" if window else "global"
-    print(f"road_traffic B={B} {tag:>6}: {best * 1e6:9.1f} us/step "
+    print(f"road_traffic B={B}: {best * 1e6:9.1f} us/step "
           f"({B / best / 1e6:5.2f}M env-steps/s)")
     return best
 
 
 if __name__ == "__main__":
-    for B in (512,):
-        g = bench(B, 0)
-        for W in (16, 32, 64):
-            w = bench(B, W)
-            print(f"  -> W={W}: {g / w:.2f}x faster than global")
+    for B in (512, 2048):
+        bench(B)

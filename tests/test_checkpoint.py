@@ -55,7 +55,7 @@ def test_state_checkpoint_shape_mismatch(tmp_path):
     env = make_env("transport", num_envs=3, seed=0)
     save_state(env.state, path)
     other = make_env("balance", num_envs=3, seed=0)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         load_state(other.state, path)
 
 

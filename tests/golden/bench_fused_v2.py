@@ -99,8 +99,10 @@ if __name__ == "__main__":
     args = p.parse_args()
 
     if not args.skip_parity:
-        compare("dispersion", n_agents=6)            # ss tile (15)
-        compare("pollock", n_agents=4, n_lines=4, n_boxes=4)  # ls/bs/bl tiles
+        # NOTE dispersion is useless here: all its entities are collide=False
+        # (zero pairs). football covers the ss tile (21 pairs).
+        compare("pollock", n_agents=4, n_lines=4, n_boxes=4)  # batched ls/bs/bl + unrolled ll/bb
+        compare("pollock", n_agents=4, n_lines=6, n_boxes=6)  # ALL SIX tile branches (ll 15, bb 15)
         compare("football", B=5, n_blue_agents=3, n_red_agents=3,
                 ai_red_agents=False, ai_blue_agents=False, dense_reward=True)
         compare("transport", n_agents=3)             # unrolled control case

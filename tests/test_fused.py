@@ -13,7 +13,8 @@ import pytest
 
 from vmas_tpu import make_env
 
-# scenario -> pair kernels it exercises
+# case -> pair kernels it exercises (unrolled branches at few pairs,
+# lane-batched tile branches at >= _LANE_MIN pairs)
 CASES = {
     "dispersion": "ss (agents)",
     "transport": "ss + box-sphere (movable box, clamps)",
@@ -22,18 +23,26 @@ CASES = {
     "reverse_transport": "box-sphere non-hollow + box-box",
     "passage": "box landmarks + ss",
     "kinematic_bicycle": "box-box contact, substeps=10",
-    "pollock": "ss + ls + ll + bs + bl + bb soup",
+    "pollock": "unrolled ll/bb + batched ls/bs/bl soup",
+    "pollock_dense": "ALL SIX lane-batched tile branches (ll 15, bb 15)",
     "wind_flocking": "per-env dynamic gravity + linear friction",
 }
 KWARGS = {
     "pollock": dict(n_agents=4, n_lines=4, n_boxes=4),
+    # 6 lines / 6 boxes push ll (15) and bb (15) over _LANE_MIN: every
+    # shape-pair type runs its lane-batched tile branch. Counter-intuitively
+    # CHEAP in interpret mode — each batched type is a handful of big vector
+    # ops, where the 4/4/4 config's UNROLLED ll/bb chains cost minutes.
+    "pollock_dense": dict(n_agents=4, n_lines=6, n_boxes=6),
     "transport": dict(n_agents=3),
 }
+SCENARIO_OF = {"pollock_dense": "pollock"}
 
 # rollout steps per case: interpret-mode pallas on the 1-vCPU CI host costs
 # minutes per execution for the largest unrolled programs (substeps x pairs),
 # so the heavy cases verify one genuine kernel execution instead of five
-STEPS = {"kinematic_bicycle": 1, "pollock": 1, "wind_flocking": 2}
+STEPS = {"kinematic_bicycle": 1, "pollock": 1, "pollock_dense": 2,
+         "wind_flocking": 2}
 # pollock's unrolled ll/bb candidate chains make interpret mode exceed 400 s
 # even for one step; its fused parity runs on the chip instead
 # (tests/golden/bench_fused_v2.py: max err 3.8e-5 over 4 steps)
@@ -83,7 +92,8 @@ def test_fused_matches_xla(scenario, monkeypatch):
         pytest.skip("interpret mode too slow on CPU; covered on-chip by "
                     "tests/golden/bench_fused_v2.py")
     env_ref, env_fus, step_ref, step_fus, calls = _make_step_pair(
-        scenario, 7, 3, monkeypatch, **KWARGS.get(scenario, {})
+        SCENARIO_OF.get(scenario, scenario), 7, 3, monkeypatch,
+        **KWARGS.get(scenario, {})
     )
     state = _randomized(env_ref, jax.random.PRNGKey(42))
 

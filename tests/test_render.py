@@ -85,6 +85,23 @@ def test_reference_extra_render_files_all_covered():
     assert reference_files <= set(EXTRA_RENDER_SCENARIOS)
 
 
+def test_legacy_hook_signature_still_renders():
+    """A scenario written against the pre-round-2 geom-list contract
+    (``extra_render(self, env_index=0) -> list``) must not crash
+    env.render — the viewer detects the arity and calls it legacy-style."""
+    env = make_env("dispersion", num_envs=2, seed=0)
+
+    calls = []
+
+    def legacy_hook(env_index=0):
+        calls.append(env_index)
+        return []
+
+    env.scenario.extra_render = legacy_hook
+    frame = env.render(mode="rgb_array", env_index=0)
+    assert frame.ndim == 3 and calls == [0]
+
+
 @pytest.mark.parametrize("scenario", ["passage", "football", "sampling"])
 def test_rgb_render_includes_extras(scenario):
     """Full viewer path: rgb frame renders and the scenario hook changes

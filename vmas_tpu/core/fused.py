@@ -732,20 +732,24 @@ def _blk_for(bp: int, n_rows: int) -> int:
 
 
 def _batched_rows_estimate(spec) -> int:
-    """Rough count of live [P, BLK] intermediate rows for the lane-batched
-    pair computations (used to shrink the batch block so they fit VMEM)."""
-    rows = 0
-    for n, per_pair in (
-        (len(spec.ss_a), 6),
-        (len(spec.ls_line), 10),
-        (len(spec.ll_a), 16),
-        (len(spec.bs_box), 14),
-        (len(spec.bl_box), 24),
-        (len(spec.bb_a), 32),
+    """Rough count of live [P, BLK] rows for the lane-batched pair
+    computations (used to shrink the batch block so they fit VMEM):
+    the largest transient per-type working set PLUS the per-type constant
+    tiles, which are hoisted before the substep loop and stay resident."""
+    transient = 0
+    resident = 0
+    for n, per_pair, n_consts in (
+        (len(spec.ss_a), 6, 1),
+        (len(spec.ls_line), 10, 2),
+        (len(spec.ll_a), 16, 2),
+        (len(spec.bs_box), 14, 4),
+        (len(spec.bl_box), 24, 4),
+        (len(spec.bb_a), 32, 6),
     ):
         if n >= _LANE_MIN:
-            rows = max(rows, n * per_pair)
-    return rows
+            transient = max(transient, n * per_pair)
+            resident += n * n_consts
+    return transient + resident
 
 
 def fused_physics_step(world, state):

@@ -129,6 +129,24 @@ def render_function_util(f, plot_range, ax, cmap_range=None, cmap_alpha=0.5,
     ax.imshow(img, extent=(x_min, x_max, y_min, y_max), origin="lower", zorder=-1)
 
 
+def _call_render_hook(hook, env, ax, env_index):
+    """Invoke a scenario render hook. The contract is
+    ``hook(env, ax, env_index)``; a hook written against the pre-round-2
+    signature ``hook(env_index=0) -> list`` (the reference's geom-list
+    style) is detected by arity and called legacy-style, its return value
+    ignored."""
+    import inspect
+
+    try:
+        n_params = len(inspect.signature(hook).parameters)
+    except (TypeError, ValueError):
+        n_params = 3
+    if n_params >= 3:
+        hook(env, ax, env_index)
+    else:
+        hook(env_index)
+
+
 def render_env(
     env,
     mode: str = "human",
@@ -173,14 +191,14 @@ def render_env(
             cmap_name=plot_position_function_cmap_name,
         )
     # scenario-specific extras (reference BaseScenario.extra_render)
-    scenario.extra_render(env, ax, env_index)
+    _call_render_hook(scenario.extra_render, env, ax, env_index)
     for patch in _entity_patches(env, state, env_index, ax):
         ax.add_patch(patch)
     _draw_sensors(ax, env, state, env_index)
     _draw_actions(ax, env, state, env_index)
     # drawn ABOVE the entity geoms (reference BaseScenario.top_layer_render,
     # scenario.py:24-451 hook list)
-    scenario.top_layer_render(env, ax, env_index)
+    _call_render_hook(scenario.top_layer_render, env, ax, env_index)
 
     # camera (reference environment.py:855-903)
     pos = np.asarray(state.pos[env_index])

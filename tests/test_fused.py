@@ -112,6 +112,36 @@ def test_fused_matches_xla(scenario, monkeypatch):
     assert calls["n"] >= 1, "fused_physics_step was never traced — test vacuous"
 
 
+def test_fused_outputs_match_scenario_path():
+    """Scenario-fused outputs (obs/rewards/done emitted as kernel rows —
+    transport.make_fused_outputs) must equal the normal hook pipeline:
+    same obs, same rewards, same dones, same scratch evolution."""
+    env_ref = make_env("transport", num_envs=5, seed=2, n_agents=3)
+    env_fus = make_env("transport", num_envs=5, seed=2, n_agents=3,
+                       fused_physics=True)
+    assert env_fus._fused_outputs is not None, "fused outputs not engaged"
+
+    for t in range(4):
+        actions = env_ref.get_random_actions()
+        obs_r, rews_r, dones_r, infos_r = env_ref.step(actions)
+        obs_f, rews_f, dones_f, infos_f = env_fus.step(actions)
+        for i in range(len(obs_r)):
+            np.testing.assert_allclose(
+                np.asarray(obs_f[i]), np.asarray(obs_r[i]),
+                atol=2e-5, rtol=1e-5, err_msg=f"obs[{i}] diverged at step {t}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(rews_f[i]), np.asarray(rews_r[i]),
+                atol=2e-3, err_msg=f"rew[{i}] diverged at step {t}",
+            )
+        np.testing.assert_array_equal(np.asarray(dones_f), np.asarray(dones_r))
+        np.testing.assert_allclose(
+            np.asarray(env_fus.state.scenario["global_shaping"]),
+            np.asarray(env_ref.state.scenario["global_shaping"]),
+            atol=2e-3, err_msg=f"shaping scratch diverged at step {t}",
+        )
+
+
 def test_fused_composes_with_env_sharding():
     """fused physics under an env-axis mesh: the pallas grid only blocks the
     lane (env) axis, so pjit partitions it per shard."""

@@ -232,7 +232,33 @@ def supports(world) -> bool:
     return cost <= _MAX_UNROLL
 
 
-def _make_kernel(world):
+class FusedOutputs:
+    """Protocol for fusing a scenario's observations/rewards/termination
+    into the physics kernel (opt-in per scenario via
+    ``Scenario.make_fused_outputs(world)``; see transport's implementation).
+
+    The non-physics half of an env step (obs + rewards + done) costs as much
+    HBM/dispatch as the physics at VMAS scales; a scenario whose outputs are
+    arithmetic over entity state can emit them as extra kernel output rows
+    while the state is still in VMEM. The scenario remains the single
+    source of the MATH (its emit mirrors observation()/reward() line for
+    line and is asserted equal by tests/test_fused.py); the env pipeline
+    stays the single source of the STEP STRUCTURE (environment.py gates on
+    this object and skips only the hooks the kernel replaced).
+
+    Required members:
+      n_scratch_in: int — extra input rows appended after the state rows
+      n_out: int — extra output rows appended after the 9E state rows
+      scratch_rows(state) -> [n_scratch_in, B] array
+      emit(ctx) -> list of n_out (1, BLK) rows; ctx is a dict with the
+          post-integration per-entity rows px/py/vx/vy/rot/w and the
+          scratch rows under "scratch"
+      unpack(extra [n_out, B], state) -> (obs_tuple, rews_tuple,
+          terminated [B] bool, scratch_updates dict)
+    """
+
+
+def _make_kernel(world, outputs=None):
     """Generate the per-spec kernel: static structure is baked into the
     program as python scalars (one unrolled instruction stream per spec —
     no array constants, which TPU pallas kernels may not capture). Rows are
@@ -255,6 +281,8 @@ def _make_kernel(world):
     torque_constraint_force = float(world.torque_constraint_force)
     dyn_gravity = bool(getattr(world, "dynamic_gravity", False))
 
+    K_in = int(outputs.n_scratch_in) if outputs is not None else 0
+
     def kernel(x_ref, o_ref):
         row = lambda r: x_ref[r : r + 1, :]
         px = [row(e) for e in range(E)]
@@ -270,6 +298,8 @@ def _make_kernel(world):
         if dyn_gravity:
             dgx = [row(9 * E + J + e) for e in range(E)]
             dgy = [row(9 * E + J + E + e) for e in range(E)]
+        n_dyn = 2 * E if dyn_gravity else 0
+        scratch_in = [row(9 * E + J + n_dyn + k) for k in range(K_in)]
 
         stack = lambda rows: jnp.concatenate(rows, axis=0)  # [(1,BLK)] -> [P,BLK]
         crow = lambda vals: stack([jnp.full_like(px[0], float(v)) for v in vals])
@@ -712,6 +742,16 @@ def _make_kernel(world):
             o_ref[7 * E + e : 7 * E + e + 1, :] = fy[e]
             o_ref[8 * E + e : 8 * E + e + 1, :] = tq[e]
 
+        if outputs is not None:
+            ctx = {"px": px, "py": py, "vx": vx, "vy": vy, "rot": rot,
+                   "w": w, "scratch": scratch_in}
+            extra = outputs.emit(ctx)
+            assert len(extra) == int(outputs.n_out), (
+                f"emit produced {len(extra)} rows, n_out={outputs.n_out}"
+            )
+            for k, r in enumerate(extra):
+                o_ref[9 * E + k : 9 * E + k + 1, :] = r.astype(jnp.float32)
+
     return kernel
 
 
@@ -752,12 +792,18 @@ def _batched_rows_estimate(spec) -> int:
     return transient + resident
 
 
-def fused_physics_step(world, state):
-    """Drop-in replacement for physics.physics_step on supported worlds."""
+def fused_physics_step(world, state, outputs=None):
+    """Drop-in replacement for physics.physics_step on supported worlds.
+
+    With ``outputs`` (a :class:`FusedOutputs`), also computes the
+    scenario's fused output rows and returns ``(state, extra [n_out, B])``
+    instead of just ``state``."""
     spec = world.spec
     B, E = state.pos.shape[:2]
     J = len(spec.joint_idx_a)
-    R = 9 * E + J + (2 * E if getattr(world, "dynamic_gravity", False) else 0)
+    K_in = int(outputs.n_scratch_in) if outputs is not None else 0
+    K_out = int(outputs.n_out) if outputs is not None else 0
+    R = 9 * E + J + (2 * E if getattr(world, "dynamic_gravity", False) else 0) + K_in
 
     parts = [
         state.pos[..., 0].T, state.pos[..., 1].T,
@@ -772,23 +818,27 @@ def fused_physics_step(world, state):
     if dyn:
         parts.append(state.dyn_gravity[..., 0].T)
         parts.append(state.dyn_gravity[..., 1].T)
+    if outputs is not None:
+        parts.append(jnp.asarray(outputs.scratch_rows(state), jnp.float32))
     x = jnp.concatenate(parts, axis=0)  # [R, B]
 
     bp = -(-B // 128) * 128
     if bp != B:
         x = jnp.pad(x, ((0, 0), (0, bp - B)))
-    blk = _blk_for(bp, R + 9 * E + _batched_rows_estimate(spec))
+    blk = _blk_for(bp, R + 9 * E + K_out + _batched_rows_estimate(spec))
 
-    kernel = _make_kernel(world)
-    # when the input has no extra (joint / dyn-gravity) rows it can donate its
-    # buffer to the output, halving the kernel's HBM footprint
-    alias = {0: 0} if R == 9 * E else {}
+    kernel = _make_kernel(world, outputs)
+    # when the input has no extra (joint / dyn-gravity / scratch) rows it can
+    # donate its buffer to the output, halving the kernel's HBM footprint
+    alias = {0: 0} if R == 9 * E + K_out else {}
     y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((9 * E, bp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9 * E + K_out, bp), jnp.float32),
         grid=(bp // blk,),
         in_specs=[pl.BlockSpec((R, blk), lambda i: (0, i), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((9 * E, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (9 * E + K_out, blk), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
         input_output_aliases=alias,
         interpret=jax.default_backend() == "cpu",
     )(x)
@@ -807,4 +857,6 @@ def fused_physics_step(world, state):
     if world.dim_c > 0 and len(world.agents):
         c = jnp.where(spec.silent[None, :, None], state.c, state.uc)
         state = state.replace(c=c)
+    if outputs is not None:
+        return state, y[9 * E :]
     return state

@@ -548,6 +548,16 @@ class World:
                 return _fused.fused_physics_step(self, state)
         return _physics.physics_step(self, state)
 
+    def step_with_outputs(self, state: WorldState, outputs):
+        """Fused physics step that ALSO emits the scenario's fused output
+        rows (obs/rewards/done; see fused.FusedOutputs). Only valid on a
+        fused, supported world — the environment gates on that before
+        wiring this in. Returns ``(state, extra_rows)``."""
+        from vmas_tpu.core import fused as _fused
+
+        assert getattr(self, "fused", False) and _fused.supports(self)
+        return _fused.fused_physics_step(self, state, outputs)
+
     def sync_joints(self, state: WorldState) -> WorldState:
         """Re-pose dist>0 joint landmarks from their linked entities and
         refresh inferred fixed rotations (reference Joint.notify,

@@ -68,6 +68,17 @@ class Environment:
                 "default XLA physics for differentiable rollouts"
             )
             self.world.fused = True
+        # scenario-fused outputs: scenarios may emit their obs/rewards/done
+        # as extra rows of the fused physics kernel (fused.FusedOutputs) —
+        # the non-physics half of a step costs as much as the physics at
+        # VMAS scales. Only engaged when the world actually runs fused.
+        self._fused_outputs = None
+        if getattr(self.world, "fused", False):
+            from vmas_tpu.core import fused as _fused
+
+            mk = getattr(scenario, "make_fused_outputs", None)
+            if mk is not None and _fused.supports(self.world):
+                self._fused_outputs = mk(self.world)
         self.agents = self.world.policy_agents
         self.n_agents = len(self.agents)
         self.max_steps = max_steps
@@ -99,11 +110,28 @@ class Environment:
     def _build_jit_fns(self):
         scenario = self.scenario
         world = self.world
+        fo = self._fused_outputs
 
-        def outputs(state: WorldState, steps, obs_key, with_rewards: bool = True):
+        def outputs(state: WorldState, steps, obs_key, with_rewards: bool = True,
+                    fused_extra=None):
             # Observation-noise key, available to scenarios as
             # state.scenario["__obs_key"] (see BaseScenario.obs_key).
             state = state.replace(scenario={**state.scenario, "__obs_key": obs_key})
+            if fused_extra is not None:
+                # obs/rewards/termination were computed INSIDE the physics
+                # kernel (fused.FusedOutputs); unpack replaces the
+                # pre_rewards/reward/observation/done hooks, which the
+                # scenario's emit mirrors (asserted by tests/test_fused.py)
+                obs, rews, terminated, scratch_updates = fo.unpack(fused_extra, state)
+                state = state.replace(
+                    scenario={**state.scenario, **scratch_updates}
+                )
+                infos = tuple(scenario.info(a, state) for a in self.agents)
+                if self.max_steps is not None:
+                    truncated = steps >= self.max_steps
+                else:
+                    truncated = jnp.zeros_like(terminated)
+                return state, obs, rews, terminated, truncated, infos
             rews = None
             if with_rewards:
                 # Reward hooks may update scenario scratch; observations see
@@ -143,10 +171,14 @@ class Environment:
             for agent in world.agents:
                 state = scenario.env_process_action(agent, state)
             state = scenario.pre_step(state)
-            state = world.step(state)
+            if fo is not None:
+                state, fused_extra = world.step_with_outputs(state, fo)
+            else:
+                state = world.step(state)
+                fused_extra = None
             state = scenario.post_step(state)
             steps = steps + 1
-            return outputs(state, steps, obs_key) + (steps,)
+            return outputs(state, steps, obs_key, fused_extra=fused_extra) + (steps,)
 
         self._reset_full = jax.jit(lambda s, st, k: reset_fn(s, st, k, None))
         self._reset_masked = jax.jit(reset_fn)

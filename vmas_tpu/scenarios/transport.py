@@ -132,6 +132,94 @@ class Scenario(BaseScenario):
     def done(self, state):
         return jnp.all(state.scenario["on_goal"], axis=-1)
 
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit transport's observations/reward/done as extra rows of the
+        fused physics kernel (fused.FusedOutputs) — the output half of the
+        step costs as much as the physics at bench scale. The row math
+        mirrors pre_rewards/observation/done above line for line and is
+        asserted equal to them by tests/test_fused.py."""
+        from vmas_tpu.core import fused as F
+        from vmas_tpu.core.utils import LINE_MIN_DIST
+
+        agents = world.policy_agents
+        A, P = len(agents), len(self.packages)
+        goal_i = self.goal.index
+        pkg_i = [p.index for p in self.packages]
+        pkg_hw = [p.shape.width / 2 for p in self.packages]
+        pkg_hl = [p.shape.length / 2 for p in self.packages]
+        radius = float(self.goal.shape.radius)
+        factor = float(self.shaping_factor)
+        obs_w = 4 + 7 * P
+
+        class TransportOutputs(F.FusedOutputs):
+            n_scratch_in = P  # previous global_shaping per package
+            n_out = A * obs_w + 1 + 2 * P
+
+            @staticmethod
+            def scratch_rows(state):
+                return state.scenario["global_shaping"].T  # [P, B]
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                rot = ctx["rot"]
+                prev = ctx["scratch"]
+                gx, gy = px[goal_i], py[goal_i]
+
+                og, shaping, rew = [], [], None
+                for k, pi in enumerate(pkg_i):
+                    dx, dy = px[pi] - gx, py[pi] - gy
+                    dist = F._norm(dx, dy)
+                    # is_overlapping box-sphere (queries.py:82-93)
+                    cos, sin = jnp.cos(rot[pi]), jnp.sin(rot[pi])
+                    cx, cy = F._closest_point_box(
+                        px[pi], py[pi], cos, sin, pkg_hw[k], pkg_hl[k], gx, gy
+                    )
+                    d_sphere_closest = F._norm(gx - cx, gy - cy)
+                    d_closest_box = F._norm(px[pi] - cx, py[pi] - cy)
+                    og_k = (dist < d_closest_box) | (
+                        d_sphere_closest < radius + LINE_MIN_DIST
+                    )
+                    shaping_k = dist * factor
+                    contrib = jnp.where(og_k, 0.0, prev[k] - shaping_k)
+                    rew = contrib if rew is None else rew + contrib
+                    og.append(og_k)
+                    shaping.append(shaping_k)
+
+                rows = []
+                for a in agents:
+                    ai = a.index
+                    rows += [px[ai], py[ai], vx[ai], vy[ai]]
+                    for k, pi in enumerate(pkg_i):
+                        rows += [
+                            px[pi] - gx, py[pi] - gy,
+                            px[pi] - px[ai], py[pi] - py[ai],
+                            vx[pi], vy[pi],
+                            og[k].astype(jnp.float32),
+                        ]
+                rows.append(rew)
+                rows += [o.astype(jnp.float32) for o in og]
+                rows += shaping
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                obs = tuple(
+                    extra[i * obs_w : (i + 1) * obs_w].T for i in range(A)
+                )
+                base = A * obs_w
+                rew = extra[base]
+                og = extra[base + 1 : base + 1 + P].T > 0.5  # [B, P]
+                shaping = extra[base + 1 + P : base + 1 + 2 * P].T
+                rews = tuple(rew for _ in range(A))
+                terminated = jnp.all(og, axis=-1)
+                updates = {"on_goal": og, "global_shaping": shaping, "rew": rew}
+                return obs, rews, terminated, updates
+
+        return TransportOutputs()
+
 
 class HeuristicPolicy(BaseHeuristicPolicy):
     """Hermite-spline dribbling policy (reference transport.py:193-347)."""

@@ -112,13 +112,20 @@ def test_fused_matches_xla(scenario, monkeypatch):
     assert calls["n"] >= 1, "fused_physics_step was never traced — test vacuous"
 
 
-def test_fused_outputs_match_scenario_path():
+@pytest.mark.parametrize(
+    "scenario,kwargs,scratch_key",
+    [
+        ("transport", dict(n_agents=3), "global_shaping"),
+        ("wheel", dict(n_agents=3), "rew"),
+    ],
+)
+def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key):
     """Scenario-fused outputs (obs/rewards/done emitted as kernel rows —
-    transport.make_fused_outputs) must equal the normal hook pipeline:
+    Scenario.make_fused_outputs) must equal the normal hook pipeline:
     same obs, same rewards, same dones, same scratch evolution."""
-    env_ref = make_env("transport", num_envs=5, seed=2, n_agents=3)
-    env_fus = make_env("transport", num_envs=5, seed=2, n_agents=3,
-                       fused_physics=True)
+    env_ref = make_env(scenario, num_envs=5, seed=2, **kwargs)
+    env_fus = make_env(scenario, num_envs=5, seed=2, fused_physics=True,
+                       **kwargs)
     assert env_fus._fused_outputs is not None, "fused outputs not engaged"
 
     for t in range(4):
@@ -136,9 +143,9 @@ def test_fused_outputs_match_scenario_path():
             )
         np.testing.assert_array_equal(np.asarray(dones_f), np.asarray(dones_r))
         np.testing.assert_allclose(
-            np.asarray(env_fus.state.scenario["global_shaping"]),
-            np.asarray(env_ref.state.scenario["global_shaping"]),
-            atol=2e-3, err_msg=f"shaping scratch diverged at step {t}",
+            np.asarray(env_fus.state.scenario[scratch_key]),
+            np.asarray(env_ref.state.scenario[scratch_key]),
+            atol=2e-3, err_msg=f"scratch diverged at step {t}",
         )
 
 

@@ -319,6 +319,25 @@ class Scenario(BaseScenario):
         """arr [P, ...] gathered by path_id [B, A] -> [B, A, ...]."""
         return arr[path_id]
 
+    def _gather_polyline(self, table, path_id):
+        """Row-gather a float polyline table [P, M, 2] by path_id [B, A]
+        -> [B, A, M, 2] as a one-hot MXU matmul instead of a memory gather.
+
+        TPU gathers run far below HBM bandwidth (~75 GB/s effective on these
+        14 MB row gathers); a [B*A, P] one-hot times [P, M*2] matmul streams
+        the same rows out of the MXU ~2x faster. With Precision.HIGHEST the
+        result is BITWISE identical to ``table[path_id]``: every output
+        element is a dot of exactly one 1.0 against the row value plus
+        zeros, and 1.0/0.0 are exact in every MXU pass. The one-hot is one
+        [B, A, P] iota-compare, CSE'd by XLA across all three tables."""
+        P_, M, _ = table.shape
+        oh = jax.nn.one_hot(path_id, P_, dtype=jnp.float32)
+        g = jax.lax.dot_general(
+            oh, table.reshape(P_, M * 2), (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return g.reshape(path_id.shape + (M, 2))
+
     def _sample_path_and_point(self, key, B, scenario_id=None):
         """Draw (scenario_id, path_id, point_id) per (env, agent). Pass
         ``scenario_id`` [B, A] to redraw path/point WITHIN the existing
@@ -476,10 +495,10 @@ class Scenario(BaseScenario):
         update_state_before_rewarding, road_traffic.py:1570-1709)."""
         pos, rot, vel = self._agent_arrays(state)
         pid = scratch["path_id"]
-        center = self.P.center[pid]  # [B, A, M, 2]
+        center = self._gather_polyline(self.P.center, pid)  # [B, A, M, 2]
         n_pts = self.P.n_points[pid]
-        left_b = self.P.left_b[pid]
-        right_b = self.P.right_b[pid]
+        left_b = self._gather_polyline(self.P.left_b, pid)
+        right_b = self._gather_polyline(self.P.right_b, pid)
         n_l = self.P.n_left[pid]
         n_r = self.P.n_right[pid]
 
@@ -534,7 +553,7 @@ class Scenario(BaseScenario):
 
     def _refresh_short_term(self, scratch, at_reset=False):
         pid = scratch["path_id"]
-        center = self.P.center[pid]
+        center = self._gather_polyline(self.P.center, pid)
         n_pts = self.P.n_points[pid]
         is_loop = self.P.is_loop[pid]
         st, _ = short_term_path(
@@ -547,8 +566,8 @@ class Scenario(BaseScenario):
             # boundary wrap too (road_traffic.py:1755-1784) and uses shift +1
             # at reset (1378-1417) vs -2 per step
             shift = 1 if at_reset else -2
-            lb = self.P.left_b[pid]
-            rb = self.P.right_b[pid]
+            lb = self._gather_polyline(self.P.left_b, pid)
+            rb = self._gather_polyline(self.P.right_b, pid)
             scratch["near_left_b"], _ = short_term_path(
                 lb, scratch["idx_left"], self.n_points_nearing_boundary,
                 is_loop, n_pts, 1, shift,

@@ -83,6 +83,69 @@ class Scenario(BaseScenario):
         )
 
 
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit wheel's observations/reward as extra rows of the fused
+        physics kernel (fused.FusedOutputs; engaged by
+        ``make_env("wheel", fused_physics=True)``). The row math mirrors
+        pre_rewards/observation above line for line and is asserted equal
+        to the hook pipeline by tests/test_fused.py."""
+        from vmas_tpu.core import fused as F
+
+        agents = world.policy_agents
+        A = len(agents)
+        line_i = self.line.index
+        half = self.line_length / 2
+        v_des = float(self.desired_velocity)
+        obs_w = 13
+
+        class WheelOutputs(F.FusedOutputs):
+            n_scratch_in = 0
+            n_out = A * obs_w + 1
+
+            @staticmethod
+            def scratch_rows(state):
+                import numpy as np
+                return np.zeros((0, state.batch_dim), np.float32)
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                rot_l = ctx["rot"][line_i]
+                w_l = ctx["w"][line_i]
+                lx, ly = px[line_i], py[line_i]
+                e1x = half * jnp.cos(rot_l)
+                e1y = half * jnp.sin(rot_l)
+                ang_abs = jnp.abs(w_l)
+                rew = jnp.abs(ang_abs - v_des)
+
+                rows = []
+                for a in agents:
+                    ai = a.index
+                    rows += [
+                        px[ai], py[ai], vx[ai], vy[ai],
+                        lx - px[ai], ly - py[ai],
+                        e1x - px[ai], e1y - py[ai],
+                        -e1x - px[ai], -e1y - py[ai],
+                        jnp.mod(rot_l, jnp.pi), ang_abs, rew,
+                    ]
+                rows.append(rew)
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                obs = tuple(
+                    extra[i * obs_w : (i + 1) * obs_w].T for i in range(A)
+                )
+                rew = extra[A * obs_w]
+                rews = tuple(-rew for _ in range(A))
+                terminated = jnp.zeros(rew.shape, bool)
+                return obs, rews, terminated, {"rew": rew}
+
+        return WheelOutputs()
+
+
 class HeuristicPolicy(BaseHeuristicPolicy):
     """Reference wheel.py:113-139."""
 

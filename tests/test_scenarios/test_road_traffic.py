@@ -109,3 +109,36 @@ def test_isb_records_n_steps_stored_ago(env):
     # latest push is entries[-1] (n=1); get_latest(n) -> entries[-n]
     np.testing.assert_array_equal(buf[size0 % cap], entries[-n][0])
     np.testing.assert_array_equal(buf[(size0 + 1) % cap], entries[-n][1])
+
+
+def test_pallas_sweep_kernel_matches_xla_path():
+    """The fused pallas sweep kernel (road_traffic_kernel.sweep_all, the
+    default) must reproduce the XLA helpers' step outputs: identical
+    segment indices / collision flags, distances to float tolerance (the
+    kernel reorders fma contractions; observed diffs are ulp-level)."""
+    kw = dict(num_envs=4, seed=0, n_agents=4, is_add_noise=False)
+    env_k = make_env("road_traffic", pallas_sweeps=True, **kw)
+    env_x = make_env("road_traffic", pallas_sweeps=False, **kw)
+    assert env_k.scenario.pallas_sweeps  # kernel path actually on
+    for step in range(3):
+        acts = env_k.get_random_actions()
+        obs_k, rew_k, done_k, _ = env_k.step(acts)
+        obs_x, rew_x, done_x, _ = env_x.step(acts)
+        sk, sx = env_k.state.scenario, env_x.state.scenario
+        np.testing.assert_array_equal(sk["idx_ref"], sx["idx_ref"], err_msg=f"step {step}")
+        np.testing.assert_array_equal(sk["idx_left"], sx["idx_left"])
+        np.testing.assert_array_equal(sk["idx_right"], sx["idx_right"])
+        np.testing.assert_array_equal(sk["coll_lanelets"], sx["coll_lanelets"])
+        np.testing.assert_allclose(sk["short_term"], sx["short_term"], atol=1e-5)
+        for ok, ox in zip(obs_k, obs_x):
+            np.testing.assert_allclose(ok, ox, atol=5e-5)
+        np.testing.assert_allclose(rew_k, rew_x, atol=5e-5)
+        np.testing.assert_array_equal(done_k, done_x)
+
+
+def test_pallas_sweeps_disabled_under_grad():
+    """grad_enabled flips the forward-only kernel off (environment.py)."""
+    env = make_env(
+        "road_traffic", num_envs=2, seed=0, n_agents=4, grad_enabled=True,
+    )
+    assert env.scenario.pallas_sweeps is False

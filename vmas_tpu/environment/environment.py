@@ -79,6 +79,11 @@ class Environment:
             mk = getattr(scenario, "make_fused_outputs", None)
             if mk is not None and _fused.supports(self.world):
                 self._fused_outputs = mk(self.world)
+        if grad_enabled and getattr(scenario, "pallas_sweeps", False):
+            # scenario-level pallas kernels (e.g. road_traffic's fused path
+            # sweeps) are forward-only like fused physics; fall back to the
+            # XLA path for differentiable rollouts
+            scenario.pallas_sweeps = False
         self.agents = self.world.policy_agents
         self.n_agents = len(self.agents)
         self.max_steps = max_steps

@@ -265,6 +265,9 @@ class Scenario(BaseScenario):
         self.probability_use_recording = kwargs.pop("probability_use_recording", 0.2)
         map_file_path = kwargs.pop("map_file_path", None)
         kwargs.pop("parameters", None)
+        # fused pallas sweep kernel (road_traffic_kernel.py): forward-only;
+        # Environment flips it off under grad_enabled
+        self.pallas_sweeps = bool(kwargs.pop("pallas_sweeps", True))
         ScenarioUtils.check_kwargs_consumed(kwargs)
 
         if self.n_nearing_agents >= self.n_agents:
@@ -285,6 +288,9 @@ class Scenario(BaseScenario):
             ]
         # jnp constants
         self.P = SimpleNamespaceJnp(self.paths)
+        from vmas_tpu.scenarios import road_traffic_kernel as rtk
+
+        self._sweep_tables = rtk.build_tables(self.paths)
 
         # normalizers (reference road_traffic.py:722-744)
         self.norm_pos = jnp.asarray([self.agent_length * 10] * 2, jnp.float32)
@@ -495,25 +501,44 @@ class Scenario(BaseScenario):
         update_state_before_rewarding, road_traffic.py:1570-1709)."""
         pos, rot, vel = self._agent_arrays(state)
         pid = scratch["path_id"]
-        center = self._gather_polyline(self.P.center, pid)  # [B, A, M, 2]
-        n_pts = self.P.n_points[pid]
-        left_b = self._gather_polyline(self.P.left_b, pid)
-        right_b = self._gather_polyline(self.P.right_b, pid)
-        n_l = self.P.n_left[pid]
-        n_r = self.P.n_right[pid]
-
         verts = rectangle_vertices(pos, rot, self.agent_width, self.l_f + self.l_r)
-        # one batched sweep for CG + 4 corners against each boundary
-        # (reference loops 5 separate cdist scans, road_traffic.py:1650-1700)
-        pts = jnp.concatenate([pos[:, :, None, :], verts[:, :, :4]], axis=2)  # [B, A, 5, 2]
-        d_ref, idx_ref = perpendicular_distances(pos, center, n_pts)
-        dl5, idx_l5 = perpendicular_distances(
-            pts, left_b[:, :, None], jnp.broadcast_to(n_l[:, :, None], n_l.shape + (5,))
-        )  # [B, A, 5]
-        dr5, idx_r5 = perpendicular_distances(
-            pts, right_b[:, :, None], jnp.broadcast_to(n_r[:, :, None], n_r.shape + (5,))
-        )
-        idx_l, idx_r = idx_l5[..., 0], idx_r5[..., 0]
+        st_next = None
+        if self.pallas_sweeps:
+            # one pallas kernel: all three polyline sweeps + the
+            # rectangle-vs-boundary interX + short-term staging, with the
+            # path tables VMEM-resident (road_traffic_kernel.py)
+            from vmas_tpu.scenarios import road_traffic_kernel as rtk
+
+            out = rtk.sweep_all(
+                self._sweep_tables, pid, pos, rot,
+                Mc=int(self.P.center.shape[1]), Mb=int(self.P.left_b.shape[1]),
+                lh=(self.l_f + self.l_r) / 2, wh=self.agent_width / 2,
+                S=int(self.n_points_short_term),
+                interval=int(self.sample_interval), shift=1,
+            )
+            d_ref, idx_ref = out["d_ref"], out["idx_ref"]
+            dl5, dr5 = out["dl5"], out["dr5"]
+            idx_l, idx_r = out["idx_l"], out["idx_r"]
+            coll_lanelets_kernel = out["coll_l"] | out["coll_r"]
+            st_next = out["short_term"]
+        else:
+            center = self._gather_polyline(self.P.center, pid)  # [B, A, M, 2]
+            n_pts = self.P.n_points[pid]
+            left_b = self._gather_polyline(self.P.left_b, pid)
+            right_b = self._gather_polyline(self.P.right_b, pid)
+            n_l = self.P.n_left[pid]
+            n_r = self.P.n_right[pid]
+            # one batched sweep for CG + 4 corners against each boundary
+            # (reference loops 5 separate cdist scans, road_traffic.py:1650-1700)
+            pts = jnp.concatenate([pos[:, :, None, :], verts[:, :, :4]], axis=2)  # [B, A, 5, 2]
+            d_ref, idx_ref = perpendicular_distances(pos, center, n_pts)
+            dl5, idx_l5 = perpendicular_distances(
+                pts, left_b[:, :, None], jnp.broadcast_to(n_l[:, :, None], n_l.shape + (5,))
+            )  # [B, A, 5]
+            dr5, idx_r5 = perpendicular_distances(
+                pts, right_b[:, :, None], jnp.broadcast_to(n_r[:, :, None], n_r.shape + (5,))
+            )
+            idx_l, idx_r = idx_l5[..., 0], idx_r5[..., 0]
         d_left = jnp.concatenate([dl5[..., :1] - self.agent_width / 2, dl5[..., 1:]], -1)
         d_right = jnp.concatenate([dr5[..., :1] - self.agent_width / 2, dr5[..., 1:]], -1)
         d_bound = jnp.minimum(d_left.min(-1), d_right.min(-1))
@@ -535,7 +560,10 @@ class Scenario(BaseScenario):
         coll_agents = jnp.zeros((state.batch_dim, A, A), bool)
         coll_agents = coll_agents.at[:, ii, jj].set(hits)
         coll_agents = coll_agents.at[:, jj, ii].set(hits)
-        coll_lanelets = interX_any(verts, left_b) | interX_any(verts, right_b)
+        if st_next is not None:
+            coll_lanelets = coll_lanelets_kernel
+        else:
+            coll_lanelets = interX_any(verts, left_b) | interX_any(verts, right_b)
         is_loop = self.P.is_loop[pid]
         entry = self.P.entry[pid]  # [B, A, 2, 2]
         exits = self.P.exit[pid]
@@ -549,18 +577,25 @@ class Scenario(BaseScenario):
             coll_entry=coll_entry, coll_exit=coll_exit,
             idx_left=idx_l, idx_right=idx_r,
         )
+        if st_next is not None:
+            scratch["st_next"] = st_next
         return scratch
 
     def _refresh_short_term(self, scratch, at_reset=False):
         pid = scratch["path_id"]
-        center = self._gather_polyline(self.P.center, pid)
         n_pts = self.P.n_points[pid]
         is_loop = self.P.is_loop[pid]
-        st, _ = short_term_path(
-            center, scratch["idx_ref"], self.n_points_short_term, is_loop, n_pts,
-            self.sample_interval, 1,
-        )
-        scratch["short_term"] = st
+        if "st_next" in scratch:
+            # staged by the pallas sweep kernel in _update_distances (same
+            # idx_ref/shift=1 inputs as the short_term_path call below)
+            scratch["short_term"] = scratch["st_next"]
+        else:
+            center = self._gather_polyline(self.P.center, pid)
+            st, _ = short_term_path(
+                center, scratch["idx_ref"], self.n_points_short_term, is_loop,
+                n_pts, self.sample_interval, 1,
+            )
+            scratch["short_term"] = st
         if not self.is_observe_distance_to_boundaries:
             # reference passes the CENTER line's n_points_long_term for the
             # boundary wrap too (road_traffic.py:1755-1784) and uses shift +1

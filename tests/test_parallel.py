@@ -45,6 +45,16 @@ def test_compiled_rollout():
     assert int(env.steps[0]) == 5
 
 
+def test_compiled_rollout_u_widening_scenario():
+    """debug/drone's process_action widens state.u (3 -> 4 columns, the
+    reference's oscillating action.u shape, debug/drone.py:67-74); the step
+    must coerce u back to its spawn shape so it stays a valid scan carry."""
+    env = make_env("drone", num_envs=4, seed=0)
+    traj = rollout(env, horizon=3)
+    assert traj["rewards"].shape == (3, 4, len(env.agents))
+    assert env.state.u[0].shape == (4, 3)
+
+
 COLLECTIVES = (
     "all-reduce", "all-gather", "collective-permute", "all-to-all",
     "reduce-scatter",

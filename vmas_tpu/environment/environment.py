@@ -168,6 +168,29 @@ class Environment:
             )
             return state, steps, obs, terminated, truncated, infos
 
+        def canonical_u(state: WorldState) -> WorldState:
+            # A scenario's process_action may write a WIDER u than the
+            # agent's action_size (e.g. debug/drone prepends a thrust column,
+            # mirroring reference debug/drone.py:67-74 where action.u's shape
+            # oscillates per step). The widened u must be visible to the
+            # reward/obs/info hooks (reference semantics), but the state that
+            # leaves the step must have the spawn-time shape or it cannot be
+            # a lax.scan carry. Every agent's u is freshly overwritten by
+            # _decode_action (or its action_script) at the start of the next
+            # step, so coercing here is invisible to all step semantics.
+            new_u, changed = [], False
+            for a, u in zip(world.agents, state.u):
+                w = a.action_size
+                if u.shape[1] == w:
+                    new_u.append(u)
+                elif u.shape[1] > w:
+                    new_u.append(u[:, :w])
+                    changed = True
+                else:
+                    new_u.append(jnp.pad(u, ((0, 0), (0, w - u.shape[1]))))
+                    changed = True
+            return state.replace(u=tuple(new_u)) if changed else state
+
         def step_fn(state: WorldState, steps, actions, key):
             key, obs_key = jax.random.split(key)
             keys = jax.random.split(key, max(self.n_agents, 1))
@@ -183,7 +206,8 @@ class Environment:
                 fused_extra = None
             state = scenario.post_step(state)
             steps = steps + 1
-            return outputs(state, steps, obs_key, fused_extra=fused_extra) + (steps,)
+            out = outputs(state, steps, obs_key, fused_extra=fused_extra)
+            return (canonical_u(out[0]),) + out[1:] + (steps,)
 
         self._reset_full = jax.jit(lambda s, st, k: reset_fn(s, st, k, None))
         self._reset_masked = jax.jit(reset_fn)

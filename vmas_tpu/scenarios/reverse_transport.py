@@ -100,3 +100,80 @@ class Scenario(BaseScenario):
 
     def done(self, state):
         return state.scenario["on_goal"]
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward/done as extra rows of the fused physics kernel
+        (fused.FusedOutputs) — same protocol as transport, single hollow
+        package. Mirrors pre_rewards/observation/done above line for line;
+        asserted equal by tests/test_fused.py."""
+        from vmas_tpu.core import fused as F
+        from vmas_tpu.core.utils import LINE_MIN_DIST
+
+        agents = world.policy_agents
+        A = len(agents)
+        goal_i = self.goal.index
+        pkg_i = self.package.index
+        pkg_hw = self.package.shape.width / 2
+        pkg_hl = self.package.shape.length / 2
+        radius = float(self.goal.shape.radius)
+        factor = float(self.shaping_factor)
+        obs_w = 10
+
+        class ReverseTransportOutputs(F.FusedOutputs):
+            n_scratch_in = 1  # previous global_shaping
+            n_out = A * obs_w + 3
+
+            @staticmethod
+            def scratch_rows(state):
+                return state.scenario["global_shaping"][None]  # [1, B]
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                rot = ctx["rot"]
+                prev = ctx["scratch"][0]
+                gx, gy = px[goal_i], py[goal_i]
+
+                dx, dy = px[pkg_i] - gx, py[pkg_i] - gy
+                dist = F._norm(dx, dy)
+                # is_overlapping box-sphere (queries.py:82-93)
+                cos, sin = jnp.cos(rot[pkg_i]), jnp.sin(rot[pkg_i])
+                cx, cy = F._closest_point_box(
+                    px[pkg_i], py[pkg_i], cos, sin, pkg_hw, pkg_hl, gx, gy
+                )
+                d_sphere_closest = F._norm(gx - cx, gy - cy)
+                d_closest_box = F._norm(px[pkg_i] - cx, py[pkg_i] - cy)
+                on_goal = (dist < d_closest_box) | (
+                    d_sphere_closest < radius + LINE_MIN_DIST
+                )
+                shaping = dist * factor
+                rew = jnp.where(on_goal, 0.0, prev - shaping)
+
+                rows = []
+                for a in agents:
+                    ai = a.index
+                    rows += [
+                        px[ai], py[ai], vx[ai], vy[ai],
+                        vx[pkg_i], vy[pkg_i],
+                        px[pkg_i] - px[ai], py[pkg_i] - py[ai],
+                        dx, dy,
+                    ]
+                rows += [rew, on_goal.astype(jnp.float32), shaping]
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                obs = tuple(
+                    extra[i * obs_w : (i + 1) * obs_w].T for i in range(A)
+                )
+                base = A * obs_w
+                rew = extra[base]
+                on_goal = extra[base + 1] > 0.5
+                shaping = extra[base + 2]
+                rews = tuple(rew for _ in range(A))
+                updates = {"on_goal": on_goal, "global_shaping": shaping, "rew": rew}
+                return obs, rews, on_goal, updates
+
+        return ReverseTransportOutputs()

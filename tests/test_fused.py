@@ -118,6 +118,9 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("transport", dict(n_agents=3), "global_shaping"),
         ("wheel", dict(n_agents=3), "rew"),
         ("reverse_transport", dict(n_agents=4), "global_shaping"),
+        ("balance", dict(n_agents=3), "global_shaping"),
+        ("dropout", dict(n_agents=4), "eaten"),
+        ("flocking", dict(n_agents=4), "distance_shaping"),
     ],
 )
 def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key):

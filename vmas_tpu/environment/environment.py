@@ -131,6 +131,13 @@ class Environment:
                 state = state.replace(
                     scenario={**state.scenario, **scratch_updates}
                 )
+                # post_rewards still runs: emit/unpack replace the
+                # pre_rewards/reward/observation/done hooks only. Scenarios
+                # whose post_rewards touches non-scratch state (dropout's
+                # goal-rendering toggle) keep working; for the rest it is the
+                # BaseScenario identity. It must be idempotent w.r.t. the
+                # scratch updates emit already applied.
+                state = scenario.post_rewards(state)
                 infos = tuple(scenario.info(a, state) for a in self.agents)
                 if self.max_steps is not None:
                     truncated = steps >= self.max_steps

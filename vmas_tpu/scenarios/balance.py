@@ -152,6 +152,125 @@ class Scenario(BaseScenario):
     def info(self, agent, state):
         return {"pos_rew": state.scenario["pos_rew"], "ground_rew": state.scenario["ground_rew"]}
 
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward/done as extra rows of the fused physics kernel
+        (fused.FusedOutputs). Mirrors pre_rewards/observation/done above
+        line for line; asserted equal by tests/test_fused.py."""
+        from vmas_tpu.core import fused as F
+        from vmas_tpu.core.utils import LINE_MIN_DIST
+
+        agents = world.policy_agents
+        A = len(agents)
+        goal_i = self.goal.index
+        pkg_i = self.package.index
+        line_i = self.line.index
+        floor_i = self.floor.index
+        pkg_r = float(self.package.shape.radius)
+        goal_r = float(self.goal.shape.radius)
+        line_half = self.line.shape.length / 2
+        floor_hw = self.floor.shape.width / 2
+        floor_hl = self.floor.shape.length / 2
+        factor = float(self.shaping_factor)
+        fall_rew = float(self.fall_reward)
+        # per-agent rows: pos(2) vel(2) pos-pkg(2) pos-line(2); shared rows:
+        # pkg-goal(2) pkg.vel(2) line.vel(2) line.ang_vel(1) mod(rot,pi)(1)
+        agent_w, shared_w = 8, 8
+
+        class BalanceOutputs(F.FusedOutputs):
+            n_scratch_in = 1  # previous global_shaping
+            n_out = A * agent_w + shared_w + 5
+
+            @staticmethod
+            def scratch_rows(state):
+                return state.scenario["global_shaping"][None]  # [1, B]
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                rot, w = ctx["rot"], ctx["w"]
+                prev = ctx["scratch"][0]
+
+                fx, fy = px[floor_i], py[floor_i]
+                fcos, fsin = jnp.cos(rot[floor_i]), jnp.sin(rot[floor_i])
+                # line-floor overlap: box-line distance < 0 (queries.py:60-68)
+                bx_, by_, lx_, ly_ = (
+                    *F._closest_line_box(
+                        fx, fy, fcos, fsin, floor_hw, floor_hl,
+                        px[line_i], py[line_i],
+                        jnp.cos(rot[line_i]), jnp.sin(rot[line_i]), line_half,
+                    ),
+                )
+                line_floor = F._norm(bx_ - lx_, by_ - ly_) - LINE_MIN_DIST < 0
+                # package-floor overlap: box-sphere branch (queries.py:82-93)
+                cx, cy = F._closest_point_box(
+                    fx, fy, fcos, fsin, floor_hw, floor_hl, px[pkg_i], py[pkg_i]
+                )
+                d_sphere_closest = F._norm(px[pkg_i] - cx, py[pkg_i] - cy)
+                d_sphere_box = F._norm(px[pkg_i] - fx, py[pkg_i] - fy)
+                d_closest_box = F._norm(fx - cx, fy - cy)
+                pkg_floor = (d_sphere_box < d_closest_box) | (
+                    d_sphere_closest < pkg_r + LINE_MIN_DIST
+                )
+                on_ground = line_floor | pkg_floor
+
+                dgx, dgy = px[pkg_i] - px[goal_i], py[pkg_i] - py[goal_i]
+                package_dist = F._norm(dgx, dgy)
+                shaping = package_dist * factor
+                pos_rew = prev - shaping
+                ground_rew = jnp.where(on_ground, fall_rew, 0.0)
+                # package-goal overlap: sphere-sphere distance < 0
+                pkg_goal = package_dist - pkg_r - goal_r < 0
+                done = on_ground | pkg_goal
+
+                rows = []
+                for a in agents:
+                    ai = a.index
+                    rows += [
+                        px[ai], py[ai], vx[ai], vy[ai],
+                        px[ai] - px[pkg_i], py[ai] - py[pkg_i],
+                        px[ai] - px[line_i], py[ai] - py[line_i],
+                    ]
+                rows += [
+                    dgx, dgy, vx[pkg_i], vy[pkg_i],
+                    vx[line_i], vy[line_i], w[line_i],
+                    jnp.mod(rot[line_i], jnp.pi),
+                ]
+                rows += [
+                    pos_rew, ground_rew,
+                    on_ground.astype(jnp.float32), done.astype(jnp.float32),
+                    shaping,
+                ]
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                shared = extra[A * agent_w : A * agent_w + shared_w].T
+                obs = tuple(
+                    jnp.concatenate(
+                        [extra[i * agent_w : (i + 1) * agent_w].T, shared], -1
+                    )
+                    for i in range(A)
+                )
+                base = A * agent_w + shared_w
+                pos_rew = extra[base]
+                ground_rew = extra[base + 1]
+                on_ground = extra[base + 2] > 0.5
+                done = extra[base + 3] > 0.5
+                shaping = extra[base + 4]
+                rew = ground_rew + pos_rew
+                rews = tuple(rew for _ in range(A))
+                updates = {
+                    "on_the_ground": on_ground,
+                    "global_shaping": shaping,
+                    "pos_rew": pos_rew,
+                    "ground_rew": ground_rew,
+                }
+                return obs, rews, done, updates
+
+        return BalanceOutputs()
+
 
 class HeuristicPolicy(BaseHeuristicPolicy):
     """Reference balance.py:269-295."""

@@ -119,3 +119,96 @@ class Scenario(BaseScenario):
 
     def done(self, state):
         return state.scenario["done"]
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward/done as extra rows of the fused physics kernel
+        (fused.FusedOutputs). The energy term is computed in unpack from
+        state.u (untouched by physics); the goal-eaten test runs in-kernel.
+        Mirrors pre_rewards/observation/done above; asserted equal by
+        tests/test_fused.py. post_rewards (the goal-rendering toggle) still
+        runs on the unpacked state and is idempotent on "eaten"."""
+        from vmas_tpu.core import fused as F
+
+        agents = world.policy_agents
+        A = len(agents)
+        goal_i = self.goal.index
+        eat_r = [
+            float(a.shape.radius) + float(self.goal.shape.radius) for a in agents
+        ]
+        denom = [
+            math.sqrt(
+                world.dim_p
+                * float((a.u_range_array[0] * a.u_multiplier_array[0]) ** 2)
+            )
+            for a in agents
+        ]
+        coeff = float(self.energy_coeff)
+        agent_w = 6  # pos(2) vel(2) goal-pos(2); eaten row is shared
+
+        class DropoutOutputs(F.FusedOutputs):
+            n_scratch_in = 1  # previous eaten
+            n_out = A * agent_w + 3
+
+            @staticmethod
+            def scratch_rows(state):
+                return state.scenario["eaten"].astype(jnp.float32)[None]
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                eaten_prev = ctx["scratch"][0] > 0.5
+                gx, gy = px[goal_i], py[goal_i]
+
+                rows, any_eaten = [], None
+                for a, r in zip(agents, eat_r):
+                    ai = a.index
+                    hit = F._norm(px[ai] - gx, py[ai] - gy) < r
+                    any_eaten = hit if any_eaten is None else (any_eaten | hit)
+                    rows += [
+                        px[ai], py[ai], vx[ai], vy[ai],
+                        gx - px[ai], gy - py[ai],
+                    ]
+                pos_rew = jnp.where(any_eaten & ~eaten_prev, 1.0, 0.0)
+                eaten_new = eaten_prev | any_eaten
+                # the obs "eaten" flag reads the POST-post_rewards value
+                # (non-fused hook order: post_rewards before observation)
+                rows += [
+                    eaten_new.astype(jnp.float32),
+                    any_eaten.astype(jnp.float32),
+                    pos_rew,
+                ]
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                base = A * agent_w
+                eaten_new = extra[base] > 0.5
+                any_eaten = extra[base + 1] > 0.5
+                pos_rew = extra[base + 2]
+                obs = tuple(
+                    jnp.concatenate(
+                        [extra[i * agent_w : (i + 1) * agent_w].T,
+                         extra[base : base + 1].T],
+                        -1,
+                    )
+                    for i in range(A)
+                )
+                energy_rew = coeff * -jnp.stack(
+                    [safe_norm(a.u(state)) / d for a, d in zip(agents, denom)],
+                    axis=1,
+                ).sum(-1)
+                rew = pos_rew + energy_rew
+                rews = tuple(rew for _ in range(A))
+                updates = {
+                    # post_rewards recomputes eaten|any_eaten (idempotent)
+                    "eaten": eaten_new,
+                    "any_eaten": any_eaten,
+                    "done": any_eaten,
+                    "pos_rew": pos_rew,
+                    "energy_rew": energy_rew,
+                }
+                return obs, rews, any_eaten, updates
+
+        return DropoutOutputs()

@@ -138,6 +138,122 @@ class Scenario(BaseScenario):
             "agent_distance_rew": s["dist_rew"][:, agent.slot - 1],
         }
 
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit the O(A^2) pair rewards and the non-Lidar obs rows from the
+        fused physics kernel (fused.FusedOutputs); the Lidar sweep stays on
+        the XLA raycast path and is appended in unpack (a fused raycast
+        measured slower — see docs/PERFORMANCE.md). Mirrors
+        pre_rewards/reward/observation above; asserted equal by
+        tests/test_fused.py."""
+        from vmas_tpu.core import fused as F
+
+        policy = world.policy_agents
+        all_agents = world.agents  # target + policy
+        A = len(policy)
+        target_i = self._target.index
+        coll_rew = float(self.collision_reward)
+        min_coll = float(self.min_collision_distance)
+        desired = float(self.desired_distance)
+        factor = float(self.dist_shaping_factor)
+        slot_of = {a.name: s for s, a in enumerate(policy)}
+        agent_w = 6  # pos(2) vel(2) pos-target(2)
+
+        class FlockingOutputs(F.FusedOutputs):
+            n_scratch_in = A  # previous distance_shaping columns
+            n_out = A * agent_w + 3 * A
+
+            @staticmethod
+            def scratch_rows(state):
+                return state.scenario["distance_shaping"].T  # [A, B]
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                prev = ctx["scratch"]
+
+                # pairwise distances once; reused by both reward terms
+                dist = {}
+                for i, a in enumerate(all_agents):
+                    for j, b in enumerate(all_agents):
+                        if j <= i:
+                            continue
+                        dist[(i, j)] = F._norm(
+                            px[a.index] - px[b.index], py[a.index] - py[b.index]
+                        )
+
+                coll = [None] * A
+                if coll_rew != 0:
+                    for i, a in enumerate(all_agents):
+                        for j, b in enumerate(all_agents):
+                            if j <= i:
+                                continue
+                            # sphere-sphere get_distance (queries.py:42-43)
+                            hit = (
+                                dist[(i, j)]
+                                - float(a.shape.radius) - float(b.shape.radius)
+                                <= min_coll
+                            ).astype(jnp.float32) * coll_rew
+                            for e in (a, b):
+                                if e.action_script is None:
+                                    s_ = slot_of[e.name]
+                                    coll[s_] = hit if coll[s_] is None else coll[s_] + hit
+                coll = [
+                    c if c is not None else jnp.zeros_like(px[0]) for c in coll
+                ]
+
+                dist_rew, new_shaping = [], []
+                for s_, a in enumerate(policy):
+                    i = all_agents.index(a)
+                    ds = [
+                        dist[(min(i, j), max(i, j))]
+                        for j, b in enumerate(all_agents)
+                        if b is not a
+                    ]
+                    mean_sq = sum((d - desired) ** 2 for d in ds) / len(ds)
+                    shaping = mean_sq * factor
+                    new_shaping.append(shaping)
+                    dist_rew.append(prev[s_] - shaping)
+
+                rows = []
+                for a in policy:
+                    ai = a.index
+                    rows += [
+                        px[ai], py[ai], vx[ai], vy[ai],
+                        px[ai] - px[target_i], py[ai] - py[target_i],
+                    ]
+                rows += coll + dist_rew + new_shaping
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                base = A * agent_w
+                coll = extra[base : base + A].T                # [B, A]
+                dist_rew = extra[base + A : base + 2 * A].T
+                shaping = extra[base + 2 * A : base + 3 * A].T
+                obs = tuple(
+                    jnp.concatenate(
+                        [
+                            extra[i * agent_w : (i + 1) * agent_w].T,
+                            a.sensors[0].measure(state),
+                        ],
+                        -1,
+                    )
+                    for i, a in enumerate(policy)
+                )
+                rews = tuple(coll[:, s_] + dist_rew[:, s_] for s_ in range(A))
+                terminated = jnp.zeros((state.batch_dim,), bool)
+                updates = {
+                    "t": state.scenario["t"] + 1,
+                    "collision_rew": coll,
+                    "dist_rew": dist_rew,
+                    "distance_shaping": shaping,
+                }
+                return obs, rews, terminated, updates
+
+        return FlockingOutputs()
+
 
 class HeuristicPolicy(BaseHeuristicPolicy):
     """Reference flocking.py:209-249."""

@@ -265,11 +265,15 @@ class Scenario(BaseScenario):
     def reward(self, agent, state):
         s = state.scenario
         B = state.batch_dim
+        # Zero penalties are static config: skipping the distance kernels is
+        # bitwise identical (hit is 0/1, never NaN, so 0*hit == 0 exactly)
+        # and erases most of the default-config reward cost.
         agent_coll = jnp.zeros((B,), jnp.float32)
-        for a in self.world.agents:
-            if a is not agent:
-                hit = self.world.get_distance(state, agent, a) <= self.min_collision_distance
-                agent_coll = agent_coll + self.agent_collision_penalty * hit.astype(jnp.float32)
+        if self.agent_collision_penalty != 0:
+            for a in self.world.agents:
+                if a is not agent:
+                    hit = self.world.get_distance(state, agent, a) <= self.min_collision_distance
+                    agent_coll = agent_coll + self.agent_collision_penalty * hit.astype(jnp.float32)
         obstacle_coll = jnp.zeros((B,), jnp.float32)
         passages = [*self.passage_1, *self.passage_2] if self.mirror_passage else [*self.passage_1]
         for lm in self.world.landmarks:
@@ -277,10 +281,15 @@ class Scenario(BaseScenario):
                 penalty = (
                     self.passage_collision_penalty if lm in passages else self.obstacle_collision_penalty
                 )
+                if penalty == 0:
+                    continue
                 hit = self.world.get_distance(state, agent, lm) <= self.min_collision_distance
                 obstacle_coll = obstacle_coll + penalty * hit.astype(jnp.float32)
-        energy = safe_norm(agent.u(state)) / math.sqrt(self.world.dim_p * (self.f_range**2))
-        energy_rew = -energy * self.energy_reward_coeff
+        if self.energy_reward_coeff != 0:
+            energy = safe_norm(agent.u(state)) / math.sqrt(self.world.dim_p * (self.f_range**2))
+            energy_rew = -energy * self.energy_reward_coeff
+        else:
+            energy_rew = jnp.zeros((B,), jnp.float32)
         return s["pos_rew"] + obstacle_coll + agent_coll + energy_rew + s["final_rew"]
 
     def observation(self, agent, state):

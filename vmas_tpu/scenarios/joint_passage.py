@@ -361,11 +361,13 @@ class Scenario(BaseScenario):
                 hit = self.world.get_distance(state, p, jl) <= self.min_collision_distance
                 coll = coll + self.collision_reward * hit.astype(jnp.float32)
 
-        energy = jnp.stack(
-            [safe_norm(a.u(state)) / math.sqrt(self.world.dim_p * (0.8**2)) for a in self.world.agents],
-            axis=1,
-        ).sum(-1)
-        energy_rew = -energy * self.energy_reward_coeff
+        energy_rew = jnp.zeros((B,), jnp.float32)
+        if self.energy_reward_coeff != 0:
+            energy = jnp.stack(
+                [safe_norm(a.u(state)) / math.sqrt(self.world.dim_p * (0.8**2)) for a in self.world.agents],
+                axis=1,
+            ).sum(-1)
+            energy_rew = -energy * self.energy_reward_coeff
 
         scratch["pos_rew"] = pos_rew
         scratch["rot_rew"] = rot_rew

@@ -898,15 +898,26 @@ class Scenario(BaseScenario):
             return jnp.stack([jnp.cos(rel) * vec_abs, jnp.sin(rel) * vec_abs], -1)
 
         norm_pos = self.norm_pos if self.is_ego_view else self.norm_pos_world
+
+        if self.is_ego_view:
+            pos_others = to_local(pos) / norm_pos  # [B, A, 2]
+            rot_others = (rot - rot_i[:, None]) / self.norm_rot
+            vel_abs = safe_norm(vel)
+            rot_rel = rot - rot_i[:, None]
+            vel_others = jnp.stack(
+                [vel_abs * jnp.cos(rot_rel), vel_abs * jnp.sin(rot_rel)], -1
+            ) / self.norm_v
+            ref_others = to_local(s["short_term"]) / norm_pos  # [B, A, S, 2]
+            vert_others = to_local(s["verts"][:, :, 0:4]) / norm_pos  # [B, A, 4, 2]
+        else:
+            pos_others = pos / norm_pos
+            rot_others = rot / self.norm_rot
+            vel_others = vel / self.norm_v
+            ref_others = s["short_term"] / norm_pos
+            vert_others = s["verts"][:, :, 0:4] / norm_pos
+
         d_agents_n = s["d_agents"] / self.norm_distance_lanelet
 
-        # Gather FIRST, transform SECOND. to_local and the velocity rotation
-        # are elementwise per (agent, point), so transform(gather(x)) is
-        # bitwise gather(transform(x)) — but runs the atan2/cos/sin chains on
-        # the n_nearing observed agents instead of all A of them (the
-        # reference transforms everything then indexes,
-        # road_traffic.py:1818-2013; at A=20, n_nearing=2 that is ~10x the
-        # transcendental work, which dominates this scenario's obs layer).
         if self.is_partial_observation:
             neg_d, idx = jax.lax.top_k(-s["d_agents"][:, i], self.n_nearing_agents)
             near_d = -neg_d
@@ -918,46 +929,18 @@ class Scenario(BaseScenario):
             take = lambda arr: jnp.take_along_axis(
                 arr, idx.reshape((B, -1) + (1,) * (arr.ndim - 2)), axis=1
             )
-            g_pos, g_rot, g_vel = take(pos), take(rot), take(vel)
-            g_ref = take(s["short_term"])
-            g_vert = take(s["verts"][:, :, 0:4])
-            g_dist = jnp.take_along_axis(d_agents_n[:, i], idx, -1)
+            obs_pos = jnp.where(mask_far[..., None], 1.0, take(pos_others))
+            obs_rot = jnp.where(mask_far, 0.0, take(rot_others))
+            obs_vel = jnp.where(mask_far[..., None], 0.0, take(vel_others))
+            obs_ref = jnp.where(mask_far[..., None, None], 1.0, take(ref_others))
+            obs_vert = jnp.where(mask_far[..., None, None], 1.0, take(vert_others))
+            obs_dist = jnp.where(mask_far, 1.0, jnp.take_along_axis(d_agents_n[:, i], idx, -1))
             n_obs = self.n_nearing_agents
-        else:
-            g_pos, g_rot, g_vel = pos, rot, vel
-            g_ref = s["short_term"]
-            g_vert = s["verts"][:, :, 0:4]
-            g_dist = d_agents_n[:, i].at[:, i].set(0.0)
-            n_obs = A
-
-        if self.is_ego_view:
-            pos_others = to_local(g_pos) / norm_pos  # [B, n_obs, 2]
-            rot_others = (g_rot - rot_i[:, None]) / self.norm_rot
-            vel_abs = safe_norm(g_vel)
-            rot_rel = g_rot - rot_i[:, None]
-            vel_others = jnp.stack(
-                [vel_abs * jnp.cos(rot_rel), vel_abs * jnp.sin(rot_rel)], -1
-            ) / self.norm_v
-            ref_others = to_local(g_ref) / norm_pos  # [B, n_obs, S, 2]
-            vert_others = to_local(g_vert) / norm_pos  # [B, n_obs, 4, 2]
-        else:
-            pos_others = g_pos / norm_pos
-            rot_others = g_rot / self.norm_rot
-            vel_others = g_vel / self.norm_v
-            ref_others = g_ref / norm_pos
-            vert_others = g_vert / norm_pos
-
-        if self.is_partial_observation:
-            obs_pos = jnp.where(mask_far[..., None], 1.0, pos_others)
-            obs_rot = jnp.where(mask_far, 0.0, rot_others)
-            obs_vel = jnp.where(mask_far[..., None], 0.0, vel_others)
-            obs_ref = jnp.where(mask_far[..., None, None], 1.0, ref_others)
-            obs_vert = jnp.where(mask_far[..., None, None], 1.0, vert_others)
-            obs_dist = jnp.where(mask_far, 1.0, g_dist)
         else:
             obs_pos, obs_rot, obs_vel = pos_others, rot_others, vel_others
             obs_ref, obs_vert = ref_others, vert_others
-            obs_dist = g_dist
+            obs_dist = d_agents_n[:, i].at[:, i].set(0.0)
+            n_obs = A
 
         others = [
             obs_vert.reshape(B, n_obs, -1)
@@ -973,24 +956,16 @@ class Scenario(BaseScenario):
             others.append(obs_ref.reshape(B, n_obs, -1))
         obs_other_agents = jnp.concatenate(others, -1).reshape(B, -1)
 
-        # self observation — computed from agent i's own rows directly (the
-        # same elementwise formulas as the per-agent transforms above, so
-        # bitwise equal to slicing row i of the full-A arrays)
+        # self observation
         obs_self = []
         if not self.is_ego_view:
-            obs_self.append((pos[:, i] / norm_pos).reshape(B, -1))
-            obs_self.append((rot[:, i] / self.norm_rot).reshape(B, -1))
-            obs_self.append((vel[:, i] / self.norm_v).reshape(B, -1))
-            ref_self = s["short_term"][:, i] / norm_pos
+            obs_self.append(pos_others[:, i].reshape(B, -1))
+            obs_self.append(rot_others[:, i].reshape(B, -1))
+            obs_self.append(vel_others[:, i].reshape(B, -1))
         else:
-            # in the ego frame only the longitudinal component is informative;
-            # rot_rel is exactly 0 here, kept in the formula for bit-parity
-            rr = rot[:, i] - rot_i
-            obs_self.append(
-                (safe_norm(vel[:, i]) * jnp.cos(rr) / self.norm_v).reshape(B, -1)
-            )
-            ref_self = to_local(s["short_term"][:, i]) / norm_pos
-        obs_self.append(ref_self.reshape(B, -1))
+            # in the ego frame only the longitudinal component is informative
+            obs_self.append(vel_others[:, i, 0:1].reshape(B, -1))
+        obs_self.append(ref_others[:, i].reshape(B, -1))
         if self.is_observe_distance_to_center_line:
             obs_self.append((s["d_ref"][:, i] / self.norm_distance_lanelet).reshape(B, -1))
         if self.is_observe_distance_to_boundaries:
@@ -1001,13 +976,10 @@ class Scenario(BaseScenario):
                 (s["d_right"][:, i].min(-1) / self.norm_distance_lanelet).reshape(B, -1)
             )
         else:
-            # only the ego's own nearing-boundary rows are observed —
-            # transform just row i (elementwise, so == row i of the full map)
-            lb_i, rb_i = s["near_left_b"][:, i], s["near_right_b"][:, i]
-            if self.is_ego_view:
-                lb_i, rb_i = to_local(lb_i), to_local(rb_i)
-            obs_self.append((lb_i / norm_pos).reshape(B, -1))
-            obs_self.append((rb_i / norm_pos).reshape(B, -1))
+            lb = to_local(s["near_left_b"]) / norm_pos if self.is_ego_view else s["near_left_b"] / norm_pos
+            rb = to_local(s["near_right_b"]) / norm_pos if self.is_ego_view else s["near_right_b"] / norm_pos
+            obs_self.append(lb[:, i].reshape(B, -1))
+            obs_self.append(rb[:, i].reshape(B, -1))
 
         obs = jnp.concatenate(obs_self + [obs_other_agents], -1)
         if self.is_add_noise:

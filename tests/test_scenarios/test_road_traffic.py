@@ -142,3 +142,44 @@ def test_pallas_sweeps_disabled_under_grad():
         "road_traffic", num_envs=2, seed=0, n_agents=4, grad_enabled=True,
     )
     assert env.scenario.pallas_sweeps is False
+
+
+def test_pallas_obs_kernel_matches_xla_path():
+    """The all-ego pallas observation kernel (road_traffic_kernel.obs_all,
+    opt-in via pallas_obs=True) must reproduce the per-agent observation
+    hook: same top-K nearing selection and masking, values to float
+    tolerance. Noise is on for one env pair (same obs_key -> identical
+    noise) and off for the strict comparison."""
+    for noise in (False, True):
+        kw = dict(num_envs=4, seed=0, n_agents=4, is_add_noise=noise)
+        env_k = make_env("road_traffic", pallas_obs=True, **kw)
+        env_x = make_env("road_traffic", **kw)
+        assert env_k.scenario.pallas_obs  # kernel path actually on
+        for step in range(3):
+            acts = env_k.get_random_actions()
+            env_x.get_random_actions()  # keep the obs-noise key streams in sync
+            obs_k, rew_k, done_k, _ = env_k.step(acts)
+            obs_x, rew_x, done_x, _ = env_x.step(acts)
+            for ok, ox in zip(obs_k, obs_x):
+                np.testing.assert_allclose(
+                    ok, ox, atol=5e-5, err_msg=f"noise={noise} step {step}"
+                )
+            np.testing.assert_allclose(rew_k, rew_x, atol=5e-5)
+            np.testing.assert_array_equal(done_k, done_x)
+
+
+def test_pallas_obs_reset_path_and_grad_gating():
+    """obs kernel also serves the reset-path observations; grad_enabled
+    flips it off; non-default obs structure falls back to the XLA hook."""
+    env = make_env(
+        "road_traffic", num_envs=2, seed=0, n_agents=4, grad_enabled=True,
+        pallas_obs=True,
+    )
+    assert env.scenario.pallas_obs is False
+    env = make_env(
+        "road_traffic", num_envs=2, seed=0, n_agents=4, pallas_obs=True,
+        is_observe_vertices=False,
+    )
+    assert env.scenario.observations(env.state) is None
+    obs, *_ = env.reset()
+    assert np.isfinite(np.asarray(obs[0])).all()

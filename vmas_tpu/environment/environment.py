@@ -79,11 +79,13 @@ class Environment:
             mk = getattr(scenario, "make_fused_outputs", None)
             if mk is not None and _fused.supports(self.world):
                 self._fused_outputs = mk(self.world)
-        if grad_enabled and getattr(scenario, "pallas_sweeps", False):
+        if grad_enabled:
             # scenario-level pallas kernels (e.g. road_traffic's fused path
-            # sweeps) are forward-only like fused physics; fall back to the
-            # XLA path for differentiable rollouts
-            scenario.pallas_sweeps = False
+            # sweeps and all-ego obs) are forward-only like fused physics;
+            # fall back to the XLA path for differentiable rollouts
+            for flag in ("pallas_sweeps", "pallas_obs"):
+                if getattr(scenario, flag, False):
+                    setattr(scenario, flag, False)
         self.agents = self.world.policy_agents
         self.n_agents = len(self.agents)
         self.max_steps = max_steps
@@ -152,7 +154,9 @@ class Environment:
                 state = scenario.pre_rewards(state)
                 rews = tuple(scenario.reward(a, state) for a in self.agents)
                 state = scenario.post_rewards(state)
-            obs = tuple(scenario.observation(a, state) for a in self.agents)
+            obs = scenario.observations(state)
+            if obs is None:
+                obs = tuple(scenario.observation(a, state) for a in self.agents)
             infos = tuple(scenario.info(a, state) for a in self.agents)
             terminated = scenario.done(state)
             if self.max_steps is not None:

@@ -82,6 +82,16 @@ class BaseScenario(ABC):
     @abstractmethod
     def observation(self, agent: Agent, state: WorldState): ...
 
+    def observations(self, state: WorldState):
+        """Optional batch hook: all policy agents' observations at once.
+
+        Return a tuple of per-agent observation arrays (policy-agent order)
+        to REPLACE the per-agent ``observation`` calls, or None to use them.
+        Lets a scenario compute every ego's observation in one fused pass
+        (e.g. road_traffic's all-ego pallas kernel) without N separate
+        hook invocations."""
+        return None
+
     @abstractmethod
     def reward(self, agent: Agent, state: WorldState): ...
 

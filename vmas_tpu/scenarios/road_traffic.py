@@ -268,6 +268,9 @@ class Scenario(BaseScenario):
         # fused pallas sweep kernel (road_traffic_kernel.py): forward-only;
         # Environment flips it off under grad_enabled
         self.pallas_sweeps = bool(kwargs.pop("pallas_sweeps", True))
+        # all-ego pallas observation kernel (road_traffic_kernel.obs_all):
+        # forward-only, default-config observation structure only
+        self.pallas_obs = bool(kwargs.pop("pallas_obs", False))
         ScenarioUtils.check_kwargs_consumed(kwargs)
 
         if self.n_nearing_agents >= self.n_agents:
@@ -881,6 +884,48 @@ class Scenario(BaseScenario):
         return state.replace(scenario=scratch)
 
     # ------------------------------------------------------------------
+    def observations(self, state):
+        """All-ego observations in one pallas kernel (obs_all) when the
+        config matches the default observation structure; None -> the
+        environment falls back to per-agent ``observation`` calls. The
+        kernel mirrors ``observation`` bit for bit (asserted by
+        tests/test_scenarios/test_road_traffic_kernel.py)."""
+        if not self.pallas_obs:
+            return None
+        if not (
+            self.is_ego_view
+            and self.is_partial_observation
+            and self.is_observe_vertices
+            and self.is_observe_distance_to_agents
+            and self.is_observe_distance_to_boundaries
+            and self.is_observe_distance_to_center_line
+            and not self.is_observe_ref_path_other_agents
+        ):
+            return None
+        from vmas_tpu.scenarios import road_traffic_kernel as rtk
+
+        s = state.scenario
+        pos, rot, vel = self._agent_arrays(state)
+        obs = rtk.obs_all(
+            pos, rot, vel, s["short_term"], s["verts"][:, :, 0:4],
+            s["d_ref"], s["d_left"].min(-1), s["d_right"].min(-1),
+            K=self.n_nearing_agents, apply_mask=self.is_apply_mask,
+            # norm_pos[0] == threshold_mask_agents by construction (:318)
+            norm_pos=self.threshold_mask_agents,
+            norm_v=float(self.norm_v),
+            norm_dist=float(self.norm_distance_lanelet),
+            thresh=self.threshold_mask_agents,
+        )  # [A, B, W]
+        out = []
+        for a in self.world.policy_agents:
+            o = obs[a.slot]
+            if self.is_add_noise:
+                o = o + self.noise_level * jax.random.uniform(
+                    self.obs_key(state, a.slot), o.shape
+                )
+            out.append(o)
+        return tuple(out)
+
     def observation(self, agent, state):
         """Reference observation (road_traffic.py:1785-2280), ego view."""
         s = state.scenario

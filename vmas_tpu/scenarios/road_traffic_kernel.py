@@ -211,6 +211,162 @@ def _make_kernel(NP, Mc, Mb, lh, wh, S, interval, shift):
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# all-ego observation kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_obs_kernel(A, S, K, apply_mask, norm_pos, norm_v, norm_dist, thresh):
+    """Default-config observation (ego view, partial observation, vertices,
+    agent distances, boundary distances; reference road_traffic.py:1785-2280)
+    for ALL egos in one kernel.
+
+    The XLA path builds every ego's frame by transforming all A agents'
+    pos/vel/verts/short-term through atan2/cos/sin chains and THEN gathering
+    the n_nearing observed agents (20 per-ego fused chains; the dominant
+    residual after the sweep kernel). Restructuring that in XLA — gather
+    first, or one batched chain — either hangs the TPU compile or regresses
+    (docs/PERFORMANCE.md). Here each ego's top-K nearest agents are selected
+    in-kernel (sequential masked min, ties to the lowest index — exactly
+    jax.lax.top_k on the diagonal-lifted distance row) and only their rows
+    are gathered (masked sublane reductions over the [A, BLK] quantity
+    blocks) and transformed; formulas mirror safe_norm/to_local bit for bit.
+    """
+    W = 1 + 2 * S + 3 + K * 11  # vel_long | ref_self | d_ref,d_l,d_r | K*(vert8+vel2+dist1)
+    PX, PY, ROT, VX, VY = 0, A, 2 * A, 3 * A, 4 * A
+    STX = lambda s: (5 + s) * A
+    STY = lambda s: (5 + S + s) * A
+    VTX = lambda c: (5 + 2 * S + c) * A
+    VTY = lambda c: (5 + 2 * S + 4 + c) * A
+    BASE = (13 + 2 * S) * A
+    DREF, DL, DR = BASE, BASE + A, BASE + 2 * A
+
+    def kernel(x_ref, o_ref):
+        Bk = x_ref.shape[1]
+        row = lambda r: x_ref[r : r + 1, :]
+        blk = lambda r: x_ref[r : r + A, :]  # [A, Bk] quantity block
+        px_b, py_b, rot_b = blk(PX), blk(PY), blk(ROT)
+        vx_b, vy_b = blk(VX), blk(VY)
+        iota_A = jax.lax.broadcasted_iota(jnp.int32, (A, Bk), 0).astype(jnp.float32)
+
+        def safe_norm2(x, y):
+            sq = x * x + y * y
+            z = sq == 0.0
+            return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+
+        def gather(r, idx):
+            """row idx (per lane) of quantity block at r -> [1, Bk]."""
+            return jnp.sum(
+                jnp.where(iota_A == idx, blk(r), 0.0), axis=0, keepdims=True
+            )
+
+        for i in range(A):
+            pxi, pyi, roti = row(PX + i), row(PY + i), row(ROT + i)
+
+            def to_local(qx, qy):
+                """one point -> ego-i frame (observation's to_local)."""
+                dx, dy = qx - pxi, qy - pyi
+                vec_abs = safe_norm2(dx, dy)
+                rel = jnp.arctan2(dy, dx) - roti
+                return jnp.cos(rel) * vec_abs, jnp.sin(rel) * vec_abs
+
+            # mutual distances from ego i (d_agents row i, diagonal lifted —
+            # the global-max lift only keeps self out of the top-K, so an
+            # inf-mask on row i is selection-equivalent)
+            ddx, ddy = px_b - pxi, py_b - pyi
+            d_row = jnp.sqrt(ddx * ddx + ddy * ddy + 1e-12)
+            d_cur = jnp.where(iota_A == float(i), jnp.inf, d_row)
+
+            o = i * W
+            # --- self rows ------------------------------------------------
+            # vel_others[:, i, 0]: rot_rel is exactly 0 -> cos(0) == 1
+            o_ref[o : o + 1, :] = safe_norm2(row(VX + i), row(VY + i)) / norm_v
+            o += 1
+            for s in range(S):
+                sx, sy = to_local(row(STX(s) + i), row(STY(s) + i))
+                o_ref[o : o + 1, :] = sx / norm_pos
+                o_ref[o + 1 : o + 2, :] = sy / norm_pos
+                o += 2
+            o_ref[o : o + 1, :] = row(DREF + i) / norm_dist
+            o_ref[o + 1 : o + 2, :] = row(DL + i) / norm_dist
+            o_ref[o + 2 : o + 3, :] = row(DR + i) / norm_dist
+            o += 3
+
+            # --- K nearest agents ----------------------------------------
+            for _ in range(K):
+                m = jnp.min(d_cur, axis=0, keepdims=True)  # [1, Bk]
+                idx = jnp.min(
+                    jnp.where(d_cur == m, iota_A, float(A)), axis=0, keepdims=True
+                )
+                d_cur = jnp.where(iota_A == idx, jnp.inf, d_cur)
+                far = (
+                    m >= thresh
+                    if apply_mask
+                    else jnp.zeros_like(m, dtype=bool)
+                )
+                for c in range(4):
+                    cx, cy = to_local(gather(VTX(c), idx), gather(VTY(c), idx))
+                    o_ref[o : o + 1, :] = jnp.where(far, 1.0, cx / norm_pos)
+                    o_ref[o + 1 : o + 2, :] = jnp.where(far, 1.0, cy / norm_pos)
+                    o += 2
+                vel_abs = safe_norm2(gather(VX, idx), gather(VY, idx))
+                rot_rel = gather(ROT, idx) - roti
+                o_ref[o : o + 1, :] = jnp.where(
+                    far, 0.0, vel_abs * jnp.cos(rot_rel) / norm_v
+                )
+                o_ref[o + 1 : o + 2, :] = jnp.where(
+                    far, 0.0, vel_abs * jnp.sin(rot_rel) / norm_v
+                )
+                o += 2
+                o_ref[o : o + 1, :] = jnp.where(far, 1.0, m / norm_dist)
+                o += 1
+
+    return kernel, W
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "apply_mask", "norm_pos", "norm_v", "norm_dist", "thresh"),
+)
+def obs_all(pos, rot, vel, short_term, verts, d_ref, d_left_min, d_right_min,
+            *, K, apply_mask, norm_pos, norm_v, norm_dist, thresh):
+    """All-ego default-config observations in one pallas kernel.
+
+    pos/vel [B, A, 2]; rot [B, A]; short_term [B, A, S, 2]; verts
+    [B, A, >=4, 2] (first 4 corners used); d_ref/d_left_min/d_right_min
+    [B, A]. Returns [A, B, W] (noise-free; the caller adds the per-ego
+    uniform noise)."""
+    B, A = rot.shape
+    S = short_term.shape[2]
+    rows = [pos[..., 0].T, pos[..., 1].T, rot.T, vel[..., 0].T, vel[..., 1].T]
+    rows += [short_term[:, :, s, 0].T for s in range(S)]
+    rows += [short_term[:, :, s, 1].T for s in range(S)]
+    rows += [verts[:, :, c, 0].T for c in range(4)]
+    rows += [verts[:, :, c, 1].T for c in range(4)]
+    rows += [d_ref.T, d_left_min.T, d_right_min.T]
+    x = jnp.concatenate(rows, axis=0)  # [(16+2S)A, B]
+
+    blk = min(512, -(-B // 128) * 128)
+    bp = -(-B // blk) * blk
+    if bp != B:
+        x = jnp.pad(x, ((0, 0), (0, bp - B)))
+
+    kernel, W = _make_obs_kernel(
+        A, S, K, apply_mask, norm_pos, norm_v, norm_dist, thresh
+    )
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((A * W, bp), jnp.float32),
+        grid=(bp // blk,),
+        in_specs=[
+            pl.BlockSpec((x.shape[0], blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((A * W, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() == "cpu",
+    )(x)
+    return y[:, :B].reshape(A, W, B).transpose(0, 2, 1)  # [A, B, W]
+
+
 @functools.partial(
     jax.jit, static_argnames=("Mc", "Mb", "lh", "wh", "S", "interval", "shift")
 )

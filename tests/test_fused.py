@@ -121,6 +121,8 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("balance", dict(n_agents=3), "global_shaping"),
         ("dropout", dict(n_agents=4), "eaten"),
         ("flocking", dict(n_agents=4), "distance_shaping"),
+        ("dispersion", dict(n_agents=4), "eaten"),
+        ("dispersion", dict(n_agents=4, share_reward=True, penalise_by_time=True), "eaten"),
     ],
 )
 def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key):

@@ -117,3 +117,143 @@ class Scenario(BaseScenario):
 
     def done(self, state):
         return jnp.all(state.scenario["eaten"], axis=-1)
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward/done as extra rows of the fused physics kernel
+        (fused.FusedOutputs). Mirrors pre_rewards/reward/observation/done
+        above; the REAL post_rewards hook still runs on the unpacked
+        scratch (fused branch calls it), so the eaten merge, just_eaten
+        zeroing and food-rendering toggle are not duplicated here. The
+        obs/done rows use eaten_new = eaten | just_eaten_new because the
+        non-fused hook order computes them after post_rewards."""
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        foods = world.landmarks
+        A, F = len(agents), len(foods)
+        eat_r = [float(a.shape.radius) + float(self.food_radius) for a in agents]
+        share = bool(self.share_reward)
+        by_time = bool(self.penalise_by_time)
+        agent_w = 4  # pos(2) vel(2); per-food rel emitted separately
+
+        class DispersionOutputs(F_.FusedOutputs):
+            n_scratch_in = 2 * F  # eaten | just_eaten
+            n_out = A * agent_w + A * 2 * F + 2 * F + A + 1
+
+            @staticmethod
+            def scratch_rows(state):
+                return jnp.concatenate(
+                    [
+                        state.scenario["eaten"].astype(jnp.float32).T,
+                        state.scenario["just_eaten"].astype(jnp.float32).T,
+                    ],
+                    axis=0,
+                )  # [2F, B]
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                eaten = [r > 0.5 for r in ctx["scratch"][:F]]
+                just_prev = [r > 0.5 for r in ctx["scratch"][F:]]
+
+                def safe_norm2(x, y):
+                    sq = x * x + y * y
+                    z = sq == 0.0
+                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+
+                rel, on = {}, {}
+                for ai, a in enumerate(agents):
+                    for fi, f in enumerate(foods):
+                        rx = px[f.index] - px[a.index]
+                        ry = py[f.index] - py[a.index]
+                        rel[(ai, fi)] = (rx, ry)
+                        on[(ai, fi)] = safe_norm2(rx, ry) < eat_r[ai]
+                how_many = [
+                    sum(on[(ai, fi)].astype(jnp.float32) for ai in range(A))
+                    for fi in range(F)
+                ]
+                just_new = [
+                    just_prev[fi] | (how_many[fi] > 0) for fi in range(F)
+                ]
+                eaten_new = [eaten[fi] | just_new[fi] for fi in range(F)]
+
+                rews = []
+                for ai in range(A):
+                    if share:
+                        r = sum(
+                            (just_new[fi] & ~eaten[fi]).astype(jnp.float32)
+                            for fi in range(F)
+                        )
+                    else:
+                        r = None
+                        for fi in range(F):
+                            hm = how_many[fi]
+                            eat = jnp.where(
+                                hm > 0, 1.0 / jnp.where(hm > 0, hm, 1.0), 0.0
+                            )
+                            term = jnp.where(
+                                on[(ai, fi)] & ~eaten[fi], eat, 0.0
+                            )
+                            r = term if r is None else r + term
+                    if by_time:
+                        r = jnp.where(r == 0, -0.01, r)
+                    rews.append(r)
+                done = None
+                for fi in range(F):
+                    done = eaten_new[fi] if done is None else (done & eaten_new[fi])
+
+                rows = []
+                for a in agents:
+                    rows += [px[a.index], py[a.index], vx[a.index], vy[a.index]]
+                for ai in range(A):
+                    for fi in range(F):
+                        rows += list(rel[(ai, fi)])
+                rows += [j.astype(jnp.float32) for j in just_new]
+                rows += how_many
+                rows += rews
+                rows.append(done.astype(jnp.float32))
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                base = A * agent_w
+                rel = extra[base : base + A * 2 * F]
+                just_new = extra[base + A * 2 * F : base + A * 2 * F + F].T > 0.5
+                how_many = extra[
+                    base + A * 2 * F + F : base + A * 2 * F + 2 * F
+                ].T.astype(jnp.int32)
+                rews = tuple(
+                    extra[base + A * 2 * F + 2 * F + ai] for ai in range(A)
+                )
+                done = extra[-1] > 0.5
+                eaten_new = (state.scenario["eaten"] | just_new).astype(
+                    jnp.float32
+                )[..., None]  # [B, F, 1] — obs flag is post-merge
+                obs = []
+                for ai in range(A):
+                    r = rel[ai * 2 * F : (ai + 1) * 2 * F]  # [2F, B] x,y pairs
+                    per_food = jnp.concatenate(
+                        [
+                            jnp.stack(
+                                [r[2 * fi], r[2 * fi + 1]], axis=-1
+                            )  # [B, 2]
+                            for fi in range(F)
+                        ],
+                        axis=-1,
+                    ).reshape(state.batch_dim, F, 2)
+                    per_food = jnp.concatenate([per_food, eaten_new], axis=-1)
+                    obs.append(
+                        jnp.concatenate(
+                            [
+                                extra[ai * agent_w : (ai + 1) * agent_w].T,
+                                per_food.reshape(state.batch_dim, -1),
+                            ],
+                            axis=-1,
+                        )
+                    )
+                updates = {"just_eaten": just_new, "how_many_on_food": how_many}
+                return tuple(obs), rews, done, updates
+
+        return DispersionOutputs()

@@ -123,6 +123,8 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("flocking", dict(n_agents=4), "distance_shaping"),
         ("dispersion", dict(n_agents=4), "eaten"),
         ("dispersion", dict(n_agents=4, share_reward=True, penalise_by_time=True), "eaten"),
+        ("navigation", dict(n_agents=4), "pos_shaping"),
+        ("navigation", dict(n_agents=4, shared_rew=False, observe_all_goals=True), "pos_shaping"),
     ],
 )
 def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key):

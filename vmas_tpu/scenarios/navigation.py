@@ -194,6 +194,139 @@ class Scenario(BaseScenario):
 
         draw.draw_comm_lines(ax, env, env.state, env_index, self.comms_range)
 
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward/done as extra rows of the fused physics kernel
+        (fused.FusedOutputs); the Lidar sweep stays on the XLA raycast path
+        and is appended in unpack. Mirrors pre_rewards/reward/observation/
+        done above; asserted equal by tests/test_fused.py."""
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        A = len(agents)
+        goal_r = [float(a.goal.shape.radius) for a in agents]
+        done_r = [float(a.shape.radius) for a in agents]
+        factor = float(self.pos_shaping_factor)
+        final = float(self.final_reward)
+        coll_pen = float(self.agent_collision_penalty)
+        min_coll = float(self.min_collision_distance)
+        shared = bool(self.shared_rew)
+        all_goals = bool(self.observe_all_goals)
+        lidar_on = bool(self.collisions)
+        pairs = [
+            (i, j)
+            for i in range(A)
+            for j in range(A)
+            if i > j and world.collides(agents[i], agents[j])
+        ]
+        obs_w = 4 + 2 * (A if all_goals else 1)
+
+        class NavigationOutputs(F_.FusedOutputs):
+            n_scratch_in = A  # previous pos_shaping columns
+            n_out = A * obs_w + 3 * A + 2
+
+            @staticmethod
+            def scratch_rows(state):
+                return state.scenario["pos_shaping"].T  # [A, B]
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                prev = ctx["scratch"]
+
+                def safe_norm2(x, y):
+                    sq = x * x + y * y
+                    z = sq == 0.0
+                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+
+                goal_rel, dist = [], []
+                for i, a in enumerate(agents):
+                    gx = px[a.index] - px[a.goal.index]
+                    gy = py[a.index] - py[a.goal.index]
+                    goal_rel.append((gx, gy))
+                    dist.append(safe_norm2(gx, gy))
+                on_goal = [dist[i] < goal_r[i] for i in range(A)]
+                shaping = [dist[i] * factor for i in range(A)]
+                per_agent = [prev[i] - shaping[i] for i in range(A)]
+                all_reached = None
+                for og in on_goal:
+                    all_reached = og if all_reached is None else (all_reached & og)
+                final_rew = jnp.where(all_reached, final, 0.0)
+
+                coll = [jnp.zeros_like(px[0]) for _ in range(A)]
+                for i, j in pairs:
+                    d = (
+                        safe_norm2(
+                            px[agents[i].index] - px[agents[j].index],
+                            py[agents[i].index] - py[agents[j].index],
+                        )
+                        - done_r[i] - done_r[j]
+                    )
+                    hit = (d <= min_coll).astype(jnp.float32) * coll_pen
+                    coll[i] = coll[i] + hit
+                    coll[j] = coll[j] + hit
+
+                done = None
+                for i in range(A):
+                    d_ok = dist[i] < done_r[i]
+                    done = d_ok if done is None else (done & d_ok)
+
+                rows = []
+                for i, a in enumerate(agents):
+                    rows += [px[a.index], py[a.index], vx[a.index], vy[a.index]]
+                    if all_goals:
+                        for b in agents:
+                            rows += [
+                                px[a.index] - px[b.goal.index],
+                                py[a.index] - py[b.goal.index],
+                            ]
+                    else:
+                        rows += list(goal_rel[i])
+                rows += per_agent + coll + shaping
+                rows += [final_rew, done.astype(jnp.float32)]
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                base = A * obs_w
+                per_agent = extra[base : base + A].T            # [B, A]
+                coll = extra[base + A : base + 2 * A].T
+                shaping = extra[base + 2 * A : base + 3 * A].T
+                final_rew = extra[base + 3 * A]
+                done = extra[base + 3 * A + 1] > 0.5
+                pos_rew = per_agent.sum(-1)
+                obs = tuple(
+                    jnp.concatenate(
+                        [extra[i * obs_w : (i + 1) * obs_w].T]
+                        + (
+                            [
+                                a.sensors[0].max_range
+                                - a.sensors[0].measure(state)
+                            ]
+                            if lidar_on
+                            else []
+                        ),
+                        -1,
+                    )
+                    for i, a in enumerate(agents)
+                )
+                rews = tuple(
+                    (pos_rew if shared else per_agent[:, i])
+                    + final_rew + coll[:, i]
+                    for i in range(A)
+                )
+                updates = {
+                    "pos_shaping": shaping,
+                    "pos_rew_per_agent": per_agent,
+                    "pos_rew": pos_rew,
+                    "final_rew": final_rew,
+                    "collision_rew": coll,
+                }
+                return obs, rews, done, updates
+
+        return NavigationOutputs()
+
 
 class HeuristicPolicy(BaseHeuristicPolicy):
     """Proportional controller toward the goal (the reference's heuristic uses

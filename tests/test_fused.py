@@ -125,6 +125,8 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("dispersion", dict(n_agents=4, share_reward=True, penalise_by_time=True), "eaten"),
         ("navigation", dict(n_agents=4), "pos_shaping"),
         ("navigation", dict(n_agents=4, shared_rew=False, observe_all_goals=True), "pos_shaping"),
+        ("give_way", dict(), "shaping"),
+        ("give_way", dict(observe_rel_pos=True, obs_noise=0.02, done_on_completion=True), "shaping"),
     ],
 )
 def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key):
@@ -138,6 +140,7 @@ def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key):
 
     for t in range(4):
         actions = env_ref.get_random_actions()
+        env_fus.get_random_actions()  # keep the obs-noise key streams in sync
         obs_r, rews_r, dones_r, infos_r = env_ref.step(actions)
         obs_f, rews_f, dones_f, infos_f = env_fus.step(actions)
         for i in range(len(obs_r)):

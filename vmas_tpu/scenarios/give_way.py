@@ -299,9 +299,17 @@ class Scenario(BaseScenario):
                 if a is not agent:
                     observations.append(agent.pos(state) - a.pos(state))
         if self.obs_noise > 0:
-            # deterministic-free noise would need a key; reference adds uniform
-            # noise to observations. Use a key folded from scratch rng.
-            pass
+            # per-part uniform noise in [-obs_noise, obs_noise] (reference
+            # give_way.py:317-323), keyed off the per-step observation key
+            key = self.obs_key(state, agent.slot)
+            observations = [
+                obs
+                + jax.random.uniform(
+                    jax.random.fold_in(key, i), obs.shape,
+                    minval=-self.obs_noise, maxval=self.obs_noise,
+                )
+                for i, obs in enumerate(observations)
+            ]
         return jnp.concatenate(observations, axis=-1)
 
     def done(self, state):
@@ -312,3 +320,122 @@ class Scenario(BaseScenario):
     def info(self, agent, state):
         s = state.scenario
         return {"pos_rew": s["pos_rew"], "final_rew": s["final_rew"]}
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward/done as extra rows of the fused physics kernel
+        (fused.FusedOutputs) for the default reward config (all penalty
+        coefficients zero — their loops are statically skipped in reward()
+        too); returns None otherwise so the hook pipeline runs. The PID
+        velocity controller stays in process_action (pre-kernel), and the
+        per-part observation noise is applied in unpack with the same keys
+        as the observation hook."""
+        if (
+            self.agent_collision_penalty != 0
+            or self.passage_collision_penalty != 0
+            or self.obstacle_collision_penalty != 0
+            or self.energy_reward_coeff != 0
+        ):
+            return None
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        A = len(agents)
+        goal_r = [float(a.goal.shape.radius) for a in agents]
+        factor = float(self.pos_shaping_factor)
+        final = float(self.final_reward)
+        rel_obs = bool(self.observe_rel_pos)
+        done_on = bool(self.done_on_completion)
+        noise = float(self.obs_noise)
+        scenario = self
+        obs_w = 4 + (2 * (A - 1) if rel_obs else 0)
+
+        class GiveWayOutputs(F_.FusedOutputs):
+            n_scratch_in = A  # previous shaping columns
+            n_out = A * obs_w + A + 3
+
+            @staticmethod
+            def scratch_rows(state):
+                return state.scenario["shaping"].T  # [A, B]
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                prev = ctx["scratch"]
+
+                def safe_norm2(x, y):
+                    sq = x * x + y * y
+                    z = sq == 0.0
+                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+
+                dist = [
+                    safe_norm2(
+                        px[a.index] - px[a.goal.index],
+                        py[a.index] - py[a.goal.index],
+                    )
+                    for a in agents
+                ]
+                goal_reached = None
+                for i in range(A):
+                    r = dist[i] < goal_r[i]
+                    goal_reached = r if goal_reached is None else (goal_reached & r)
+                shaping = [d * factor for d in dist]
+                pos_rew = sum(prev[i] - shaping[i] for i in range(A))
+                final_rew = jnp.where(goal_reached, final, 0.0)
+
+                rows = []
+                for a in agents:
+                    rows += [px[a.index], py[a.index], vx[a.index], vy[a.index]]
+                    if rel_obs:
+                        for b in agents:
+                            if b is not a:
+                                rows += [
+                                    px[a.index] - px[b.index],
+                                    py[a.index] - py[b.index],
+                                ]
+                rows += shaping
+                rows += [
+                    pos_rew, final_rew, goal_reached.astype(jnp.float32)
+                ]
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                base = A * obs_w
+                shaping = extra[base : base + A].T
+                pos_rew = extra[base + A]
+                final_rew = extra[base + A + 1]
+                goal_reached = extra[base + A + 2] > 0.5
+                obs = []
+                for i, a in enumerate(agents):
+                    o = extra[i * obs_w : (i + 1) * obs_w].T
+                    if noise > 0:
+                        # same per-part keys/shapes as the observation hook
+                        key = scenario.obs_key(state, a.slot)
+                        parts = 1 + 1 + (A - 1 if rel_obs else 0)
+                        noises = [
+                            jax.random.uniform(
+                                jax.random.fold_in(key, k), (o.shape[0], 2),
+                                minval=-noise, maxval=noise,
+                            )
+                            for k in range(parts)
+                        ]
+                        o = o + jnp.concatenate(noises, -1)
+                    obs.append(o)
+                rew = pos_rew + final_rew
+                rews = tuple(rew for _ in range(A))
+                done = (
+                    goal_reached
+                    if done_on
+                    else jnp.zeros(goal_reached.shape, bool)
+                )
+                updates = {
+                    "shaping": shaping,
+                    "goal_reached": goal_reached,
+                    "pos_rew": pos_rew,
+                    "final_rew": final_rew,
+                }
+                return tuple(obs), rews, done, updates
+
+        return GiveWayOutputs()

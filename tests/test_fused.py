@@ -127,6 +127,8 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("navigation", dict(n_agents=4, shared_rew=False, observe_all_goals=True), "pos_shaping"),
         ("give_way", dict(), "shaping"),
         ("give_way", dict(observe_rel_pos=True, obs_noise=0.02, done_on_completion=True), "shaping"),
+        ("passage", dict(), "global_shaping"),
+        ("passage", dict(n_passages=2, shared_reward=True), "global_shaping"),
     ],
 )
 def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key):

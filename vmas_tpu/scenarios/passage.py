@@ -189,3 +189,133 @@ class Scenario(BaseScenario):
         from vmas_tpu.render import draw
 
         draw.draw_perimeter(ax, 1.0, pad=self.agent_radius)
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward/done as extra rows of the fused physics kernel
+        (fused.FusedOutputs). The ~A*(A-1 + n_boxes) is_overlapping tests of
+        pre_rewards (sphere-sphere and box-sphere closest-point form,
+        queries.py:82-93) run in-kernel on the VMEM-resident state; both
+        reward modes incl. the shared cumulative-penalty semantics are
+        composed in unpack. Asserted equal by tests/test_fused.py."""
+        from vmas_tpu.core import fused as F_
+        from vmas_tpu.core.utils import LINE_MIN_DIST
+
+        agents = world.policy_agents
+        A = len(agents)
+        radius = float(self.agent_radius)
+        factor = float(self.shaping_factor)
+        shared = bool(self.shared_reward)
+        open_passages = [p for p in self.passages if not p.collide]
+        walls = [p for p in self.passages if p.collide]
+        hw = self.passage_width / 2
+        hl = self.passage_length / 2
+        obs_w = 6 + 2 * len(open_passages)
+
+        class PassageOutputs(F_.FusedOutputs):
+            n_scratch_in = A  # previous global_shaping columns
+            n_out = A * obs_w + 3 * A + 1
+
+            @staticmethod
+            def scratch_rows(state):
+                return state.scenario["global_shaping"].T  # [A, B]
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                rot = ctx["rot"]
+                prev = ctx["scratch"]
+
+                def safe_norm2(x, y):
+                    sq = x * x + y * y
+                    z = sq == 0.0
+                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+
+                goal_rel, dist = [], []
+                for a in agents:
+                    gx = px[a.goal.index] - px[a.index]
+                    gy = py[a.goal.index] - py[a.index]
+                    goal_rel.append((gx, gy))
+                    dist.append(safe_norm2(gx, gy))
+                shaping = [d * factor for d in dist]
+                shaping_rew = [prev[i] - shaping[i] for i in range(A)]
+
+                # agent-agent sphere overlaps, shared across the pair
+                aa = {}
+                for i in range(A):
+                    for j in range(i + 1, A):
+                        d = safe_norm2(
+                            px[agents[i].index] - px[agents[j].index],
+                            py[agents[i].index] - py[agents[j].index],
+                        ) - 2 * radius
+                        aa[(i, j)] = (d < 0).astype(jnp.float32)
+                pen = []
+                for i, a in enumerate(agents):
+                    p = None
+                    if a.collide:
+                        for j in range(A):
+                            if j == i:
+                                continue
+                            hit = aa[(min(i, j), max(i, j))]
+                            p = -10.0 * hit if p is None else p - 10.0 * hit
+                        for w_ in walls:
+                            wi = w_.index
+                            cos, sin = jnp.cos(rot[wi]), jnp.sin(rot[wi])
+                            cx, cy = F_._closest_point_box(
+                                px[wi], py[wi], cos, sin, hw, hl,
+                                px[a.index], py[a.index],
+                            )
+                            d_sc = safe_norm2(px[a.index] - cx, py[a.index] - cy)
+                            d_sb = safe_norm2(px[a.index] - px[wi], py[a.index] - py[wi])
+                            d_cb = safe_norm2(px[wi] - cx, py[wi] - cy)
+                            hit = (
+                                (d_sb < d_cb) | (d_sc < radius + LINE_MIN_DIST)
+                            ).astype(jnp.float32)
+                            p = p - 10.0 * hit
+                    pen.append(p if p is not None else jnp.zeros_like(px[0]))
+
+                done = None
+                for i, a in enumerate(agents):
+                    ok = dist[i] <= radius / 2
+                    done = ok if done is None else (done & ok)
+
+                rows = []
+                for i, a in enumerate(agents):
+                    rows += [px[a.index], py[a.index], vx[a.index], vy[a.index]]
+                    rows += list(goal_rel[i])
+                    for p_ in open_passages:
+                        rows += [
+                            px[p_.index] - px[a.index],
+                            py[p_.index] - py[a.index],
+                        ]
+                rows += shaping_rew + pen + shaping
+                rows.append(done.astype(jnp.float32))
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                base = A * obs_w
+                shaping_rew = extra[base : base + A].T          # [B, A]
+                pen = extra[base + A : base + 2 * A].T
+                shaping = extra[base + 2 * A : base + 3 * A].T
+                done = extra[base + 3 * A] > 0.5
+                obs = tuple(
+                    extra[i * obs_w : (i + 1) * obs_w].T for i in range(A)
+                )
+                if shared:
+                    shared_pos = shaping_rew.sum(-1)
+                    cum = jnp.cumsum(pen, axis=-1)
+                    rews = tuple(shared_pos + cum[:, i] for i in range(A))
+                else:
+                    rews = tuple(
+                        shaping_rew[:, i] + pen[:, i] for i in range(A)
+                    )
+                updates = {
+                    "global_shaping": shaping,
+                    "shaping_rew": shaping_rew,
+                    "collision_pen": pen,
+                }
+                return obs, rews, done, updates
+
+        return PassageOutputs()

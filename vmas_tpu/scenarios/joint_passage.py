@@ -415,6 +415,188 @@ class Scenario(BaseScenario):
             get_line_angle_dist_0_180(jl.rot(state), self.goal.rot(state)) <= 0.01
         )
 
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward/done as extra rows of the fused physics kernel
+        (fused.FusedOutputs) for the default reward config (zero
+        collision/energy coefficients — their loops are statically skipped
+        in pre_rewards too); returns None otherwise. Observation noise (per
+        part, and the joint-angle gaussian) is applied in unpack with the
+        same keys as the observation hook."""
+        if self.collision_reward != 0 or self.energy_reward_coeff != 0:
+            return None
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        A = len(agents)
+        jl_i = self.joint.landmark.index
+        goal_i = self.goal.index
+        open_idx = [p.index for p in self.non_collide_passages]
+        pw_half = self.passage_width / 2
+        pos_f = float(self.pos_shaping_factor)
+        rot_f = float(self.rot_shaping_factor)
+        middle = float(self.middle_angle)
+        all_rot = bool(self.all_passed_rot)
+        obs_joint = bool(self.observe_joint_angle)
+        j_noise = float(self.joint_angle_obs_noise)
+        noise = float(self.obs_noise)
+        scenario = self
+        # pos2 vel2 goal-rel2 passages 2P goal-angle-vec2 [joint-angle-vec2]
+        obs_w = 6 + 2 * len(open_idx) + 2 + (2 if obs_joint else 0)
+
+        class JointPassageOutputs(F_.FusedOutputs):
+            # pos_shaping_pre/post, rot_shaping_pre/post, passed
+            n_scratch_in = 5
+            # rew, pos_rew, rot_rew, 4 shapings, passed, just_passed, done
+            n_out = A * obs_w + 10
+
+            @staticmethod
+            def scratch_rows(state):
+                s = state.scenario
+                return jnp.stack(
+                    [
+                        s["pos_shaping_pre"], s["pos_shaping_post"],
+                        s["rot_shaping_pre"], s["rot_shaping_post"],
+                        s["passed"],
+                    ],
+                    axis=0,
+                )
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                rot = ctx["rot"]
+                pp_pre, pp_post, rp_pre, rp_post, passed = ctx["scratch"]
+
+                def safe_norm2(x, y):
+                    sq = x * x + y * y
+                    z = sq == 0.0
+                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+
+                def angle_dist(a, b):
+                    a = jnp.mod(a, jnp.pi)
+                    b = jnp.mod(b, jnp.pi)
+                    return jnp.minimum(
+                        jnp.abs(a - b),
+                        jnp.minimum(
+                            jnp.abs(a - (b - jnp.pi)), jnp.abs((a - jnp.pi) - b)
+                        ),
+                    )
+
+                joint_passed = py[jl_i] > 0
+                all_passed = None
+                for a in agents:
+                    ok = py[a.index] > pw_half
+                    all_passed = ok if all_passed is None else (all_passed & ok)
+
+                dist_pass = None
+                for pi in open_idx:
+                    d = safe_norm2(px[jl_i] - px[pi], py[jl_i] - py[pi])
+                    dist_pass = d if dist_pass is None else jnp.minimum(dist_pass, d)
+                shaping = dist_pass * pos_f
+                pos_rew = jnp.where(~joint_passed, pp_pre - shaping, 0.0)
+                pp_pre_new = shaping
+
+                dist_goal = safe_norm2(px[jl_i] - px[goal_i], py[jl_i] - py[goal_i])
+                shaping = dist_goal * pos_f
+                pos_rew = pos_rew + jnp.where(joint_passed, pp_post - shaping, 0.0)
+                pp_post_new = shaping
+
+                rot_passed = all_passed if all_rot else joint_passed
+                shaping = angle_dist(rot[jl_i], middle) * rot_f
+                rot_rew = jnp.where(~rot_passed, rp_pre - shaping, 0.0)
+                rp_pre_new = shaping
+                dist_rot_goal = angle_dist(rot[jl_i], rot[goal_i])
+                shaping = dist_rot_goal * rot_f
+                rot_rew = rot_rew + jnp.where(rot_passed, rp_post - shaping, 0.0)
+                rp_post_new = shaping
+
+                rew = pos_rew + rot_rew
+                just_passed = all_passed & (passed == 0)
+                passed_new = jnp.where(just_passed, 100.0, passed)
+                done = (dist_goal <= 0.01) & (dist_rot_goal <= 0.01)
+
+                rows = []
+                for a in agents:
+                    ai = a.index
+                    rows += [px[ai], py[ai], vx[ai], vy[ai]]
+                    rows += [px[ai] - px[goal_i], py[ai] - py[goal_i]]
+                    for pi in open_idx:
+                        rows += [px[ai] - px[pi], py[ai] - py[pi]]
+                    rows += [jnp.cos(rot[goal_i]), jnp.sin(rot[goal_i])]
+                    if obs_joint:
+                        rows += [rot[jl_i], rot[jl_i]]  # raw; unpack adds
+                        # noise then maps through angle_to_vector
+                rows += [
+                    rew, pos_rew, rot_rew,
+                    pp_pre_new, pp_post_new, rp_pre_new, rp_post_new,
+                    passed_new,
+                ]
+                rows.append(just_passed.astype(jnp.float32))
+                rows.append(done.astype(jnp.float32))
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                base = A * obs_w
+                rew = extra[base]
+                pos_rew = extra[base + 1]
+                rot_rew = extra[base + 2]
+                pp_pre, pp_post = extra[base + 3], extra[base + 4]
+                rp_pre, rp_post = extra[base + 5], extra[base + 6]
+                passed = extra[base + 7]
+                just_passed = extra[base + 8] > 0.5
+                done = extra[base + 9] > 0.5
+                B = state.batch_dim
+                obs = []
+                for s_, a in enumerate(agents):
+                    o = extra[s_ * obs_w : (s_ + 1) * obs_w]  # [obs_w, B]
+                    parts = [
+                        o[0:2].T, o[2:4].T, o[4:6].T,
+                    ]
+                    c = 6
+                    for _ in open_idx:
+                        parts.append(o[c : c + 2].T)
+                        c += 2
+                    parts.append(o[c : c + 2].T)
+                    c += 2
+                    if obs_joint:
+                        angle = o[c]
+                        if j_noise:
+                            angle = angle + (
+                                jax.random.normal(
+                                    scenario.obs_key(state, 100 + a.slot),
+                                    angle.shape,
+                                )
+                                * j_noise
+                            )
+                        parts.append(
+                            jnp.stack([jnp.cos(angle), jnp.sin(angle)], -1)
+                        )
+                    if noise > 0:
+                        parts = [
+                            p
+                            + jax.random.uniform(
+                                scenario.obs_key(state, a.slot * 20 + k),
+                                p.shape, minval=-noise, maxval=noise,
+                            )
+                            for k, p in enumerate(parts)
+                        ]
+                    obs.append(jnp.concatenate(parts, -1))
+                zeros = jnp.zeros((B,), jnp.float32)
+                updates = {
+                    "rew": rew, "pos_rew": pos_rew, "rot_rew": rot_rew,
+                    "collision_rew": zeros, "energy_rew": zeros,
+                    "pos_shaping_pre": pp_pre, "pos_shaping_post": pp_post,
+                    "rot_shaping_pre": rp_pre, "rot_shaping_post": rp_post,
+                    "passed": passed, "just_passed": just_passed,
+                }
+                rews = tuple(rew for _ in range(A))
+                return tuple(obs), rews, done, updates
+
+        return JointPassageOutputs()
+
     def info(self, agent, state):
         s = state.scenario
         return {

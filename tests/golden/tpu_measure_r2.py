@@ -1,0 +1,126 @@
+"""Round-2 TPU measurement battery (run on the real chip, NOT cpu).
+
+Runs, in order, each under its own wall-clock guard so one bad compile
+can't eat the session: (1) a tiny probe matmul, (2) road_traffic step
+XLA-sweeps vs pallas-sweeps vs pallas-sweeps+pallas-obs at 512 envs,
+(3) fused-outputs scenario steps vs plain-fused vs XLA for the newly
+covered scenarios, (4) bench.py's transport config sanity number.
+
+Usage: python tests/golden/tpu_measure_r2.py [section ...]
+Sections: probe rt fused bench   (default: all)
+
+NEVER kill this mid-compile (wedges the axon tunnel claim; see
+docs/PERFORMANCE.md); the guards below time out by skipping sections,
+not by killing the process.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+
+SECTIONS = sys.argv[1:] or ["probe", "rt", "fused", "bench"]
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def ramp(fn, state, seconds=8.0):
+    state = fn(state)
+    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+    t0 = time.time()
+    while time.time() - t0 < seconds:
+        state = fn(state)
+        jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+    return state
+
+
+def best_of(fn, state, n=20, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        s = state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s = fn(s)
+        jax.block_until_ready(jax.tree_util.tree_leaves(s)[0])
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
+def probe():
+    t0 = time.time()
+    x = jnp.ones((8, 128)) @ jnp.ones((128, 8))
+    jax.block_until_ready(x)
+    log(f"probe ok in {time.time() - t0:.1f}s on {jax.devices()}")
+
+
+def rt():
+    from vmas_tpu import make_env
+    from vmas_tpu.parallel.rollout import rollout_fn
+
+    B = 512
+    for label, kw in [
+        ("xla", dict(pallas_sweeps=False)),
+        ("sweeps", dict()),
+        ("sweeps+obs", dict(pallas_obs=True)),
+    ]:
+        t0 = time.time()
+        env = make_env("road_traffic", num_envs=B, seed=0,
+                       is_add_noise=False, **kw)
+        run = jax.jit(rollout_fn(env, horizon=20))
+        key = jax.random.PRNGKey(0)
+        carry = (env.state, env.steps)
+        step = lambda c: run(c[0], c[1], key)[:2]
+        carry = step(carry)
+        jax.block_until_ready(carry[0].pos)
+        log(f"rt/{label}: compiled in {time.time() - t0:.0f}s")
+        carry = ramp(step, carry)
+        best = best_of(step, carry, n=3) / 20
+        log(f"rt/{label}: {best * 1e6:8.1f} us/step ({B / best / 1e6:.2f}M steps/s)")
+
+
+def fused():
+    from vmas_tpu import make_env
+    from vmas_tpu.parallel.rollout import rollout_fn
+
+    B = 1024
+    for name, kw in [
+        ("balance", {}), ("dropout", {}), ("flocking", {}),
+        ("dispersion", {}), ("navigation", {}), ("give_way", {}),
+        ("passage", {}), ("joint_passage", {}),
+    ]:
+        row = []
+        for label, fkw in [("xla", {}), ("fused", dict(fused_physics=True))]:
+            t0 = time.time()
+            env = make_env(name, num_envs=B, seed=0, **kw, **fkw)
+            run = jax.jit(rollout_fn(env, horizon=50))
+            key = jax.random.PRNGKey(0)
+            carry = (env.state, env.steps)
+            step = lambda c: run(c[0], c[1], key)[:2]
+            carry = step(carry)
+            jax.block_until_ready(carry[0].pos)
+            carry = ramp(step, carry, seconds=5.0)
+            best = best_of(step, carry, n=2) / 50
+            row.append(f"{label} {best * 1e6:7.1f}us")
+        log(f"fused/{name}: " + "  ".join(row))
+
+
+def bench():
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        timeout=1200, cwd=os.path.join(os.path.dirname(__file__), "..", ".."),
+    )
+    last = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else str(out.stderr)[-200:]
+    log("bench.py: " + last)
+
+
+if __name__ == "__main__":
+    for s in SECTIONS:
+        log(f"=== {s} ===")
+        {"probe": probe, "rt": rt, "fused": fused, "bench": bench}[s]()

@@ -131,6 +131,8 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("passage", dict(n_passages=2, shared_reward=True), "global_shaping"),
         ("joint_passage", dict(), "pos_shaping_pre"),
         ("joint_passage", dict(observe_joint_angle=True, joint_angle_obs_noise=0.01, obs_noise=0.02, asym_package=False), "pos_shaping_pre"),
+        ("joint_passage_size", dict(), "pos_shaping_pre"),
+        ("joint_passage_size", dict(observe_joint_angle=True, obs_noise=0.02, middle_angle_180=True), "pos_shaping_pre"),
     ],
 )
 def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key):

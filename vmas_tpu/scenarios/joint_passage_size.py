@@ -376,6 +376,183 @@ class Scenario(BaseScenario):
             "passed": s["just_passed"].astype(jnp.int32),
         }
 
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward/done as extra rows of the fused physics kernel
+        (fused.FusedOutputs) for the default zero-coefficient reward config;
+        returns None otherwise. Per-env targets (pass_center, the passage
+        landmarks' remembered positions, middle_angle) ride in as scratch
+        rows; observation noise is applied in unpack with the hook's keys."""
+        if self.collision_reward != 0 or self.energy_reward_coeff != 0:
+            return None
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        A = len(agents)
+        jl_i = self.joint.landmark.index
+        goal_i = self.goal.index
+        pw_half = self.passage_width / 2
+        pos_f = float(self.pos_shaping_factor)
+        rot_f = float(self.rot_shaping_factor)
+        mid_180 = bool(self.middle_angle_180)
+        obs_joint = bool(self.observe_joint_angle)
+        j_noise = float(self.joint_angle_obs_noise)
+        noise = float(self.obs_noise)
+        scenario = self
+        obs_w = 12 + (2 if obs_joint else 0)
+
+        class JointPassageSizeOutputs(F_.FusedOutputs):
+            # pos_shaping_pre/post, rot_shaping_pre, passed,
+            # pass_center xy, middle_angle, big/small passage xy
+            n_scratch_in = 9
+            n_out = A * obs_w + 10
+
+            @staticmethod
+            def scratch_rows(state):
+                s = state.scenario
+                return jnp.stack(
+                    [
+                        s["pos_shaping_pre"], s["pos_shaping_post"],
+                        s["rot_shaping_pre"], s["passed"],
+                        s["pass_center"][:, 0], s["pass_center"][:, 1],
+                        s["middle_angle"],
+                        s["big_passage_pos"][:, 0], s["big_passage_pos"][:, 1],
+                    ],
+                    axis=0,
+                )
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                rot = ctx["rot"]
+                (pp_pre, pp_post, rp_pre, passed,
+                 pc_x, pc_y, mid, big_x, big_y) = ctx["scratch"]
+
+                def safe_norm2(x, y):
+                    sq = x * x + y * y
+                    z = sq == 0.0
+                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+
+                def dist_180(a, b):
+                    a = jnp.mod(a, jnp.pi)
+                    b = jnp.mod(b, jnp.pi)
+                    return jnp.minimum(
+                        jnp.abs(a - b),
+                        jnp.minimum(
+                            jnp.abs(a - (b - jnp.pi)), jnp.abs((a - jnp.pi) - b)
+                        ),
+                    )
+
+                joint_passed = py[jl_i] > 0
+                all_passed = None
+                for a in agents:
+                    ok = py[a.index] > pw_half
+                    all_passed = ok if all_passed is None else (all_passed & ok)
+
+                dist_pass = safe_norm2(px[jl_i] - pc_x, py[jl_i] - pc_y) * pos_f
+                pos_rew = jnp.where(~joint_passed, pp_pre - dist_pass, 0.0)
+                dist_goal_raw = safe_norm2(
+                    px[jl_i] - px[goal_i], py[jl_i] - py[goal_i]
+                )
+                dist_goal = dist_goal_raw * pos_f
+                pos_rew = pos_rew + jnp.where(joint_passed, pp_post - dist_goal, 0.0)
+
+                if mid_180:
+                    rot_shaping = dist_180(rot[jl_i], mid) * rot_f
+                else:
+                    rot_shaping = -(
+                        jnp.cos(rot[jl_i]) * jnp.cos(mid)
+                        + jnp.sin(rot[jl_i]) * jnp.sin(mid)
+                    ) * rot_f
+                rot_rew = rp_pre - rot_shaping
+
+                rew = pos_rew + rot_rew
+                just_passed = all_passed & (passed == 0)
+                passed_new = jnp.where(just_passed, 100.0, passed)
+                done = (dist_goal_raw <= 0.01) & (
+                    dist_180(rot[jl_i], rot[goal_i]) <= 0.01
+                )
+
+                rows = []
+                for a in agents:
+                    ai = a.index
+                    rows += [px[ai], py[ai], vx[ai], vy[ai]]
+                    rows += [px[ai] - px[goal_i], py[ai] - py[goal_i]]
+                    rows += [px[ai] - big_x, py[ai] - big_y]
+                    # small passage rel is computed in unpack from scratch
+                    # (kernel scratch rows are capped at 9 here); placeholder
+                    rows += [px[ai], py[ai]]
+                    rows += [jnp.cos(rot[goal_i]), jnp.sin(rot[goal_i])]
+                    if obs_joint:
+                        rows += [rot[jl_i], rot[jl_i]]
+                rows += [
+                    rew, pos_rew, rot_rew,
+                    dist_pass, dist_goal, rot_shaping, passed_new,
+                ]
+                rows.append(just_passed.astype(jnp.float32))
+                rows.append(done.astype(jnp.float32))
+                rows.append(all_passed.astype(jnp.float32))
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                base = A * obs_w
+                rew = extra[base]
+                pos_rew = extra[base + 1]
+                rot_rew = extra[base + 2]
+                pp_pre, pp_post = extra[base + 3], extra[base + 4]
+                rp_pre = extra[base + 5]
+                passed = extra[base + 6]
+                just_passed = extra[base + 7] > 0.5
+                done = extra[base + 8] > 0.5
+                B = state.batch_dim
+                small = state.scenario["small_passage_pos"]
+                obs = []
+                for s_, a in enumerate(agents):
+                    o = extra[s_ * obs_w : (s_ + 1) * obs_w]
+                    parts = [o[0:2].T, o[2:4].T, o[4:6].T, o[6:8].T]
+                    # small passage rel: agent pos rode through rows 8:10
+                    parts.append(o[8:10].T - small)
+                    parts.append(o[10:12].T)
+                    c = 12
+                    if obs_joint:
+                        angle = o[c]
+                        if j_noise:
+                            angle = angle + (
+                                jax.random.normal(
+                                    scenario.obs_key(state, 100 + a.slot),
+                                    angle.shape,
+                                )
+                                * j_noise
+                            )
+                        parts.append(
+                            jnp.stack([jnp.cos(angle), jnp.sin(angle)], -1)
+                        )
+                    if noise > 0:
+                        parts = [
+                            p
+                            + jax.random.uniform(
+                                scenario.obs_key(state, a.slot * 20 + k),
+                                p.shape, minval=-noise, maxval=noise,
+                            )
+                            for k, p in enumerate(parts)
+                        ]
+                    obs.append(jnp.concatenate(parts, -1))
+                zeros = jnp.zeros((B,), jnp.float32)
+                updates = {
+                    "t": state.scenario["t"] + 1,
+                    "rew": rew, "pos_rew": pos_rew, "rot_rew": rot_rew,
+                    "collision_rew": zeros, "energy_rew": zeros,
+                    "pos_shaping_pre": pp_pre, "pos_shaping_post": pp_post,
+                    "rot_shaping_pre": rp_pre,
+                    "passed": passed, "just_passed": just_passed,
+                }
+                rews = tuple(rew for _ in range(A))
+                return tuple(obs), rews, done, updates
+
+        return JointPassageSizeOutputs()
+
     def extra_render(self, env, ax, env_index: int = 0):
         """Goal circles at the two joint endpoints (reference
         joint_passage_size.py extra_render)."""

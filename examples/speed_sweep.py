@@ -30,13 +30,14 @@ N_AGENTS = 3
 N_STEPS = 100
 
 
-def run_point(n_envs: int):
+def run_point(n_envs: int, fused: bool = False):
     env = make_env(
         "simple_spread",
         num_envs=n_envs,
         seed=0,
         continuous_actions=False,
         n_agents=N_AGENTS,
+        fused_physics=fused,
     )
     actions = [jnp.full((n_envs, 1), 2, jnp.int32) for _ in range(N_AGENTS)]
 
@@ -83,10 +84,16 @@ def main():
     dev = jax.devices()[0]
     print(f"simple_spread, {N_AGENTS} agents, {N_STEPS} steps on "
           f"{dev.platform}:{dev.device_kind}")
-    print(f"{'n_envs':>8} {'loop s':>9} {'scan s':>9} {'scan env-steps/s':>17}")
+    print(f"{'n_envs':>8} {'loop s':>9} {'scan s':>9} {'scan env-steps/s':>17}"
+          f" {'fused s':>9} {'fused env-steps/s':>18}")
     for n in args.n_envs:
         t_loop, t_scan = run_point(n)
-        print(f"{n:>8} {t_loop:>9.3f} {t_scan:>9.3f} {n * N_STEPS / t_scan:>17,.0f}")
+        # beyond-protocol best path: physics + obs/reward emitted from ONE
+        # pallas kernel (simple_spread.make_fused_outputs)
+        _, t_fused = run_point(n, fused=True)
+        print(f"{n:>8} {t_loop:>9.3f} {t_scan:>9.3f} "
+              f"{n * N_STEPS / t_scan:>17,.0f} {t_fused:>9.3f} "
+              f"{n * N_STEPS / t_fused:>18,.0f}")
 
 
 if __name__ == "__main__":

@@ -133,6 +133,7 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("joint_passage", dict(observe_joint_angle=True, joint_angle_obs_noise=0.01, obs_noise=0.02, asym_package=False), "pos_shaping_pre"),
         ("joint_passage_size", dict(), "pos_shaping_pre"),
         ("joint_passage_size", dict(observe_joint_angle=True, obs_noise=0.02, middle_angle_180=True), "pos_shaping_pre"),
+        ("simple_spread", dict(n_agents=3), "rew"),
     ],
 )
 def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key):

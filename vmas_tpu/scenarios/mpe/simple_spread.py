@@ -73,3 +73,92 @@ class Scenario(BaseScenario):
             [agent.pos(state), agent.vel(state), *landmark_pos, *(other_pos if self.obs_agents else [])],
             axis=-1,
         )
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward as extra rows of the fused physics kernel
+        (fused.FusedOutputs) — this is the reference's MPE-comparison
+        benchmark scenario, so the whole step collapses into one kernel.
+        Mirrors pre_rewards/observation above; asserted equal by
+        tests/test_fused.py."""
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        lms = world.landmarks
+        A, L = len(agents), len(lms)
+        radii = [float(a.shape.radius) for a in agents]
+        obs_others = bool(self.obs_agents)
+        obs_w = 4 + 2 * L + (2 * (A - 1) if obs_others else 0)
+
+        class SimpleSpreadOutputs(F_.FusedOutputs):
+            n_scratch_in = 0
+            n_out = A * obs_w + 1
+
+            @staticmethod
+            def scratch_rows(state):
+                import numpy as np
+                return np.zeros((0, state.batch_dim), np.float32)
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+
+                def safe_norm2(x, y):
+                    sq = x * x + y * y
+                    z = sq == 0.0
+                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+
+                closest_sum = None
+                for lm in lms:
+                    closest = None
+                    for a in agents:
+                        d = safe_norm2(
+                            px[a.index] - px[lm.index],
+                            py[a.index] - py[lm.index],
+                        )
+                        closest = d if closest is None else jnp.minimum(closest, d)
+                    closest_sum = (
+                        closest if closest_sum is None else closest_sum + closest
+                    )
+                rew = -closest_sum * float(A)
+                for i in range(A):
+                    for j in range(A):
+                        if i == j:
+                            continue
+                        over = (
+                            safe_norm2(
+                                px[agents[i].index] - px[agents[j].index],
+                                py[agents[i].index] - py[agents[j].index],
+                            )
+                            - radii[i] - radii[j]
+                            < 0
+                        )
+                        rew = rew - over.astype(jnp.float32)
+
+                rows = []
+                for a in agents:
+                    ai = a.index
+                    rows += [px[ai], py[ai], vx[ai], vy[ai]]
+                    for lm in lms:
+                        rows += [px[lm.index] - px[ai], py[lm.index] - py[ai]]
+                    if obs_others:
+                        for b in agents:
+                            if b is not a:
+                                rows += [
+                                    px[b.index] - px[ai], py[b.index] - py[ai]
+                                ]
+                rows.append(rew)
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                obs = tuple(
+                    extra[i * obs_w : (i + 1) * obs_w].T for i in range(A)
+                )
+                rew = extra[A * obs_w]
+                rews = tuple(rew for _ in range(A))
+                terminated = jnp.zeros((state.batch_dim,), bool)
+                return obs, rews, terminated, {"rew": rew}
+
+        return SimpleSpreadOutputs()

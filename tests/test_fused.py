@@ -134,6 +134,8 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("joint_passage_size", dict(), "pos_shaping_pre"),
         ("joint_passage_size", dict(observe_joint_angle=True, obs_noise=0.02, middle_angle_180=True), "pos_shaping_pre"),
         ("simple_spread", dict(n_agents=3), "rew"),
+        ("discovery", dict(), "covered_targets"),
+        ("discovery", dict(shared_reward=True, agent_collision_penalty=-1.0, targets_respawn=False), "covered_targets"),
     ],
 )
 def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key):

@@ -203,6 +203,138 @@ class Scenario(BaseScenario):
             "targets_covered": s["covered_targets"].sum(-1),
         }
 
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward/done as extra rows of the fused physics kernel
+        (fused.FusedOutputs). The A*T covering matrix and reward shares run
+        in-kernel; Lidar stays on the XLA raycast path (appended in
+        unpack), and the REAL post_rewards hook still performs the target
+        respawn on the unpacked covered_targets."""
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        targets = self._targets
+        A, T = len(agents), len(targets)
+        cover_r = float(self._covering_range)
+        per_target = int(self._agents_per_target)
+        coeff = float(self.covering_rew_coeff)
+        time_pen = float(self.time_penalty)
+        coll_pen = float(self.agent_collision_penalty)
+        min_coll = float(self.min_collision_distance)
+        radii = [float(a.shape.radius) for a in agents]
+        shared = bool(self.shared_reward)
+        use_agent_lidar = bool(self.use_agent_lidar)
+
+        class DiscoveryOutputs(F_.FusedOutputs):
+            n_scratch_in = 0
+            n_out = 4 * A + A + T + 1 + (A if coll_pen != 0 else 0)
+
+            @staticmethod
+            def scratch_rows(state):
+                import numpy as np
+                return np.zeros((0, state.batch_dim), np.float32)
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+
+                def safe_norm2(x, y):
+                    sq = x * x + y * y
+                    z = sq == 0.0
+                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+
+                in_range = {}
+                for ai, a in enumerate(agents):
+                    for ti, t in enumerate(targets):
+                        in_range[(ai, ti)] = (
+                            safe_norm2(
+                                px[a.index] - px[t.index],
+                                py[a.index] - py[t.index],
+                            )
+                            < cover_r
+                        )
+                covered = []
+                for ti in range(T):
+                    n = sum(
+                        in_range[(ai, ti)].astype(jnp.float32) for ai in range(A)
+                    )
+                    covered.append(n >= float(per_target))
+                covering = []
+                for ai in range(A):
+                    n = sum(
+                        (in_range[(ai, ti)] & covered[ti]).astype(jnp.float32)
+                        for ti in range(T)
+                    )
+                    covering.append(n * coeff)
+                shared_rew = sum(covering)
+                shared_rew = jnp.where(
+                    shared_rew != 0, shared_rew / 2, shared_rew
+                )
+
+                rows = []
+                for a in agents:
+                    ai = a.index
+                    rows += [px[ai], py[ai], vx[ai], vy[ai]]
+                rows += covering
+                rows += [c.astype(jnp.float32) for c in covered]
+                rows.append(shared_rew)
+                if coll_pen != 0:
+                    for i in range(A):
+                        c = None
+                        for j in range(A):
+                            if j == i:
+                                continue
+                            d = (
+                                safe_norm2(
+                                    px[agents[i].index] - px[agents[j].index],
+                                    py[agents[i].index] - py[agents[j].index],
+                                )
+                                - radii[i] - radii[j]
+                            )
+                            hit = (d < min_coll).astype(jnp.float32)
+                            c = hit if c is None else c + hit
+                        rows.append(c * coll_pen)
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                B = state.batch_dim
+                covering = extra[4 * A : 5 * A].T               # [B, A]
+                covered = extra[5 * A : 5 * A + T].T > 0.5      # [B, T]
+                shared_rew = extra[5 * A + T]
+                if coll_pen != 0:
+                    coll = extra[5 * A + T + 1 : 5 * A + T + 1 + A].T
+                else:
+                    coll = jnp.zeros((B, A), jnp.float32)
+                time_rew = jnp.full((B,), time_pen, jnp.float32)
+                obs = []
+                for i, a in enumerate(agents):
+                    parts = [
+                        extra[i * 4 : (i + 1) * 4].T,
+                        a.sensors[0].measure(state),
+                    ]
+                    if use_agent_lidar:
+                        parts.append(a.sensors[1].measure(state))
+                    obs.append(jnp.concatenate(parts, -1))
+                rews = tuple(
+                    coll[:, i]
+                    + (shared_rew if shared else covering[:, i])
+                    + time_rew
+                    for i in range(A)
+                )
+                done = jnp.zeros((B,), bool)
+                updates = {
+                    "covered_targets": covered,
+                    "covering_rew": covering,
+                    "shared_covering_rew": shared_rew,
+                    "collision_rew": coll,
+                    "time_rew": time_rew,
+                }
+                return tuple(obs), rews, done, updates
+
+        return DiscoveryOutputs()
+
     def extra_render(self, env, ax, env_index: int = 0):
         """Target covering-range circles + agent communication lines
         (reference discovery.py extra_render)."""

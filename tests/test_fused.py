@@ -136,6 +136,8 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("simple_spread", dict(n_agents=3), "rew"),
         ("discovery", dict(), "covered_targets"),
         ("discovery", dict(shared_reward=True, agent_collision_penalty=-1.0, targets_respawn=False), "covered_targets"),
+        ("multi_give_way", dict(), "shaping"),
+        ("multi_give_way", dict(obs_noise=0.02, shared_rew=True), "shaping"),
     ],
 )
 def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key):

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from vmas_tpu.controllers import VelocityController
@@ -224,3 +225,143 @@ class Scenario(BaseScenario):
         from vmas_tpu.render import draw
 
         draw.draw_comm_lines(ax, env, env.state, env_index, self.comms_range)
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward as extra rows of the fused physics kernel
+        (fused.FusedOutputs) for sphere agents (box_agents falls back — the
+        box-box distance candidates aren't worth unrolling here). The
+        per-agent pairwise collision penalties run in-kernel; observation
+        noise is applied in unpack with the hook's keys."""
+        if self.box_agents:
+            return None
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        A = len(agents)
+        radius = float(self.agent_radius)
+        goal_r = [float(a.goal.shape.radius) for a in agents]
+        factor = float(self.pos_shaping_factor)
+        final = float(self.final_reward)
+        coll_pen = float(self.agent_collision_penalty)
+        min_coll = float(self.min_collision_distance)
+        shared = bool(self.shared_rew)
+        noise = float(self.obs_noise)
+        scenario = self
+        obs_w = 7  # pos2 vel2 goal_rel2 dist1
+
+        class MultiGiveWayOutputs(F_.FusedOutputs):
+            n_scratch_in = A + 1  # shaping columns + reached_goal
+            n_out = A * obs_w + 3 * A + 3
+
+            @staticmethod
+            def scratch_rows(state):
+                return jnp.concatenate(
+                    [
+                        state.scenario["shaping"].T,
+                        state.scenario["reached_goal"].astype(jnp.float32)[None],
+                    ],
+                    axis=0,
+                )
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                prev = ctx["scratch"][:A]
+                reached_prev = ctx["scratch"][A] > 0.5
+
+                def safe_norm2(x, y):
+                    sq = x * x + y * y
+                    z = sq == 0.0
+                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+
+                goal_rel, dist = [], []
+                for a in agents:
+                    gx = px[a.index] - px[a.goal.index]
+                    gy = py[a.index] - py[a.goal.index]
+                    goal_rel.append((gx, gy))
+                    dist.append(safe_norm2(gx, gy))
+                if factor != 0:
+                    shaping = [d * factor for d in dist]
+                    per_agent = [prev[i] - shaping[i] for i in range(A)]
+                else:
+                    shaping = [d * factor for d in dist]
+                    per_agent = [-d * 0.0001 for d in dist]
+                all_reached = None
+                for i in range(A):
+                    og = dist[i] < goal_r[i]
+                    all_reached = og if all_reached is None else (all_reached & og)
+                final_rew = jnp.where(all_reached, final, 0.0)
+                reached_new = reached_prev | all_reached
+
+                coll = []
+                for i in range(A):
+                    c = None
+                    for j in range(A):
+                        if j == i:
+                            continue
+                        # sphere-sphere get_distance (queries.py:42-43)
+                        d = (
+                            safe_norm2(
+                                px[agents[i].index] - px[agents[j].index],
+                                py[agents[i].index] - py[agents[j].index],
+                            )
+                            - 2 * radius
+                        )
+                        hit = (d <= min_coll).astype(jnp.float32) * coll_pen
+                        c = hit if c is None else c + hit
+                    coll.append(c)
+
+                rows = []
+                for i, a in enumerate(agents):
+                    rows += [px[a.index], py[a.index], vx[a.index], vy[a.index]]
+                    rows += list(goal_rel[i])
+                    rows.append(dist[i])
+                rows += per_agent + coll + shaping
+                rows += [
+                    final_rew,
+                    reached_new.astype(jnp.float32),
+                    all_reached.astype(jnp.float32),
+                ]
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                base = A * obs_w
+                per_agent = extra[base : base + A].T
+                coll = extra[base + A : base + 2 * A].T
+                shaping = extra[base + 2 * A : base + 3 * A].T
+                final_rew = extra[base + 3 * A]
+                reached = extra[base + 3 * A + 1] > 0.5
+                pos_rew = per_agent.sum(-1)
+                obs = []
+                for i, a in enumerate(agents):
+                    o = extra[i * obs_w : (i + 1) * obs_w]
+                    parts = [o[0:2].T, o[2:4].T, o[4:6].T, o[6:7].T]
+                    if noise > 0:
+                        parts = [
+                            p
+                            + jax.random.uniform(
+                                scenario.obs_key(state, a.slot * 10 + k),
+                                p.shape, minval=-noise, maxval=noise,
+                            )
+                            for k, p in enumerate(parts)
+                        ]
+                    obs.append(jnp.concatenate(parts, -1))
+                rews = tuple(
+                    (pos_rew if shared else per_agent[:, i])
+                    + coll[:, i] + final_rew
+                    for i in range(A)
+                )
+                done = jnp.zeros((state.batch_dim,), bool)
+                updates = {
+                    "shaping": shaping,
+                    "pos_rew_per_agent": per_agent,
+                    "pos_rew": pos_rew,
+                    "final_rew": final_rew,
+                    "reached_goal": reached,
+                }
+                return tuple(obs), rews, done, updates
+
+        return MultiGiveWayOutputs()

@@ -138,6 +138,8 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("discovery", dict(shared_reward=True, agent_collision_penalty=-1.0, targets_respawn=False), "covered_targets"),
         ("multi_give_way", dict(), "shaping"),
         ("multi_give_way", dict(obs_noise=0.02, shared_rew=True), "shaping"),
+        ("ball_trajectory", dict(), "speed_shaping"),
+        ("ball_trajectory", dict(joints=False, pos_shaping_factor=1, dist_shaping_factor=1), "speed_shaping"),
     ],
 )
 def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key):
@@ -153,7 +155,8 @@ def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key):
     # test_fused_joints_match_xla); the outputs ride on that state, so they
     # inherit the bound. The asym_package=False variant stays much tighter
     # and is what pins the OUTPUT layer's correctness.
-    obs_atol = 1e-3 if scenario == "joint_passage" else 2e-5
+    stiff_joints = scenario in ("joint_passage", "ball_trajectory")
+    obs_atol = 1e-3 if stiff_joints else 2e-5
 
     for t in range(4):
         actions = env_ref.get_random_actions()
@@ -163,7 +166,7 @@ def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key):
         for i in range(len(obs_r)):
             np.testing.assert_allclose(
                 np.asarray(obs_f[i]), np.asarray(obs_r[i]),
-                atol=obs_atol, rtol=1e-3 if scenario == "joint_passage" else 1e-5,
+                atol=obs_atol, rtol=1e-3 if stiff_joints else 1e-5,
                 err_msg=f"obs[{i}] diverged at step {t}",
             )
             np.testing.assert_allclose(

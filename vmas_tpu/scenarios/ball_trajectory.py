@@ -138,3 +138,101 @@ class Scenario(BaseScenario):
         from vmas_tpu.render import draw
 
         draw.draw_circle(ax, (0.0, 0.0), self.desired_radius, (0, 0, 0))
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward as extra rows of the fused physics kernel
+        (fused.FusedOutputs) — a 15-substep joint world, so the physics win
+        is large and the shaping deltas ride along for free. Mirrors
+        _shapings/reward/observation above (incl. the first-agent-only
+        reward delta quirk); asserted equal by tests/test_fused.py."""
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        A = len(agents)
+        ball_i = self.ball.index
+        R = float(self.desired_radius)
+        pos_f = float(self.pos_shaping_factor)
+        speed_f = float(self.speed_shaping_factor)
+        dist_f = float(self.dist_shaping_factor)
+        v_des = float(self.desired_speed)
+        obs_w = 8  # pos2 vel2 ball_rel2 pos2
+
+        class BallTrajectoryOutputs(F_.FusedOutputs):
+            n_scratch_in = 3  # pos/speed/dist shaping
+            n_out = A * obs_w + 6
+
+            @staticmethod
+            def scratch_rows(state):
+                s = state.scenario
+                return jnp.stack(
+                    [s["pos_shaping"], s["speed_shaping"], s["dist_shaping"]],
+                    axis=0,
+                )
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                pp, sp, dp = ctx["scratch"]
+
+                def safe_norm2(x, y):
+                    sq = x * x + y * y
+                    z = sq == 0.0
+                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+
+                bx, by = px[ball_i], py[ball_i]
+                n = safe_norm2(bx, by)
+                # _closest_point_circle: unit(pos) * R with guarded zero
+                den = jnp.where(n == 0, 1.0, n)
+                cx = jnp.where(n == 0, 0.0, bx / den) * R
+                cy = jnp.where(n == 0, 0.0, by / den) * R
+                pos_s = safe_norm2(bx - cx, by - cy) ** 0.5 * pos_f
+                speed_s = (
+                    jnp.abs(v_des - safe_norm2(vx[ball_i], vy[ball_i])) * speed_f
+                )
+                dist_s = sum(
+                    safe_norm2(px[a.index] - bx, py[a.index] - by)
+                    for a in agents
+                ) * dist_f
+
+                pos_rew = pp - pos_s
+                speed_rew = sp - speed_s
+                dist_rew = dp - dist_s
+
+                rows = []
+                for a in agents:
+                    ai = a.index
+                    rows += [
+                        px[ai], py[ai], vx[ai], vy[ai],
+                        px[ai] - bx, py[ai] - by,
+                        px[ai], py[ai],
+                    ]
+                rows += [pos_rew, speed_rew, dist_rew, pos_s, speed_s, dist_s]
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                base = A * obs_w
+                pos_rew, speed_rew, dist_rew = (
+                    extra[base], extra[base + 1], extra[base + 2]
+                )
+                obs = tuple(
+                    extra[i * obs_w : (i + 1) * obs_w].T for i in range(A)
+                )
+                delta = pos_rew + speed_rew + dist_rew
+                rews = tuple(
+                    delta if i == 0 else jnp.zeros_like(delta)
+                    for i in range(A)
+                )
+                done = jnp.zeros((state.batch_dim,), bool)
+                updates = {
+                    "pos_rew": pos_rew, "speed_rew": speed_rew,
+                    "dist_rew": dist_rew,
+                    "pos_shaping": extra[base + 3],
+                    "speed_shaping": extra[base + 4],
+                    "dist_shaping": extra[base + 5],
+                }
+                return obs, rews, done, updates
+
+        return BallTrajectoryOutputs()

@@ -142,23 +142,42 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("ball_trajectory", dict(joints=False, pos_shaping_factor=1, dist_shaping_factor=1), "speed_shaping"),
     ],
 )
-def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key):
+def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key,
+                                           monkeypatch):
     """Scenario-fused outputs (obs/rewards/done emitted as kernel rows —
     Scenario.make_fused_outputs) must equal the normal hook pipeline:
-    same obs, same rewards, same dones, same scratch evolution."""
-    env_ref = make_env(scenario, num_envs=5, seed=2, **kwargs)
+    same obs, same rewards, same dones, same scratch evolution.
+
+    Stiff-joint worlds (substeps x joint_force) drift fused-vs-XLA in the
+    PHYSICS itself by ~1e-3 within a step or two (measured on the bare
+    kernels; see test_fused_joints_match_xla) — comparing outputs across
+    the two physics paths there would only bound that drift. For those,
+    the reference env runs the SAME fused physics with the outputs object
+    suppressed, so the hooks-vs-kernel-rows comparison is physics-identical
+    and stays tight."""
+    stiff_joints = scenario in ("joint_passage", "ball_trajectory")
+    if stiff_joints:
+        import importlib
+
+        mod = importlib.import_module(f"vmas_tpu.scenarios.{scenario}")
+        mk = mod.Scenario.make_fused_outputs
+        monkeypatch.delattr(mod.Scenario, "make_fused_outputs")
+        env_ref = make_env(scenario, num_envs=5, seed=2, fused_physics=True,
+                           **kwargs)
+        assert env_ref._fused_outputs is None
+        monkeypatch.setattr(mod.Scenario, "make_fused_outputs", mk,
+                            raising=False)
+    else:
+        env_ref = make_env(scenario, num_envs=5, seed=2, **kwargs)
     env_fus = make_env(scenario, num_envs=5, seed=2, fused_physics=True,
                        **kwargs)
     assert env_fus._fused_outputs is not None, "fused outputs not engaged"
-    # stiff-joint worlds genuinely diverge fused-vs-XLA in the PHYSICS by
-    # ~5e-5/step, compounding chaotically over the 4 steps (see
-    # test_fused_joints_match_xla); the outputs ride on that state, so they
-    # inherit the bound. The asym_package=False variant stays much tighter
-    # and is what pins the OUTPUT layer's correctness.
-    stiff_joints = scenario in ("joint_passage", "ball_trajectory")
-    obs_atol = 1e-3 if stiff_joints else 2e-5
+    obs_atol = 2e-5
 
-    for t in range(4):
+    # stiff cases execute the interpret-mode kernel in BOTH envs — halve the
+    # steps to keep the 1-vCPU CI cost sane (2 steps still covers the
+    # scratch evolution; physics is identical between the pair there)
+    for t in range(2 if stiff_joints else 4):
         actions = env_ref.get_random_actions()
         env_fus.get_random_actions()  # keep the obs-noise key streams in sync
         obs_r, rews_r, dones_r, infos_r = env_ref.step(actions)
@@ -166,7 +185,7 @@ def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key):
         for i in range(len(obs_r)):
             np.testing.assert_allclose(
                 np.asarray(obs_f[i]), np.asarray(obs_r[i]),
-                atol=obs_atol, rtol=1e-3 if stiff_joints else 1e-5,
+                atol=obs_atol, rtol=1e-5,
                 err_msg=f"obs[{i}] diverged at step {t}",
             )
             np.testing.assert_allclose(

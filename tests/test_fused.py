@@ -140,6 +140,7 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("multi_give_way", dict(obs_noise=0.02, shared_rew=True), "shaping"),
         ("ball_trajectory", dict(), "speed_shaping"),
         ("ball_trajectory", dict(joints=False, pos_shaping_factor=1, dist_shaping_factor=1), "speed_shaping"),
+        ("buzz_wire", dict(), "pos_shaping"),
     ],
 )
 def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key,
@@ -155,7 +156,7 @@ def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key,
     the reference env runs the SAME fused physics with the outputs object
     suppressed, so the hooks-vs-kernel-rows comparison is physics-identical
     and stays tight."""
-    stiff_joints = scenario in ("joint_passage", "ball_trajectory")
+    stiff_joints = scenario in ("joint_passage", "ball_trajectory", "buzz_wire")
     if stiff_joints:
         import importlib
 

@@ -145,3 +145,107 @@ class Scenario(BaseScenario):
 
     def info(self, agent, state):
         return {"pos_rew": state.scenario["pos_rew"], "collision_rew": state.scenario["collision_rew"]}
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward/done as extra rows of the fused physics kernel
+        (fused.FusedOutputs). The 12 sphere-line overlap tests (line
+        closest-point form, queries.py:31-34,52-54) run in-kernel on the
+        VMEM-resident state. Asserted equal by tests/test_fused.py."""
+        from vmas_tpu.core import fused as F_
+        from vmas_tpu.core.utils import LINE_MIN_DIST
+
+        agents = world.policy_agents
+        A = len(agents)
+        ball_i = self.ball.index
+        goal_i = self.goal.index
+        collidables = [(a.index, float(a.shape.radius)) for a in agents]
+        collidables.append((ball_i, float(self.ball.shape.radius)))
+        lines = [
+            (e.index, e.shape.length / 2) for e in self.walls + self.floors
+        ]
+        factor = float(self.pos_shaping_factor)
+        coll_pen = float(self.collision_reward)
+        obs_w = 6  # pos2 vel2 goal_rel2
+
+        class BuzzWireOutputs(F_.FusedOutputs):
+            n_scratch_in = 1  # previous pos_shaping
+            n_out = A * obs_w + 6
+
+            @staticmethod
+            def scratch_rows(state):
+                return state.scenario["pos_shaping"][None]
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                rot = ctx["rot"]
+                prev = ctx["scratch"][0]
+
+                def safe_norm2(x, y):
+                    sq = x * x + y * y
+                    z = sq == 0.0
+                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+
+                dist = safe_norm2(
+                    px[ball_i] - px[goal_i], py[ball_i] - py[goal_i]
+                )
+                shaping = dist * factor
+                pos_rew = prev - shaping
+
+                coll_rew, collided = None, None
+                for ci, r in collidables:
+                    for li, half in lines:
+                        cx, cy = F_._closest_point_line(
+                            px[li], py[li],
+                            jnp.cos(rot[li]), jnp.sin(rot[li]), half,
+                            px[ci], py[ci],
+                        )
+                        # line-sphere get_distance (queries.py:31-34,52-54)
+                        over = (
+                            safe_norm2(px[ci] - cx, py[ci] - cy)
+                            - LINE_MIN_DIST - r
+                            < 0
+                        )
+                        hit = over.astype(jnp.float32) * coll_pen
+                        coll_rew = hit if coll_rew is None else coll_rew + hit
+                        collided = over if collided is None else (collided | over)
+
+                rew = pos_rew + coll_rew
+                done = (dist <= 0.01) | collided
+
+                rows = []
+                for a in agents:
+                    ai = a.index
+                    rows += [
+                        px[ai], py[ai], vx[ai], vy[ai],
+                        px[ai] - px[goal_i], py[ai] - py[goal_i],
+                    ]
+                rows += [
+                    rew, pos_rew, coll_rew, shaping,
+                    collided.astype(jnp.float32), done.astype(jnp.float32),
+                ]
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                base = A * obs_w
+                rew = extra[base]
+                pos_rew = extra[base + 1]
+                coll_rew = extra[base + 2]
+                shaping = extra[base + 3]
+                collided = extra[base + 4] > 0.5
+                done = extra[base + 5] > 0.5
+                obs = tuple(
+                    extra[i * obs_w : (i + 1) * obs_w].T for i in range(A)
+                )
+                rews = tuple(rew for _ in range(A))
+                updates = {
+                    "pos_shaping": shaping, "pos_rew": pos_rew,
+                    "collision_rew": coll_rew, "collided": collided,
+                    "rew": rew,
+                }
+                return obs, rews, done, updates
+
+        return BuzzWireOutputs()

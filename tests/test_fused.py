@@ -141,6 +141,8 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("ball_trajectory", dict(), "speed_shaping"),
         ("ball_trajectory", dict(joints=False, pos_shaping_factor=1, dist_shaping_factor=1), "speed_shaping"),
         ("buzz_wire", dict(), "pos_shaping"),
+        ("ball_passage", dict(), "pos_shaping_pre"),
+        ("ball_passage", dict(n_passages=2, fixed_passage=True), "pos_shaping_pre"),
     ],
 )
 def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key,

@@ -208,3 +208,123 @@ class Scenario(BaseScenario):
         from vmas_tpu.render import draw
 
         draw.draw_perimeter(ax, float(self.world.x_semidim), pad=self.agent_radius)
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward/done as extra rows of the fused physics kernel
+        (fused.FusedOutputs). The ~3*(n_boxes-1) box-sphere overlap
+        penalty tests (queries.py:82-93) and the passage/goal shaping with
+        the ball-passed gating run in-kernel."""
+        from vmas_tpu.core import fused as F_
+        from vmas_tpu.core.utils import LINE_MIN_DIST
+
+        agents = world.policy_agents
+        A = len(agents)
+        ball_i = self.ball.index
+        goal_i = self.goal.index
+        open_idx = [p.index for p in self._open_passages()]
+        walls = [p.index for p in self.passages if p.collide]
+        collidables = [(a.index, float(a.shape.radius)) for a in agents]
+        collidables.append((ball_i, float(self.ball.shape.radius)))
+        hw = self.passage_width / 2
+        hl = self.passage_length / 2
+        factor = float(self.pos_shaping_factor)
+        coll_pen = float(self.collision_reward)
+        ball_r = float(self.ball_radius)
+        obs_w = 8 + 2 * len(open_idx)  # pos2 vel2 goal_rel2 ball_rel2 + open
+
+        class BallPassageOutputs(F_.FusedOutputs):
+            n_scratch_in = 2  # pos_shaping_pre/post
+            n_out = A * obs_w + 6
+
+            @staticmethod
+            def scratch_rows(state):
+                s = state.scenario
+                return jnp.stack(
+                    [s["pos_shaping_pre"], s["pos_shaping_post"]], axis=0
+                )
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                rot = ctx["rot"]
+                pp_pre, pp_post = ctx["scratch"]
+
+                def safe_norm2(x, y):
+                    sq = x * x + y * y
+                    z = sq == 0.0
+                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+
+                ball_passed = py[ball_i] > 0
+                dist_pass = None
+                for pi in open_idx:
+                    d = safe_norm2(px[ball_i] - px[pi], py[ball_i] - py[pi])
+                    dist_pass = d if dist_pass is None else jnp.minimum(dist_pass, d)
+                pre = dist_pass * factor
+                pos_rew = jnp.where(~ball_passed, pp_pre - pre, 0.0)
+                dist_goal = safe_norm2(
+                    px[ball_i] - px[goal_i], py[ball_i] - py[goal_i]
+                )
+                post = dist_goal * factor
+                pos_rew = pos_rew + jnp.where(ball_passed, pp_post - post, 0.0)
+
+                # XLA loop order: agents x walls, then ball x walls
+                coll = None
+                for ci, r in collidables:
+                    for wi in walls:
+                        cos, sin = jnp.cos(rot[wi]), jnp.sin(rot[wi])
+                        cx, cy = F_._closest_point_box(
+                            px[wi], py[wi], cos, sin, hw, hl, px[ci], py[ci]
+                        )
+                        d_sc = safe_norm2(px[ci] - cx, py[ci] - cy)
+                        d_sb = safe_norm2(px[ci] - px[wi], py[ci] - py[wi])
+                        d_cb = safe_norm2(px[wi] - cx, py[wi] - cy)
+                        hit = (
+                            (d_sb < d_cb) | (d_sc < r + LINE_MIN_DIST)
+                        ).astype(jnp.float32) * coll_pen
+                        coll = hit if coll is None else coll + hit
+
+                rew = pos_rew + coll
+                done = (
+                    (dist_goal <= 0.01)
+                    | (-1 + ball_r >= px[ball_i])
+                    | (px[ball_i] >= 1 - ball_r)
+                    | (-1 + ball_r >= py[ball_i])
+                    | (py[ball_i] >= 1 - ball_r)
+                )
+
+                rows = []
+                for a in agents:
+                    ai = a.index
+                    rows += [
+                        px[ai], py[ai], vx[ai], vy[ai],
+                        px[ai] - px[goal_i], py[ai] - py[goal_i],
+                        px[ai] - px[ball_i], py[ai] - py[ball_i],
+                    ]
+                    for pi in open_idx:
+                        rows += [px[ai] - px[pi], py[ai] - py[pi]]
+                rows += [
+                    rew, pos_rew, coll, pre, post, done.astype(jnp.float32)
+                ]
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                base = A * obs_w
+                rew = extra[base]
+                pos_rew = extra[base + 1]
+                coll = extra[base + 2]
+                pre, post = extra[base + 3], extra[base + 4]
+                done = extra[base + 5] > 0.5
+                obs = tuple(
+                    extra[i * obs_w : (i + 1) * obs_w].T for i in range(A)
+                )
+                rews = tuple(rew for _ in range(A))
+                updates = {
+                    "pos_shaping_pre": pre, "pos_shaping_post": post,
+                    "pos_rew": pos_rew, "collision_rew": coll, "rew": rew,
+                }
+                return obs, rews, done, updates
+
+        return BallPassageOutputs()

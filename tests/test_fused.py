@@ -112,41 +112,44 @@ def test_fused_matches_xla(scenario, monkeypatch):
     assert calls["n"] >= 1, "fused_physics_step was never traced — test vacuous"
 
 
+# (scenario, kwargs, scratch_key, steps) — default configs roll 4 steps;
+# non-default variants pin their static branches in 2 (the interpret-mode
+# kernel on the 1-vCPU CI host costs real seconds per execution)
 @pytest.mark.parametrize(
-    "scenario,kwargs,scratch_key",
+    "scenario,kwargs,scratch_key,steps",
     [
-        ("transport", dict(n_agents=3), "global_shaping"),
-        ("wheel", dict(n_agents=3), "rew"),
-        ("reverse_transport", dict(n_agents=4), "global_shaping"),
-        ("balance", dict(n_agents=3), "global_shaping"),
-        ("dropout", dict(n_agents=4), "eaten"),
-        ("flocking", dict(n_agents=4), "distance_shaping"),
-        ("dispersion", dict(n_agents=4), "eaten"),
-        ("dispersion", dict(n_agents=4, share_reward=True, penalise_by_time=True), "eaten"),
-        ("navigation", dict(n_agents=4), "pos_shaping"),
-        ("navigation", dict(n_agents=4, shared_rew=False, observe_all_goals=True), "pos_shaping"),
-        ("give_way", dict(), "shaping"),
-        ("give_way", dict(observe_rel_pos=True, obs_noise=0.02, done_on_completion=True), "shaping"),
-        ("passage", dict(), "global_shaping"),
-        ("passage", dict(n_passages=2, shared_reward=True), "global_shaping"),
-        ("joint_passage", dict(), "pos_shaping_pre"),
-        ("joint_passage", dict(observe_joint_angle=True, joint_angle_obs_noise=0.01, obs_noise=0.02, asym_package=False), "pos_shaping_pre"),
-        ("joint_passage_size", dict(), "pos_shaping_pre"),
-        ("joint_passage_size", dict(observe_joint_angle=True, obs_noise=0.02, middle_angle_180=True), "pos_shaping_pre"),
-        ("simple_spread", dict(n_agents=3), "rew"),
-        ("discovery", dict(), "covered_targets"),
-        ("discovery", dict(shared_reward=True, agent_collision_penalty=-1.0, targets_respawn=False), "covered_targets"),
-        ("multi_give_way", dict(), "shaping"),
-        ("multi_give_way", dict(obs_noise=0.02, shared_rew=True), "shaping"),
-        ("ball_trajectory", dict(), "speed_shaping"),
-        ("ball_trajectory", dict(joints=False, pos_shaping_factor=1, dist_shaping_factor=1), "speed_shaping"),
-        ("buzz_wire", dict(), "pos_shaping"),
-        ("ball_passage", dict(), "pos_shaping_pre"),
-        ("ball_passage", dict(n_passages=2, fixed_passage=True), "pos_shaping_pre"),
+        ("transport", dict(n_agents=3), "global_shaping", 4),
+        ("wheel", dict(n_agents=3), "rew", 4),
+        ("reverse_transport", dict(n_agents=4), "global_shaping", 4),
+        ("balance", dict(n_agents=3), "global_shaping", 4),
+        ("dropout", dict(n_agents=4), "eaten", 4),
+        ("flocking", dict(n_agents=4), "distance_shaping", 4),
+        ("dispersion", dict(n_agents=4), "eaten", 4),
+        ("dispersion", dict(n_agents=4, share_reward=True, penalise_by_time=True), "eaten", 2),
+        ("navigation", dict(n_agents=4), "pos_shaping", 4),
+        ("navigation", dict(n_agents=4, shared_rew=False, observe_all_goals=True), "pos_shaping", 2),
+        ("give_way", dict(), "shaping", 4),
+        ("give_way", dict(observe_rel_pos=True, obs_noise=0.02, done_on_completion=True), "shaping", 2),
+        ("passage", dict(), "global_shaping", 4),
+        ("passage", dict(n_passages=2, shared_reward=True), "global_shaping", 2),
+        ("joint_passage", dict(), "pos_shaping_pre", 2),
+        ("joint_passage", dict(observe_joint_angle=True, joint_angle_obs_noise=0.01, obs_noise=0.02, asym_package=False), "pos_shaping_pre", 2),
+        ("joint_passage_size", dict(), "pos_shaping_pre", 4),
+        ("joint_passage_size", dict(observe_joint_angle=True, obs_noise=0.02, middle_angle_180=True), "pos_shaping_pre", 2),
+        ("simple_spread", dict(n_agents=3), "rew", 4),
+        ("discovery", dict(), "covered_targets", 4),
+        ("discovery", dict(shared_reward=True, agent_collision_penalty=-1.0, targets_respawn=False), "covered_targets", 2),
+        ("multi_give_way", dict(), "shaping", 4),
+        ("multi_give_way", dict(obs_noise=0.02, shared_rew=True), "shaping", 2),
+        ("ball_trajectory", dict(), "speed_shaping", 2),
+        ("ball_trajectory", dict(joints=False, pos_shaping_factor=1, dist_shaping_factor=1), "speed_shaping", 2),
+        ("buzz_wire", dict(), "pos_shaping", 2),
+        ("ball_passage", dict(), "pos_shaping_pre", 4),
+        ("ball_passage", dict(n_passages=2, fixed_passage=True), "pos_shaping_pre", 2),
     ],
 )
 def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key,
-                                           monkeypatch):
+                                           steps, monkeypatch):
     """Scenario-fused outputs (obs/rewards/done emitted as kernel rows —
     Scenario.make_fused_outputs) must equal the normal hook pipeline:
     same obs, same rewards, same dones, same scratch evolution.
@@ -177,10 +180,7 @@ def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key,
     assert env_fus._fused_outputs is not None, "fused outputs not engaged"
     obs_atol = 2e-5
 
-    # stiff cases execute the interpret-mode kernel in BOTH envs — halve the
-    # steps to keep the 1-vCPU CI cost sane (2 steps still covers the
-    # scratch evolution; physics is identical between the pair there)
-    for t in range(2 if stiff_joints else 4):
+    for t in range(steps):
         actions = env_ref.get_random_actions()
         env_fus.get_random_actions()  # keep the obs-noise key streams in sync
         obs_r, rews_r, dones_r, infos_r = env_ref.step(actions)

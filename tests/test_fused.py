@@ -237,3 +237,36 @@ def test_fused_joints_match_xla(monkeypatch):
             )
     assert calls["n"] >= 1, "fused_physics_step was never traced — test vacuous"
 
+
+
+def test_fused_discovery_obs_after_respawn():
+    """Covered targets respawn in post_rewards; the Lidar part of the
+    observation must see the POST-respawn world (non-fused hook order).
+    Regression: the fused path used to measure the Lidar in unpack, before
+    post_rewards, diverging by ~0.33 whenever a target was covered."""
+    kw = dict(num_envs=3, seed=0, n_agents=4, n_targets=2)
+    env_x = make_env("discovery", **kw)
+    env_f = make_env("discovery", fused_physics=True, **kw)
+    assert env_f._fused_outputs is not None
+
+    # park every agent ON target 0 so it is covered at the next step
+    t0 = env_x.scenario._targets[0]
+    for env in (env_x, env_f):
+        st = env.state
+        tpos = st.pos[:, t0.index]
+        for a in env.agents:
+            st = st.replace(pos=st.pos.at[:, a.index].set(tpos))
+        env.state = st
+    acts = [np.zeros((3, env_x.get_agent_action_size(a)), np.float32)
+            for a in env_x.agents]
+    obs_x, rews_x, *_ = env_x.step(acts)
+    obs_f, rews_f, *_ = env_f.step(acts)
+    assert bool(np.asarray(env_x.state.scenario["covered_targets"]).any()), \
+        "setup failed: no target covered"
+    for i in range(len(obs_x)):
+        np.testing.assert_allclose(
+            np.asarray(obs_f[i]), np.asarray(obs_x[i]), atol=2e-5,
+            err_msg=f"obs[{i}] diverged on a covering step",
+        )
+        np.testing.assert_allclose(
+            np.asarray(rews_f[i]), np.asarray(rews_x[i]), atol=2e-3)

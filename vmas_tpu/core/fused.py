@@ -255,7 +255,20 @@ class FusedOutputs:
           scratch rows under "scratch"
       unpack(extra [n_out, B], state) -> (obs_tuple, rews_tuple,
           terminated [B] bool, scratch_updates dict)
+
+    Optional:
+      finish_obs(obs_tuple, state) -> obs_tuple — called AFTER the scratch
+          updates are merged and post_rewards has run. unpack sees the
+          pre-post_rewards state, but the non-fused hook order computes
+          observations after post_rewards; a scenario whose post_rewards
+          MOVES entities the observation reads (discovery's target respawn
+          + its Lidar) must defer that part of the observation to here.
+          Default: identity.
     """
+
+    @staticmethod
+    def finish_obs(obs, state):
+        return obs
 
 
 def _make_kernel(world, outputs=None):

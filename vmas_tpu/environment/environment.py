@@ -140,6 +140,10 @@ class Environment:
                 # BaseScenario identity. It must be idempotent w.r.t. the
                 # scratch updates emit already applied.
                 state = scenario.post_rewards(state)
+                # observation parts that must see the POST-post_rewards
+                # state (the non-fused hook order — e.g. discovery's Lidar
+                # after the covered-target respawn) are appended here
+                obs = fo.finish_obs(obs, state)
                 infos = tuple(scenario.info(a, state) for a in self.agents)
                 if self.max_steps is not None:
                     truncated = steps >= self.max_steps

@@ -251,10 +251,7 @@ class Scenario(BaseScenario):
                 rot = ctx["rot"]
                 pp_pre, pp_post = ctx["scratch"]
 
-                def safe_norm2(x, y):
-                    sq = x * x + y * y
-                    z = sq == 0.0
-                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+                safe_norm2 = F_._norm  # the kernel-row zero-guarded L2 norm
 
                 ball_passed = py[ball_i] > 0
                 dist_pass = None

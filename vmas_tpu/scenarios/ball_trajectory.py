@@ -176,10 +176,7 @@ class Scenario(BaseScenario):
                 vx, vy = ctx["vx"], ctx["vy"]
                 pp, sp, dp = ctx["scratch"]
 
-                def safe_norm2(x, y):
-                    sq = x * x + y * y
-                    z = sq == 0.0
-                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+                safe_norm2 = F_._norm  # the kernel-row zero-guarded L2 norm
 
                 bx, by = px[ball_i], py[ball_i]
                 n = safe_norm2(bx, by)

@@ -183,10 +183,7 @@ class Scenario(BaseScenario):
                 rot = ctx["rot"]
                 prev = ctx["scratch"][0]
 
-                def safe_norm2(x, y):
-                    sq = x * x + y * y
-                    z = sq == 0.0
-                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+                safe_norm2 = F_._norm  # the kernel-row zero-guarded L2 norm
 
                 dist = safe_norm2(
                     px[ball_i] - px[goal_i], py[ball_i] - py[goal_i]

@@ -207,9 +207,10 @@ class Scenario(BaseScenario):
     def make_fused_outputs(self, world):
         """Emit obs/reward/done as extra rows of the fused physics kernel
         (fused.FusedOutputs). The A*T covering matrix and reward shares run
-        in-kernel; Lidar stays on the XLA raycast path (appended in
-        unpack), and the REAL post_rewards hook still performs the target
-        respawn on the unpacked covered_targets."""
+        in-kernel; the REAL post_rewards hook still performs the target
+        respawn on the unpacked covered_targets, and the Lidar is appended
+        in finish_obs AFTER that respawn (the non-fused hook order — a
+        covered target must be observed at its post-respawn position)."""
         from vmas_tpu.core import fused as F_
 
         agents = world.policy_agents
@@ -239,16 +240,11 @@ class Scenario(BaseScenario):
                 px, py = ctx["px"], ctx["py"]
                 vx, vy = ctx["vx"], ctx["vy"]
 
-                def safe_norm2(x, y):
-                    sq = x * x + y * y
-                    z = sq == 0.0
-                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
-
                 in_range = {}
                 for ai, a in enumerate(agents):
                     for ti, t in enumerate(targets):
                         in_range[(ai, ti)] = (
-                            safe_norm2(
+                            F_._norm(
                                 px[a.index] - px[t.index],
                                 py[a.index] - py[t.index],
                             )
@@ -281,19 +277,18 @@ class Scenario(BaseScenario):
                 rows.append(shared_rew)
                 if coll_pen != 0:
                     for i in range(A):
-                        c = None
+                        c = jnp.zeros_like(px[0])  # stays zero when A == 1
                         for j in range(A):
                             if j == i:
                                 continue
                             d = (
-                                safe_norm2(
+                                F_._norm(
                                     px[agents[i].index] - px[agents[j].index],
                                     py[agents[i].index] - py[agents[j].index],
                                 )
                                 - radii[i] - radii[j]
                             )
-                            hit = (d < min_coll).astype(jnp.float32)
-                            c = hit if c is None else c + hit
+                            c = c + (d < min_coll).astype(jnp.float32)
                         rows.append(c * coll_pen)
                 return rows
 
@@ -308,15 +303,10 @@ class Scenario(BaseScenario):
                 else:
                     coll = jnp.zeros((B, A), jnp.float32)
                 time_rew = jnp.full((B,), time_pen, jnp.float32)
-                obs = []
-                for i, a in enumerate(agents):
-                    parts = [
-                        extra[i * 4 : (i + 1) * 4].T,
-                        a.sensors[0].measure(state),
-                    ]
-                    if use_agent_lidar:
-                        parts.append(a.sensors[1].measure(state))
-                    obs.append(jnp.concatenate(parts, -1))
+                # Lidar is NOT measured here: unpack sees the
+                # pre-post_rewards state, and covered targets respawn in
+                # post_rewards. finish_obs appends it afterwards.
+                obs = tuple(extra[i * 4 : (i + 1) * 4].T for i in range(A))
                 rews = tuple(
                     coll[:, i]
                     + (shared_rew if shared else covering[:, i])
@@ -331,7 +321,17 @@ class Scenario(BaseScenario):
                     "collision_rew": coll,
                     "time_rew": time_rew,
                 }
-                return tuple(obs), rews, done, updates
+                return obs, rews, done, updates
+
+            @staticmethod
+            def finish_obs(obs, state):
+                out = []
+                for o, a in zip(obs, agents):
+                    parts = [o, a.sensors[0].measure(state)]
+                    if use_agent_lidar:
+                        parts.append(a.sensors[1].measure(state))
+                    out.append(jnp.concatenate(parts, -1))
+                return tuple(out)
 
         return DiscoveryOutputs()
 

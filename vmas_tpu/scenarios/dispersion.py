@@ -158,10 +158,7 @@ class Scenario(BaseScenario):
                 eaten = [r > 0.5 for r in ctx["scratch"][:F]]
                 just_prev = [r > 0.5 for r in ctx["scratch"][F:]]
 
-                def safe_norm2(x, y):
-                    sq = x * x + y * y
-                    z = sq == 0.0
-                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+                safe_norm2 = F_._norm  # the kernel-row zero-guarded L2 norm
 
                 rel, on = {}, {}
                 for ai, a in enumerate(agents):

@@ -441,8 +441,8 @@ class Scenario(BaseScenario):
         j_noise = float(self.joint_angle_obs_noise)
         noise = float(self.obs_noise)
         scenario = self
-        # pos2 vel2 goal-rel2 passages 2P goal-angle-vec2 [joint-angle-vec2]
-        obs_w = 6 + 2 * len(open_idx) + 2 + (2 if obs_joint else 0)
+        # pos2 vel2 goal-rel2 passages 2P goal-angle-vec2 [joint angle 1]
+        obs_w = 6 + 2 * len(open_idx) + 2 + (1 if obs_joint else 0)
 
         class JointPassageOutputs(F_.FusedOutputs):
             # pos_shaping_pre/post, rot_shaping_pre/post, passed
@@ -469,10 +469,7 @@ class Scenario(BaseScenario):
                 rot = ctx["rot"]
                 pp_pre, pp_post, rp_pre, rp_post, passed = ctx["scratch"]
 
-                def safe_norm2(x, y):
-                    sq = x * x + y * y
-                    z = sq == 0.0
-                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+                safe_norm2 = F_._norm  # the kernel-row zero-guarded L2 norm
 
                 def angle_dist(a, b):
                     a = jnp.mod(a, jnp.pi)
@@ -526,8 +523,8 @@ class Scenario(BaseScenario):
                         rows += [px[ai] - px[pi], py[ai] - py[pi]]
                     rows += [jnp.cos(rot[goal_i]), jnp.sin(rot[goal_i])]
                     if obs_joint:
-                        rows += [rot[jl_i], rot[jl_i]]  # raw; unpack adds
-                        # noise then maps through angle_to_vector
+                        rows.append(rot[jl_i])  # raw; unpack adds noise,
+                        # then maps through angle_to_vector
                 rows += [
                     rew, pos_rew, rot_rew,
                     pp_pre_new, pp_post_new, rp_pre_new, rp_post_new,

@@ -399,13 +399,14 @@ class Scenario(BaseScenario):
         j_noise = float(self.joint_angle_obs_noise)
         noise = float(self.obs_noise)
         scenario = self
-        obs_w = 12 + (2 if obs_joint else 0)
+        # pos2 vel2 goal_rel2 big_rel2 small_rel2 goal_vec2 [joint_angle 1]
+        obs_w = 12 + (1 if obs_joint else 0)
 
         class JointPassageSizeOutputs(F_.FusedOutputs):
             # pos_shaping_pre/post, rot_shaping_pre, passed,
             # pass_center xy, middle_angle, big/small passage xy
-            n_scratch_in = 9
-            n_out = A * obs_w + 10
+            n_scratch_in = 11
+            n_out = A * obs_w + 9
 
             @staticmethod
             def scratch_rows(state):
@@ -417,6 +418,8 @@ class Scenario(BaseScenario):
                         s["pass_center"][:, 0], s["pass_center"][:, 1],
                         s["middle_angle"],
                         s["big_passage_pos"][:, 0], s["big_passage_pos"][:, 1],
+                        s["small_passage_pos"][:, 0],
+                        s["small_passage_pos"][:, 1],
                     ],
                     axis=0,
                 )
@@ -427,12 +430,10 @@ class Scenario(BaseScenario):
                 vx, vy = ctx["vx"], ctx["vy"]
                 rot = ctx["rot"]
                 (pp_pre, pp_post, rp_pre, passed,
-                 pc_x, pc_y, mid, big_x, big_y) = ctx["scratch"]
+                 pc_x, pc_y, mid, big_x, big_y,
+                 small_x, small_y) = ctx["scratch"]
 
-                def safe_norm2(x, y):
-                    sq = x * x + y * y
-                    z = sq == 0.0
-                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+                safe_norm2 = F_._norm  # the kernel-row zero-guarded L2 norm
 
                 def dist_180(a, b):
                     a = jnp.mod(a, jnp.pi)
@@ -480,19 +481,17 @@ class Scenario(BaseScenario):
                     rows += [px[ai], py[ai], vx[ai], vy[ai]]
                     rows += [px[ai] - px[goal_i], py[ai] - py[goal_i]]
                     rows += [px[ai] - big_x, py[ai] - big_y]
-                    # small passage rel is computed in unpack from scratch
-                    # (kernel scratch rows are capped at 9 here); placeholder
-                    rows += [px[ai], py[ai]]
+                    rows += [px[ai] - small_x, py[ai] - small_y]
                     rows += [jnp.cos(rot[goal_i]), jnp.sin(rot[goal_i])]
                     if obs_joint:
-                        rows += [rot[jl_i], rot[jl_i]]
+                        rows.append(rot[jl_i])  # unpack adds noise, then
+                        # maps through angle_to_vector
                 rows += [
                     rew, pos_rew, rot_rew,
                     dist_pass, dist_goal, rot_shaping, passed_new,
                 ]
                 rows.append(just_passed.astype(jnp.float32))
                 rows.append(done.astype(jnp.float32))
-                rows.append(all_passed.astype(jnp.float32))
                 return rows
 
             @staticmethod
@@ -507,14 +506,11 @@ class Scenario(BaseScenario):
                 just_passed = extra[base + 7] > 0.5
                 done = extra[base + 8] > 0.5
                 B = state.batch_dim
-                small = state.scenario["small_passage_pos"]
                 obs = []
                 for s_, a in enumerate(agents):
                     o = extra[s_ * obs_w : (s_ + 1) * obs_w]
-                    parts = [o[0:2].T, o[2:4].T, o[4:6].T, o[6:8].T]
-                    # small passage rel: agent pos rode through rows 8:10
-                    parts.append(o[8:10].T - small)
-                    parts.append(o[10:12].T)
+                    parts = [o[0:2].T, o[2:4].T, o[4:6].T, o[6:8].T,
+                             o[8:10].T, o[10:12].T]
                     c = 12
                     if obs_joint:
                         angle = o[c]

@@ -252,7 +252,7 @@ class Scenario(BaseScenario):
 
         class MultiGiveWayOutputs(F_.FusedOutputs):
             n_scratch_in = A + 1  # shaping columns + reached_goal
-            n_out = A * obs_w + 3 * A + 3
+            n_out = A * obs_w + 3 * A + 2
 
             @staticmethod
             def scratch_rows(state):
@@ -271,10 +271,7 @@ class Scenario(BaseScenario):
                 prev = ctx["scratch"][:A]
                 reached_prev = ctx["scratch"][A] > 0.5
 
-                def safe_norm2(x, y):
-                    sq = x * x + y * y
-                    z = sq == 0.0
-                    return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+                safe_norm2 = F_._norm  # the kernel-row zero-guarded L2 norm
 
                 goal_rel, dist = [], []
                 for a in agents:
@@ -319,11 +316,7 @@ class Scenario(BaseScenario):
                     rows += list(goal_rel[i])
                     rows.append(dist[i])
                 rows += per_agent + coll + shaping
-                rows += [
-                    final_rew,
-                    reached_new.astype(jnp.float32),
-                    all_reached.astype(jnp.float32),
-                ]
+                rows += [final_rew, reached_new.astype(jnp.float32)]
                 return rows
 
             @staticmethod

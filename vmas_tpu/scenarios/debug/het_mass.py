@@ -89,3 +89,57 @@ class Scenario(BaseScenario):
             "max_speed": state.scenario["max_speed"],
             "energy_expenditure": state.scenario["energy_expenditure"],
         }
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward as extra rows of the fused physics kernel
+        (fused.FusedOutputs); the energy term reads the untouched actions
+        in unpack."""
+        import math as _math
+
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        A = len(agents)
+        denom = _math.sqrt(world.dim_p * (1.0**2))
+
+        class HetMassOutputs(F_.FusedOutputs):
+            n_scratch_in = 0
+            n_out = 4 * A + 1
+
+            @staticmethod
+            def scratch_rows(state):
+                import numpy as np
+                return np.zeros((0, state.batch_dim), np.float32)
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                max_speed = None
+                rows = []
+                for a in agents:
+                    ai = a.index
+                    rows += [px[ai], py[ai], vx[ai], vy[ai]]
+                    s = F_._norm(vx[ai], vy[ai])
+                    max_speed = s if max_speed is None else jnp.maximum(max_speed, s)
+                rows.append(max_speed)
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                obs = tuple(extra[i * 4 : (i + 1) * 4].T for i in range(A))
+                max_speed = extra[4 * A]
+                energy = (
+                    -jnp.stack(
+                        [safe_norm(a.u(state)) / denom for a in agents], axis=1
+                    ).sum(-1)
+                    * 0.17
+                )
+                rew = max_speed + energy
+                rews = tuple(rew for _ in range(A))
+                done = jnp.zeros((state.batch_dim,), bool)
+                updates = {"max_speed": max_speed, "energy_expenditure": energy}
+                return obs, rews, done, updates
+
+        return HetMassOutputs()

@@ -94,3 +94,50 @@ class Scenario(BaseScenario):
             + [lm.pos(state) - agent.pos(state) for lm in self.world.landmarks],
             axis=-1,
         )
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward as extra rows of the fused physics kernel
+        (fused.FusedOutputs)."""
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        lms = world.landmarks
+        A, L = len(agents), len(lms)
+        goal_i = lms[-1].index
+        obs_w = 4 + 2 * L
+
+        class WaterfallOutputs(F_.FusedOutputs):
+            n_scratch_in = 0
+            n_out = A * obs_w + A
+
+            @staticmethod
+            def scratch_rows(state):
+                import numpy as np
+                return np.zeros((0, state.batch_dim), np.float32)
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                rows, rews = [], []
+                for a in agents:
+                    ai = a.index
+                    rows += [px[ai], py[ai], vx[ai], vy[ai]]
+                    for lm in lms:
+                        rows += [px[lm.index] - px[ai], py[lm.index] - py[ai]]
+                    rews.append(
+                        -F_._norm(px[ai] - px[goal_i], py[ai] - py[goal_i])
+                    )
+                return rows + rews
+
+            @staticmethod
+            def unpack(extra, state):
+                obs = tuple(
+                    extra[i * obs_w : (i + 1) * obs_w].T for i in range(A)
+                )
+                rews = tuple(extra[A * obs_w + i] for i in range(A))
+                done = jnp.zeros((state.batch_dim,), bool)
+                return obs, rews, done, {}
+
+        return WaterfallOutputs()

@@ -77,6 +77,22 @@ def test_gymnasium_vec_wrapper(scenario):
     assert np.asarray(terminated).shape == (4,)
 
 
+def test_gymnasium_vec_wrapper_fused_physics():
+    """Interop wrappers compose with the fused kernel path (physics +
+    scenario outputs emitted in-kernel)."""
+    env = make_env(
+        "transport", num_envs=4, seed=0, wrapper="gymnasium_vec",
+        terminated_truncated=True, fused_physics=True,
+    )
+    assert env.unwrapped._fused_outputs is not None
+    obs, info = env.reset(seed=0)
+    acts = [np.asarray(a) for a in env.unwrapped.get_random_actions()]
+    for _ in range(3):
+        obs, rews, terminated, truncated, info = env.step(acts)
+    assert np.isfinite(np.asarray(obs[0])).all()
+    assert np.asarray(terminated).shape == (4,)
+
+
 def test_rllib_wrapper():
     env = make_env("dispersion", num_envs=3, seed=0, wrapper="rllib")
     obs = env.vector_reset()

@@ -24,11 +24,43 @@ HORIZON = 100
 ITERS = 5
 
 
+def _wait_for_device(max_wait_s=1800.0):
+    """Block until the TPU claim succeeds. The axon tunnel's claim can sit
+    unavailable for tens of minutes after an orphaned client (a killed
+    mid-compile process wedges the grant; see docs/PERFORMANCE.md) — a
+    transient there must not zero the round's benchmark. Device init either
+    hangs (claim queued — fine, we just wait inline) or raises UNAVAILABLE
+    (claim rejected — sleep and retry in-process; never kill/retry from
+    outside, that re-wedges it)."""
+    import os
+
+    import jax
+
+    # the retry re-execs this process (a failed backend init is cached
+    # per-process), so the deadline rides through the environment
+    deadline = float(os.environ.get("_BENCH_DEADLINE", "0"))
+    if not deadline:
+        deadline = time.time() + max_wait_s
+        os.environ["_BENCH_DEADLINE"] = str(deadline)
+    try:
+        x = jax.numpy.ones((8, 128)) @ jax.numpy.ones((128, 8))
+        jax.block_until_ready(x)
+    except Exception as e:  # backend init failure, not a user bug
+        if time.time() > deadline:
+            raise
+        print(f"[bench] device unavailable ({str(e)[:80]}); "
+              f"retrying in 60s", file=sys.stderr)
+        time.sleep(60.0)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     import jax
 
     from vmas_tpu import make_env
     from vmas_tpu.parallel.rollout import rollout_fn
+
+    _wait_for_device()
 
     env = make_env(
         "transport", num_envs=NUM_ENVS, n_agents=N_AGENTS, seed=0,

@@ -150,8 +150,9 @@ def test_pallas_obs_kernel_matches_xla_path():
     hook: same top-K nearing selection and masking, values to float
     tolerance. Noise is on for one env pair (same obs_key -> identical
     noise) and off for the strict comparison."""
-    for noise in (False, True):
-        kw = dict(num_envs=4, seed=0, n_agents=4, is_add_noise=noise)
+    for noise, extra in ((False, {}), (True, {}),
+                         (False, dict(n_nearing_agents_observed=3))):
+        kw = dict(num_envs=4, seed=0, n_agents=4, is_add_noise=noise, **extra)
         env_k = make_env("road_traffic", pallas_obs=True, **kw)
         env_x = make_env("road_traffic", **kw)
         assert env_k.scenario.pallas_obs  # kernel path actually on

@@ -184,3 +184,18 @@ def test_pallas_obs_reset_path_and_grad_gating():
     assert env.scenario.observations(env.state) is None
     obs, *_ = env.reset()
     assert np.isfinite(np.asarray(obs[0])).all()
+
+
+def test_pallas_obs_composes_with_env_sharding():
+    """The obs kernel's grid blocks the flattened (env, agent) lane axis, so
+    pjit partitions it per env shard like the physics kernel."""
+    from vmas_tpu.parallel import distribute
+
+    env = make_env(
+        "road_traffic", num_envs=16, seed=0, n_agents=4, pallas_obs=True,
+    )
+    distribute(env)
+    for _ in range(2):
+        obs, rews, dones, infos = env.step(env.get_random_actions())
+    assert np.isfinite(np.asarray(obs[0])).all()
+    assert "env" in str(env.state.pos.sharding)

@@ -249,10 +249,7 @@ def _make_obs_kernel(A, S, K, apply_mask, norm_pos, norm_v, norm_dist, thresh):
         vx_b, vy_b = blk(VX), blk(VY)
         iota_A = jax.lax.broadcasted_iota(jnp.int32, (A, Bk), 0).astype(jnp.float32)
 
-        def safe_norm2(x, y):
-            sq = x * x + y * y
-            z = sq == 0.0
-            return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, sq)))
+        from vmas_tpu.core.fused import _norm as safe_norm2
 
         def gather(r, idx):
             """row idx (per lane) of quantity block at r -> [1, Bk]."""

@@ -194,3 +194,30 @@ def test_differentiable_rollout():
     g = jax.grad(loss)(jnp.full((2, 2), 0.1))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_observations_batch_hook_overrides_per_agent():
+    """BaseScenario.observations (batch hook) replaces the per-agent
+    observation calls when it returns a tuple, and falls back on None."""
+    import jax.numpy as jnp
+
+    from vmas_tpu.scenarios.transport import Scenario as TransportScenario
+
+    calls = {"batch": 0}
+
+    class BatchObsScenario(TransportScenario):
+        def observations(self, state):
+            calls["batch"] += 1
+            return tuple(
+                self.observation(a, state) + 1.0
+                for a in self.world.policy_agents
+            )
+
+    env = make_env(BatchObsScenario(), num_envs=3, seed=0, n_agents=2)
+    obs, *_ = env.reset()
+    ref = make_env("transport", num_envs=3, seed=0, n_agents=2)
+    obs_ref, *_ = ref.reset()
+    assert calls["batch"] >= 1
+    np.testing.assert_allclose(
+        np.asarray(obs[0]), np.asarray(obs_ref[0]) + 1.0, atol=0
+    )

@@ -148,6 +148,9 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("ball_passage", dict(n_passages=2, fixed_passage=True), "pos_shaping_pre", 2),
         ("het_mass", dict(), "max_speed", 4),
         ("waterfall", dict(), None, 4),
+        ("simple", dict(), None, 4),
+        ("simple_push", dict(), "goal_idx", 4),
+        ("simple_adversary", dict(n_agents=3), "goal_idx", 4),
     ],
 )
 def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key,

@@ -38,3 +38,49 @@ class Scenario(BaseScenario):
     def observation(self, agent, state):
         entity_pos = [lm.pos(state) - agent.pos(state) for lm in self.world.landmarks]
         return jnp.concatenate([agent.vel(state), *entity_pos], axis=-1)
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward as extra rows of the fused physics kernel
+        (fused.FusedOutputs)."""
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        lms = world.landmarks
+        A, L = len(agents), len(lms)
+        obs_w = 2 + 2 * L
+
+        class SimpleOutputs(F_.FusedOutputs):
+            n_scratch_in = 0
+            n_out = A * obs_w + A
+
+            @staticmethod
+            def scratch_rows(state):
+                import numpy as np
+                return np.zeros((0, state.batch_dim), np.float32)
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                rows, rews = [], []
+                for a in agents:
+                    ai = a.index
+                    rows += [vx[ai], vy[ai]]
+                    for lm in lms:
+                        rows += [px[lm.index] - px[ai], py[lm.index] - py[ai]]
+                    dx = px[ai] - px[lms[0].index]
+                    dy = py[ai] - py[lms[0].index]
+                    rews.append(-(dx * dx + dy * dy))
+                return rows + rews
+
+            @staticmethod
+            def unpack(extra, state):
+                obs = tuple(
+                    extra[i * obs_w : (i + 1) * obs_w].T for i in range(A)
+                )
+                rews = tuple(extra[A * obs_w + i] for i in range(A))
+                done = jnp.zeros((state.batch_dim,), bool)
+                return obs, rews, done, {}
+
+        return SimpleOutputs()

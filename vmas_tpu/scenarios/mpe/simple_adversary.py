@@ -88,3 +88,80 @@ class Scenario(BaseScenario):
                 [self._goal_pos(state) - agent.pos(state), *entity_pos, *other_pos], axis=-1
             )
         return jnp.concatenate([*entity_pos, *other_pos], axis=-1)
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward as extra rows of the fused physics kernel
+        (fused.FusedOutputs); the per-env goal landmark is a one-hot sum
+        over the goal_idx scratch row."""
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        lms = world.landmarks
+        A, L = len(agents), len(lms)
+        goods = [a for a in agents if not a.adversary]
+        advs = [a for a in agents if a.adversary]
+        row_w = [(0 if a.adversary else 2) + 2 * L + 2 * (A - 1)
+                 for a in agents]
+        offs = [sum(row_w[:i]) for i in range(A)]
+
+        class SimpleAdversaryOutputs(F_.FusedOutputs):
+            n_scratch_in = 1  # goal_idx
+            n_out = sum(row_w) + A
+
+            @staticmethod
+            def scratch_rows(state):
+                return state.scenario["goal_idx"].astype(jnp.float32)[None]
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                gidx = ctx["scratch"][0]
+                gx = sum(
+                    (gidx == float(i)).astype(jnp.float32) * px[lm.index]
+                    for i, lm in enumerate(lms)
+                )
+                gy = sum(
+                    (gidx == float(i)).astype(jnp.float32) * py[lm.index]
+                    for i, lm in enumerate(lms)
+                )
+
+                rows = []
+                for a in agents:
+                    ai = a.index
+                    if not a.adversary:
+                        rows += [gx - px[ai], gy - py[ai]]
+                    for lm in lms:
+                        rows += [px[lm.index] - px[ai], py[lm.index] - py[ai]]
+                    for b in agents:
+                        if b is not a:
+                            rows += [px[b.index] - px[ai], py[b.index] - py[ai]]
+
+                adv_sum = sum(
+                    F_._norm(px[a.index] - gx, py[a.index] - gy) for a in advs
+                )
+                good_min = None
+                for a in goods:
+                    d = F_._norm(px[a.index] - gx, py[a.index] - gy)
+                    good_min = d if good_min is None else jnp.minimum(good_min, d)
+                rews = []
+                for a in agents:
+                    if a.adversary:
+                        rews.append(
+                            -F_._norm(px[a.index] - gx, py[a.index] - gy)
+                        )
+                    else:
+                        rews.append(-good_min + adv_sum)
+                return rows + rews
+
+            @staticmethod
+            def unpack(extra, state):
+                obs = tuple(
+                    extra[offs[i] : offs[i] + row_w[i]].T for i in range(A)
+                )
+                base = sum(row_w)
+                rews = tuple(extra[base + i] for i in range(A))
+                done = jnp.zeros((state.batch_dim,), bool)
+                return obs, rews, done, {}
+
+        return SimpleAdversaryOutputs()

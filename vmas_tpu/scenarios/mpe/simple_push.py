@@ -78,3 +78,105 @@ class Scenario(BaseScenario):
                 axis=-1,
             )
         return jnp.concatenate([agent.vel(state), *entity_pos, *other_pos], axis=-1)
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward as extra rows of the fused physics kernel
+        (fused.FusedOutputs). The per-env goal landmark is selected
+        in-kernel by a one-hot sum over the goal_idx scratch row; the
+        constant color blocks are appended in unpack."""
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        lms = world.landmarks
+        A, L = len(agents), len(lms)
+        # kernel rows per agent: vel2, [goal_rel2 for the good agent],
+        # entity rels 2L, other rels 2(A-1)
+        row_w = [2 + (0 if a.adversary else 2) + 2 * L + 2 * (A - 1)
+                 for a in agents]
+        offs = [sum(row_w[:i]) for i in range(A)]
+
+        class SimplePushOutputs(F_.FusedOutputs):
+            n_scratch_in = 1  # goal_idx
+            n_out = sum(row_w) + A
+
+            @staticmethod
+            def scratch_rows(state):
+                return state.scenario["goal_idx"].astype(jnp.float32)[None]
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                gidx = ctx["scratch"][0]
+                gx = sum(
+                    (gidx == float(i)).astype(jnp.float32) * px[lm.index]
+                    for i, lm in enumerate(lms)
+                )
+                gy = sum(
+                    (gidx == float(i)).astype(jnp.float32) * py[lm.index]
+                    for i, lm in enumerate(lms)
+                )
+
+                rows, rews = [], []
+                for a in agents:
+                    ai = a.index
+                    rows += [vx[ai], vy[ai]]
+                    if not a.adversary:
+                        rows += [gx - px[ai], gy - py[ai]]
+                    for lm in lms:
+                        rows += [px[lm.index] - px[ai], py[lm.index] - py[ai]]
+                    for b in agents:
+                        if b is not a:
+                            rows += [px[b.index] - px[ai], py[b.index] - py[ai]]
+                for a in agents:
+                    ai = a.index
+                    if a.adversary:
+                        pos_rew = None
+                        for b in agents:
+                            if b.adversary:
+                                continue
+                            d = F_._norm(px[b.index] - gx, py[b.index] - gy)
+                            pos_rew = d if pos_rew is None else jnp.minimum(pos_rew, d)
+                        rews.append(
+                            pos_rew - F_._norm(gx - px[ai], gy - py[ai])
+                        )
+                    else:
+                        rews.append(-F_._norm(px[ai] - gx, py[ai] - gy))
+                return rows + rews
+
+            @staticmethod
+            def unpack(extra, state):
+                B = state.batch_dim
+                goal_idx = state.scenario["goal_idx"]
+                obs = []
+                for i, a in enumerate(agents):
+                    o = extra[offs[i] : offs[i] + row_w[i]]
+                    if a.adversary:
+                        obs.append(o.T)
+                    else:
+                        agent_color = jnp.full((B, 3), 0.25) + 0.5 * jax.nn.one_hot(
+                            goal_idx + 1, 3
+                        )
+                        entity_color = [
+                            jnp.broadcast_to(LANDMARK_COLORS[k][None], (B, 3))
+                            for k in range(2)
+                        ]
+                        # hook order: vel, goal_rel, agent_color, entity
+                        # rels, entity colors, other rels
+                        obs.append(
+                            jnp.concatenate(
+                                [
+                                    o[0:4].T, agent_color,
+                                    o[4 : 4 + 2 * L].T, *entity_color,
+                                    o[4 + 2 * L :].T,
+                                ],
+                                -1,
+                            )
+                        )
+                base = sum(row_w)
+                rews = tuple(extra[base + i] for i in range(A))
+                done = jnp.zeros((B,), bool)
+                return tuple(obs), rews, done, {}
+
+        return SimplePushOutputs()

@@ -179,3 +179,146 @@ class Scenario(BaseScenario):
         from vmas_tpu.render import draw
 
         draw.draw_perimeter(ax, self.bound, pad=self.adversary_radius)
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit obs/reward as extra rows of the fused physics kernel
+        (fused.FusedOutputs). respawn_at_catch moves caught agents inside
+        pre_rewards — a state mutation the emit protocol cannot express —
+        so that config falls back to the hook pipeline."""
+        if self.respawn_at_catch:
+            return None
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        lms = world.landmarks
+        A, L = len(agents), len(lms)
+        radius = {a.name: float(a.shape.radius) for a in agents}
+        shape_agent = bool(self.shape_agent_rew)
+        shape_adv = bool(self.shape_adversary_rew)
+        share_agents = bool(self.agents_share_rew)
+        share_advs = bool(self.adversaries_share_rew)
+        same_team = bool(self.observe_same_team)
+        obs_pos = bool(self.observe_pos)
+        obs_vel = bool(self.observe_vel)
+        goods = [a for a in agents if not a.adversary]
+        advs = [a for a in agents if a.adversary]
+
+        def obs_struct(agent):
+            """(pos_partners, vel_partners) in the hook's iteration order."""
+            pos_p, vel_p = [], []
+            for other in agents:
+                if other is agent:
+                    continue
+                if agent.adversary and not other.adversary:
+                    pos_p.append(other), vel_p.append(other)
+                elif not agent.adversary and not other.adversary and same_team:
+                    pos_p.append(other), vel_p.append(other)
+                elif not agent.adversary and other.adversary:
+                    pos_p.append(other)
+                elif agent.adversary and other.adversary and same_team:
+                    pos_p.append(other)
+            return pos_p, vel_p
+
+        structs = [obs_struct(a) for a in agents]
+        row_w = [
+            (2 if obs_vel else 0) + (2 if obs_pos else 0) + 2 * L
+            + 2 * len(p) + 2 * len(v)
+            for p, v in structs
+        ]
+        offs = [sum(row_w[:i]) for i in range(A)]
+
+        class SimpleTagOutputs(F_.FusedOutputs):
+            n_scratch_in = 0
+            n_out = sum(row_w) + A
+
+            @staticmethod
+            def scratch_rows(state):
+                import numpy as np
+                return np.zeros((0, state.batch_dim), np.float32)
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+
+                def collide(a, b):
+                    return (
+                        F_._norm(
+                            px[a.index] - px[b.index], py[a.index] - py[b.index]
+                        )
+                        < radius[a.name] + radius[b.name]
+                    ).astype(jnp.float32)
+
+                rows = []
+                for a, (pos_p, vel_p) in zip(agents, structs):
+                    ai = a.index
+                    if obs_vel:
+                        rows += [vx[ai], vy[ai]]
+                    if obs_pos:
+                        rows += [px[ai], py[ai]]
+                    for lm in lms:
+                        rows += [px[lm.index] - px[ai], py[lm.index] - py[ai]]
+                    for b in pos_p:
+                        rows += [px[b.index] - px[ai], py[b.index] - py[ai]]
+                    for b in vel_p:
+                        rows += [vx[b.index], vy[b.index]]
+
+                rews = []
+                for a in agents:
+                    r = None
+                    if a.adversary:
+                        if shape_adv:
+                            m = None
+                            for g in goods:
+                                d = F_._norm(
+                                    px[g.index] - px[a.index],
+                                    py[g.index] - py[a.index],
+                                )
+                                m = d if m is None else jnp.minimum(m, d)
+                            r = -0.1 * m
+                        if a.collide:
+                            for g in goods:
+                                hit = 10.0 * collide(g, a)
+                                r = hit if r is None else r + hit
+                    else:
+                        for adv in advs:
+                            if shape_agent:
+                                t = 0.1 * F_._norm(
+                                    px[a.index] - px[adv.index],
+                                    py[a.index] - py[adv.index],
+                                )
+                                r = t if r is None else r + t
+                            if a.collide:
+                                t = -10.0 * collide(adv, a)
+                                r = t if r is None else r + t
+                    rews.append(r if r is not None else jnp.zeros_like(px[0]))
+                return rows + rews
+
+            @staticmethod
+            def unpack(extra, state):
+                obs = tuple(
+                    extra[offs[i] : offs[i] + row_w[i]].T for i in range(A)
+                )
+                base = sum(row_w)
+                per_agent = jnp.stack(
+                    [extra[base + i] for i in range(A)], axis=-1
+                )  # [B, A]
+                good_mask = jnp.asarray([not a.adversary for a in agents])
+                agents_rew = jnp.where(good_mask[None], per_agent, 0.0).sum(-1)
+                adv_rew = jnp.where(~good_mask[None], per_agent, 0.0).sum(-1)
+                rews = tuple(
+                    (adv_rew if share_advs else per_agent[:, i])
+                    if a.adversary
+                    else (agents_rew if share_agents else per_agent[:, i])
+                    for i, a in enumerate(agents)
+                )
+                done = jnp.zeros((state.batch_dim,), bool)
+                updates = {
+                    "per_agent_rew": per_agent,
+                    "agents_rew": agents_rew,
+                    "adversary_rew": adv_rew,
+                }
+                return obs, rews, done, updates
+
+        return SimpleTagOutputs()

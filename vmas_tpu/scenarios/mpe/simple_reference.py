@@ -63,3 +63,75 @@ class Scenario(BaseScenario):
         entity_pos = [lm.pos(state) - agent.pos(state) for lm in self.world.landmarks]
         comm = [o.comm(state) for o in self.world.agents if o is not agent]
         return jnp.concatenate([agent.vel(state), *entity_pos, goal_color, *comm], axis=-1)
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit the positional obs rows and the shared reward from the
+        fused physics kernel (fused.FusedOutputs); the goal color and the
+        other agent's comm vector (set at action decode, untouched by
+        physics) are appended in unpack."""
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        lms = world.landmarks
+        A, L = len(agents), len(lms)
+        row_w = 2 + 2 * L
+
+        class SimpleReferenceOutputs(F_.FusedOutputs):
+            n_scratch_in = A  # goal_b_i per agent
+            n_out = A * row_w + 1
+
+            @staticmethod
+            def scratch_rows(state):
+                return jnp.stack(
+                    [
+                        state.scenario[f"goal_b_{i}"].astype(jnp.float32)
+                        for i in range(A)
+                    ],
+                    axis=0,
+                )
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                gidx = ctx["scratch"]
+
+                rows = []
+                for a in agents:
+                    ai = a.index
+                    rows += [vx[ai], vy[ai]]
+                    for lm in lms:
+                        rows += [px[lm.index] - px[ai], py[lm.index] - py[ai]]
+                rew = None
+                for i, a in enumerate(agents):
+                    goal_a = agents[1 - i]
+                    gx = sum(
+                        (gidx[i] == float(k)).astype(jnp.float32) * px[lm.index]
+                        for k, lm in enumerate(lms)
+                    )
+                    gy = sum(
+                        (gidx[i] == float(k)).astype(jnp.float32) * py[lm.index]
+                        for k, lm in enumerate(lms)
+                    )
+                    d = -F_._norm(px[goal_a.index] - gx, py[goal_a.index] - gy)
+                    rew = d if rew is None else rew + d
+                rows.append(rew)
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                rew = extra[A * row_w]
+                obs = []
+                for i, a in enumerate(agents):
+                    o = extra[i * row_w : (i + 1) * row_w].T
+                    goal_color = LANDMARK_COLORS[state.scenario[f"goal_b_{i}"]]
+                    comm = [
+                        b.comm(state) for b in agents if b is not a
+                    ]
+                    obs.append(jnp.concatenate([o, goal_color, *comm], -1))
+                rews = tuple(rew for _ in range(A))
+                done = jnp.zeros((state.batch_dim,), bool)
+                return tuple(obs), rews, done, {}
+
+        return SimpleReferenceOutputs()

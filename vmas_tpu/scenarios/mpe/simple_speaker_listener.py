@@ -64,3 +64,63 @@ class Scenario(BaseScenario):
         entity_pos = [lm.pos(state) - agent.pos(state) for lm in self.world.landmarks]
         comm = [o.comm(state) for o in self.world.agents if o is not agent]
         return jnp.concatenate([agent.vel(state), *entity_pos, *comm], axis=-1)
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit the listener's positional obs rows and the shared reward
+        from the fused physics kernel (fused.FusedOutputs); the speaker's
+        goal-color obs and the comm vector are assembled in unpack."""
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        lms = world.landmarks
+        A, L = len(agents), len(lms)
+        listener = agents[1]
+        row_w = 2 + 2 * L  # listener vel + entity rels
+
+        class SpeakerListenerOutputs(F_.FusedOutputs):
+            n_scratch_in = 1  # goal_idx
+            n_out = row_w + 1
+
+            @staticmethod
+            def scratch_rows(state):
+                return state.scenario["goal_idx"].astype(jnp.float32)[None]
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+                gidx = ctx["scratch"][0]
+                li = listener.index
+                gx = sum(
+                    (gidx == float(k)).astype(jnp.float32) * px[lm.index]
+                    for k, lm in enumerate(lms)
+                )
+                gy = sum(
+                    (gidx == float(k)).astype(jnp.float32) * py[lm.index]
+                    for k, lm in enumerate(lms)
+                )
+                rows = [vx[li], vy[li]]
+                for lm in lms:
+                    rows += [px[lm.index] - px[li], py[lm.index] - py[li]]
+                rows.append(
+                    -F_._norm(px[li] - gx, py[li] - gy) * float(A)
+                )
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                goal_color = LANDMARK_COLORS[state.scenario["goal_idx"]]
+                comm = [
+                    b.comm(state) for b in agents if b is not listener
+                ]
+                obs = (
+                    goal_color,  # speaker
+                    jnp.concatenate([extra[:row_w].T, *comm], -1),  # listener
+                )
+                rew = extra[row_w]
+                rews = tuple(rew for _ in range(A))
+                done = jnp.zeros((state.batch_dim,), bool)
+                return obs, rews, done, {}
+
+        return SpeakerListenerOutputs()

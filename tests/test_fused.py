@@ -154,6 +154,7 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("simple_tag", dict(), "per_agent_rew", 4),
         ("simple_reference", dict(), "goal_b_0", 4),
         ("simple_speaker_listener", dict(), "goal_idx", 4),
+        ("simple_world_comm", dict(), None, 4),
         ("simple_tag", dict(shape_agent_rew=True, shape_adversary_rew=True, agents_share_rew=True, adversaries_share_rew=False, observe_same_team=False, observe_pos=False), "per_agent_rew", 2),
     ],
 )

@@ -135,3 +135,149 @@ class Scenario(BaseScenario):
             + ([comm] if (agent.adversary or agent.leader) else []),
             axis=-1,
         )
+
+    # ------------------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit the positional obs rows and rewards from the fused physics
+        kernel (fused.FusedOutputs). The constant blocks (non-leader zero
+        partner rows, the reference's no-op in_forest -1s) and the leader's
+        comm vector are assembled in unpack; the leader's per-other rows
+        are emitted once and duplicated per forest there (the hook repeats
+        them verbatim)."""
+        from vmas_tpu.core import fused as F_
+
+        agents = world.policy_agents
+        lms = world.landmarks
+        A, L = len(agents), len(lms)
+        F = len(self.forests)
+        radius = {a.name: float(a.shape.radius) for a in agents}
+        food_r = float(self.food[0].shape.radius)
+        food_idx = [f.index for f in self.food]
+        goods = [a for a in agents if not a.adversary]
+        advs = [a for a in agents if a.adversary]
+        # per-agent kernel rows: vel2 pos2 entity-rels 2L; the leader also
+        # gets per-other pos rel (2 each) and per-non-adversary-other vel
+        # (2 each), emitted ONCE (the hook duplicates them per forest)
+        def leader_rows(a):
+            if not a.leader:
+                return 0
+            others = [b for b in agents if b is not a]
+            vels = [b for b in others if not b.adversary]
+            return 2 * len(others) + 2 * len(vels)
+
+        row_w = [4 + 2 * L + leader_rows(a) for a in agents]
+        offs = [sum(row_w[:i]) for i in range(A)]
+
+        class SimpleWorldCommOutputs(F_.FusedOutputs):
+            n_scratch_in = 0
+            n_out = sum(row_w) + A
+
+            @staticmethod
+            def scratch_rows(state):
+                import numpy as np
+                return np.zeros((0, state.batch_dim), np.float32)
+
+            @staticmethod
+            def emit(ctx):
+                px, py = ctx["px"], ctx["py"]
+                vx, vy = ctx["vx"], ctx["vy"]
+
+                def collide(a, b):
+                    return (
+                        F_._norm(
+                            px[a.index] - px[b.index], py[a.index] - py[b.index]
+                        )
+                        < radius[a.name] + radius[b.name]
+                    ).astype(jnp.float32)
+
+                rows = []
+                for a in agents:
+                    ai = a.index
+                    rows += [vx[ai], vy[ai], px[ai], py[ai]]
+                    for lm in lms:
+                        rows += [px[lm.index] - px[ai], py[lm.index] - py[ai]]
+                    if a.leader:
+                        others = [b for b in agents if b is not a]
+                        for b in others:
+                            rows += [px[b.index] - px[ai], py[b.index] - py[ai]]
+                        for b in others:
+                            if not b.adversary:
+                                rows += [vx[b.index], vy[b.index]]
+
+                adv_rew = None
+                for ag in goods:
+                    for adv in advs:
+                        t = 5.0 * collide(ag, adv)
+                        adv_rew = t if adv_rew is None else adv_rew + t
+
+                rews = []
+                for a in agents:
+                    if a.adversary:
+                        rews.append(
+                            adv_rew if a.collide
+                            else jnp.zeros_like(px[0])
+                        )
+                        continue
+                    r = jnp.zeros_like(px[0])
+                    if a.collide:
+                        for adv in advs:
+                            r = r - 5.0 * collide(adv, a)
+                    for fi in food_idx:
+                        hit = (
+                            F_._norm(px[a.index] - px[fi], py[a.index] - py[fi])
+                            < radius[a.name] + food_r
+                        ).astype(jnp.float32)
+                        r = r + 2.0 * hit
+                    m = None
+                    for fi in food_idx:
+                        d = F_._norm(px[fi] - px[a.index], py[fi] - py[a.index])
+                        m = d if m is None else jnp.minimum(m, d)
+                    rews.append(r - 0.05 * m)
+                return rows + rews
+
+            @staticmethod
+            def unpack(extra, state):
+                B = state.batch_dim
+                zeros2 = jnp.zeros((B, 2), jnp.float32)
+                in_forest = jnp.full((B, F), -1.0, jnp.float32)
+                comm = agents[0].comm(state)
+                obs = []
+                for i, a in enumerate(agents):
+                    o = extra[offs[i] : offs[i] + row_w[i]]
+                    base = o[: 4 + 2 * L].T
+                    others = [b for b in agents if b is not a]
+                    other_pos, other_vel = [], []
+                    if a.leader:
+                        c = 4 + 2 * L
+                        pos_blocks = []
+                        for b in others:
+                            pos_blocks.append(o[c : c + 2].T)
+                            c += 2
+                        vel_blocks = {}
+                        for b in others:
+                            if not b.adversary:
+                                vel_blocks[b.name] = o[c : c + 2].T
+                                c += 2
+                        for k, b in enumerate(others):
+                            for _ in range(F):
+                                other_pos.append(pos_blocks[k])
+                                other_vel.append(
+                                    vel_blocks[b.name]
+                                    if not b.adversary
+                                    else zeros2
+                                )
+                    else:
+                        for b in others:
+                            for _ in range(F):
+                                other_pos.append(zeros2)
+                                other_vel.append(zeros2)
+                    parts = [base, *other_pos, *other_vel, in_forest]
+                    if a.adversary or a.leader:
+                        parts.append(comm)
+                    obs.append(jnp.concatenate(parts, -1))
+                b0 = sum(row_w)
+                rews = tuple(extra[b0 + i] for i in range(A))
+                done = jnp.zeros((B,), bool)
+                return tuple(obs), rews, done, {}
+
+        return SimpleWorldCommOutputs()

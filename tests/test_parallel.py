@@ -45,6 +45,28 @@ def test_compiled_rollout():
     assert int(env.steps[0]) == 5
 
 
+def test_compiled_rollout_fused_outputs_matches_stepping():
+    """The bench path — lax.scan rollout over a fused env with kernel-
+    emitted outputs — must produce the same trajectory as per-step
+    env.step calls (same keys: the rollout draws from the env's key
+    stream the same way)."""
+    env_r = make_env("transport", num_envs=6, seed=3, fused_physics=True)
+    assert env_r._fused_outputs is not None
+    traj = rollout(env_r, horizon=4)
+    env_h = make_env("transport", num_envs=6, seed=3)
+    traj_h = rollout(env_h, horizon=4)
+    np.testing.assert_allclose(
+        np.asarray(traj["rewards"]), np.asarray(traj_h["rewards"]), atol=2e-3
+    )
+    for of, oh in zip(traj["obs"], traj_h["obs"]):
+        np.testing.assert_allclose(
+            np.asarray(of), np.asarray(oh), atol=2e-5, rtol=1e-5
+        )
+    np.testing.assert_array_equal(
+        np.asarray(traj["dones"]), np.asarray(traj_h["dones"])
+    )
+
+
 def test_compiled_rollout_u_widening_scenario():
     """debug/drone's process_action widens state.u (3 -> 4 columns, the
     reference's oscillating action.u shape, debug/drone.py:67-74); the step

@@ -45,8 +45,11 @@ def _wait_for_device(max_wait_s=1800.0):
     try:
         x = jax.numpy.ones((8, 128)) @ jax.numpy.ones((128, 8))
         jax.block_until_ready(x)
-    except Exception as e:  # backend init failure, not a user bug
-        if time.time() > deadline:
+    except Exception as e:
+        # only retry what is plausibly transient (a wedged/queued claim);
+        # a misconfigured environment (missing plugin, bad JAX_PLATFORMS)
+        # must fail in seconds, not after 30 minutes of re-execs
+        if "UNAVAILABLE" not in str(e) or time.time() > deadline:
             raise
         print(f"[bench] device unavailable ({str(e)[:80]}); "
               f"retrying in 60s", file=sys.stderr)

@@ -151,10 +151,12 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("simple", dict(), None, 4),
         ("simple_push", dict(), "goal_idx", 4),
         ("simple_adversary", dict(n_agents=3), "goal_idx", 4),
+        ("simple_adversary", dict(n_agents=4, n_adversaries=2), "goal_idx", 2),
         ("simple_tag", dict(), "per_agent_rew", 4),
         ("simple_reference", dict(), "goal_b_0", 4),
         ("simple_speaker_listener", dict(), "goal_idx", 4),
         ("simple_world_comm", dict(), None, 4),
+        ("simple_world_comm", dict(num_good_agents=3, num_adversaries=2, num_forests=1, num_food=3), None, 2),
         ("simple_tag", dict(shape_agent_rew=True, shape_adversary_rew=True, agents_share_rew=True, adversaries_share_rew=False, observe_same_team=False, observe_pos=False), "per_agent_rew", 2),
     ],
 )

@@ -266,9 +266,29 @@ class FusedOutputs:
           Default: identity.
     """
 
+    n_scratch_in = 0
+
+    @staticmethod
+    def scratch_rows(state):
+        """Default: no extra input rows (override with n_scratch_in)."""
+        import numpy as np
+
+        return np.zeros((0, state.batch_dim), np.float32)
+
     @staticmethod
     def finish_obs(obs, state):
         return obs
+
+
+def _one_hot_select(idx_row, rows):
+    """Per-lane select of one row from ``rows`` by the float index row
+    ``idx_row`` — ``sum((idx == k) * rows[k])``, bitwise equal to a gather
+    (one exact 1.0 term against the exact row value). The canonical way to
+    realize a per-env integer index inside the kernel (docs/FUSED_OUTPUTS.md
+    rule 7); exact for the small non-negative indices scratch rows carry."""
+    return sum(
+        (idx_row == float(k)).astype(jnp.float32) * r for k, r in enumerate(rows)
+    )
 
 
 def _make_kernel(world, outputs=None):

@@ -117,14 +117,8 @@ class Scenario(BaseScenario):
             def emit(ctx):
                 px, py = ctx["px"], ctx["py"]
                 gidx = ctx["scratch"][0]
-                gx = sum(
-                    (gidx == float(i)).astype(jnp.float32) * px[lm.index]
-                    for i, lm in enumerate(lms)
-                )
-                gy = sum(
-                    (gidx == float(i)).astype(jnp.float32) * py[lm.index]
-                    for i, lm in enumerate(lms)
-                )
+                gx = F_._one_hot_select(gidx, [px[lm.index] for lm in lms])
+                gy = F_._one_hot_select(gidx, [py[lm.index] for lm in lms])
 
                 rows = []
                 for a in agents:

@@ -109,14 +109,8 @@ class Scenario(BaseScenario):
                 px, py = ctx["px"], ctx["py"]
                 vx, vy = ctx["vx"], ctx["vy"]
                 gidx = ctx["scratch"][0]
-                gx = sum(
-                    (gidx == float(i)).astype(jnp.float32) * px[lm.index]
-                    for i, lm in enumerate(lms)
-                )
-                gy = sum(
-                    (gidx == float(i)).astype(jnp.float32) * py[lm.index]
-                    for i, lm in enumerate(lms)
-                )
+                gx = F_._one_hot_select(gidx, [px[lm.index] for lm in lms])
+                gy = F_._one_hot_select(gidx, [py[lm.index] for lm in lms])
 
                 rows, rews = [], []
                 for a in agents:

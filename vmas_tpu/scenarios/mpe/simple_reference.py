@@ -106,13 +106,11 @@ class Scenario(BaseScenario):
                 rew = None
                 for i, a in enumerate(agents):
                     goal_a = agents[1 - i]
-                    gx = sum(
-                        (gidx[i] == float(k)).astype(jnp.float32) * px[lm.index]
-                        for k, lm in enumerate(lms)
+                    gx = F_._one_hot_select(
+                        gidx[i], [px[lm.index] for lm in lms]
                     )
-                    gy = sum(
-                        (gidx[i] == float(k)).astype(jnp.float32) * py[lm.index]
-                        for k, lm in enumerate(lms)
+                    gy = F_._one_hot_select(
+                        gidx[i], [py[lm.index] for lm in lms]
                     )
                     d = -F_._norm(px[goal_a.index] - gx, py[goal_a.index] - gy)
                     rew = d if rew is None else rew + d

@@ -92,14 +92,8 @@ class Scenario(BaseScenario):
                 vx, vy = ctx["vx"], ctx["vy"]
                 gidx = ctx["scratch"][0]
                 li = listener.index
-                gx = sum(
-                    (gidx == float(k)).astype(jnp.float32) * px[lm.index]
-                    for k, lm in enumerate(lms)
-                )
-                gy = sum(
-                    (gidx == float(k)).astype(jnp.float32) * py[lm.index]
-                    for k, lm in enumerate(lms)
-                )
+                gx = F_._one_hot_select(gidx, [px[lm.index] for lm in lms])
+                gy = F_._one_hot_select(gidx, [py[lm.index] for lm in lms])
                 rows = [vx[li], vy[li]]
                 for lm in lms:
                     rows += [px[lm.index] - px[li], py[lm.index] - py[li]]

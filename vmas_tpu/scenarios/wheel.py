@@ -104,11 +104,6 @@ class Scenario(BaseScenario):
             n_out = A * obs_w + 1
 
             @staticmethod
-            def scratch_rows(state):
-                import numpy as np
-                return np.zeros((0, state.batch_dim), np.float32)
-
-            @staticmethod
             def emit(ctx):
                 px, py = ctx["px"], ctx["py"]
                 vx, vy = ctx["vx"], ctx["vy"]

@@ -62,11 +62,12 @@ def rt():
     from vmas_tpu import make_env
     from vmas_tpu.parallel.rollout import rollout_fn
 
-    B = 512
-    for label, kw in [
-        ("xla", dict(pallas_sweeps=False)),
-        ("sweeps", dict()),
-        ("sweeps+obs", dict(pallas_obs=True)),
+    for B, label, kw in [
+        (512, "xla", dict(pallas_sweeps=False)),
+        (512, "sweeps", dict()),
+        (512, "sweeps+obs", dict(pallas_obs=True)),
+        (4096, "sweeps", dict()),
+        (4096, "sweeps+obs", dict(pallas_obs=True)),
     ]:
         t0 = time.time()
         env = make_env("road_traffic", num_envs=B, seed=0,
@@ -77,10 +78,10 @@ def rt():
         step = lambda c: run(c[0], c[1], key)[:2]
         carry = step(carry)
         jax.block_until_ready(carry[0].pos)
-        log(f"rt/{label}: compiled in {time.time() - t0:.0f}s")
+        log(f"rt/{label}@{B}: compiled in {time.time() - t0:.0f}s")
         carry = ramp(step, carry)
         best = best_of(step, carry, n=3) / 20
-        log(f"rt/{label}: {best * 1e6:8.1f} us/step ({B / best / 1e6:.2f}M steps/s)")
+        log(f"rt/{label}@{B}: {best * 1e6:8.1f} us/step ({B / best / 1e6:.2f}M steps/s)")
 
 
 def fused():
@@ -92,6 +93,7 @@ def fused():
         ("balance", {}), ("dropout", {}), ("flocking", {}),
         ("dispersion", {}), ("navigation", {}), ("give_way", {}),
         ("passage", {}), ("joint_passage", {}),
+        ("football", {}), ("transport", dict(n_agents=4)),
     ]:
         row = []
         for label, fkw in [("xla", {}), ("fused", dict(fused_physics=True))]:

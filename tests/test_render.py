@@ -122,3 +122,29 @@ def test_rgb_render_includes_extras(scenario):
         for h, fn in originals.items():
             setattr(type(sc), h, fn)
     assert not np.array_equal(frame, bare), f"{scenario}: extras changed no pixels"
+
+
+def test_interactive_env_headless_loop():
+    """InteractiveEnv's play loop runs headless (Agg): steps, draws the
+    obs/reward readout (reference interactive_rendering.py:134-151), resets
+    on done, and key handlers mutate the control state."""
+    from vmas_tpu.render.interactive import InteractiveEnv
+
+    env = make_env("dispersion", num_envs=1, seed=0, n_agents=2, max_steps=2)
+    ie = InteractiveEnv(env, control_two_agents=True, display_info=True)
+    ie.run(max_steps=3)  # crosses the max_steps=2 done -> reset branch
+    assert ie.total_rew == [0.0, 0.0]  # zeroed by the done-triggered reset
+
+    class _Ev:
+        def __init__(self, key):
+            self.key = key
+
+    ie.on_key_press(_Ev("tab"))
+    # 2 agents, both controlled: TAB skips over agent2 and wraps back to 0
+    assert ie.agent_index == 0 and ie.agent2_index == 1
+    ie.on_key_press(_Ev("3"))
+    assert ie.comm_value == 3
+    ie.on_key_press(_Ev("up"))
+    assert "up" in ie.keys
+    ie.on_key_release(_Ev("up"))
+    assert "up" not in ie.keys

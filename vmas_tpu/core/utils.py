@@ -94,6 +94,16 @@ class JaxUtils:
         mask = mask.reshape(mask.shape + (1,) * (old_value.ndim - mask.ndim))
         return jnp.where(mask, new_value, old_value)
 
+    @staticmethod
+    def recursive_clone(value):
+        """Structural copy of a (nested) dict of arrays (reference
+        TorchUtils.recursive_clone, utils.py:215-219). JAX arrays are
+        immutable, so only the container structure needs rebuilding — the
+        leaves pass through unchanged."""
+        if isinstance(value, dict):
+            return {key: JaxUtils.recursive_clone(val) for key, val in value.items()}
+        return value
+
 
 def safe_div(num: jnp.ndarray, den: jnp.ndarray, eps: float = 0.0):
     """num / den with zero denominators replaced (caller must mask results)."""

@@ -37,7 +37,16 @@ class InteractiveEnv:
         self.reset()
 
     def reset(self):
+        self.total_rew = [0.0] * max(self.n_agents, 1)
         self.env.reset()
+
+    @staticmethod
+    def format_obs(obs):
+        """Observation rounded to 2 decimals for on-screen display
+        (reference interactive_rendering.py:318-325)."""
+        if isinstance(obs, dict):
+            return {key: InteractiveEnv.format_obs(value) for key, value in obs.items()}
+        return list(np.around(np.asarray(obs).tolist(), decimals=2))
 
     def _u_from_keys(self, up, down, left, right, rot_p, rot_m, agent):
         u = np.zeros(agent.action_size, np.float32)
@@ -119,14 +128,29 @@ class InteractiveEnv:
                 fig.canvas.mpl_connect("key_release_event", self.on_key_release)
                 connected_fig = fig
             if self.display_info:
+                from vmas_tpu.utils import extract_nested_with_index
+
                 r = float(np.asarray(rews[self.agent_index])[0])
+                self.total_rew[self.agent_index] += r
                 d = bool(np.asarray(dones)[0])
+                # obs/rew/total/done readout for the controlled agent
+                # (reference interactive_rendering.py:134-151)
+                obs_str = str(
+                    self.format_obs(extract_nested_with_index(obs[self.agent_index], 0))
+                )
+                if len(obs_str) > 160:
+                    obs_str = obs_str[:157] + "..."
                 fig.suptitle(
-                    f"agent {self.agent_index}  rew {r:+.3f}  done {d}  "
-                    f"comm {self.comm_value}",
-                    fontsize=9,
+                    f"agent {self.agent_index}  rew {r:+.3f}  "
+                    f"total {self.total_rew[self.agent_index]:+.2f}  done {d}  "
+                    f"comm {self.comm_value}\nObs: {obs_str}",
+                    fontsize=8,
                 )
             plt.pause(0.05)
+            if bool(np.asarray(dones)[0]):
+                # episode end restarts play and zeroes the running totals
+                # (reference interactive_rendering.py:104-106,162-163)
+                self.reset()
         if self.save_render and self.frames:
             from vmas_tpu.render.video import save_video
 

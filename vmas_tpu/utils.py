@@ -151,3 +151,45 @@ class ScenarioUtils:
                 warnings.warn(message + " This will turn into an error in future versions.")
             else:
                 raise ValueError(message)
+
+
+def extract_nested_with_index(data, index: int):
+    """Index an array or a (nested) dict of arrays at ``index`` along the
+    leading (env) axis (reference utils.py:155-163)."""
+    if isinstance(data, dict):
+        return {key: extract_nested_with_index(value, index) for key, value in data.items()}
+    return data[index]
+
+
+def x_to_rgb_colormap(
+    x,
+    low: float = None,
+    high: float = None,
+    alpha: float = 1.0,
+    cmap_name: str = "viridis",
+    cmap_res: int = 10,
+):
+    """Map scalar field values to RGBA rows through a ``cmap_res``-entry
+    colormap with linear interpolation between adjacent entries (reference
+    utils.py:127-152). Host-side numpy — a rendering helper, not a traced op.
+
+    Returns ``[N, 4]`` float rows in [0, 1]."""
+    import numpy as np
+    from matplotlib import colormaps
+
+    colormap = colormaps[cmap_name].resampled(cmap_res)(range(cmap_res))[:, :-1]
+    x = np.asarray(x, dtype=np.float64)
+    if low is None:
+        low = np.min(x)
+    if high is None:
+        high = np.max(x)
+    x = np.clip(x, low, high)
+    if high - low > 1e-5:
+        x = (x - low) / (high - low) * (cmap_res - 1)
+    x_c0_idx = np.floor(x).astype(int)
+    x_c1_idx = np.ceil(x).astype(int)
+    x_c0 = colormap[x_c0_idx, :]
+    x_c1 = colormap[x_c1_idx, :]
+    t = x - x_c0_idx
+    rgb = t[:, None] * x_c1 + (1 - t)[:, None] * x_c0
+    return np.concatenate([rgb, alpha * np.ones((rgb.shape[0], 1))], axis=-1)

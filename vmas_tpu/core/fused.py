@@ -227,6 +227,10 @@ def supports(world) -> bool:
         + _pair_cost(len(spec.bl_box), _PAIR_WEIGHT["bl"], substeps)
         + _pair_cost(len(spec.bb_a), _PAIR_WEIGHT["bb"], substeps)
         + len(spec.joint_idx_a) * 2 * substeps
+        # per-entity clamp/friction/gravity/integrate stream — a zero-pair
+        # world with hundreds of movable entities unrolls just as badly as
+        # a pair-heavy one
+        + len(spec.movable) * substeps
     )
     # very large unrolled programs explode Mosaic compile time; use XLA
     return cost <= _MAX_UNROLL
@@ -364,30 +368,37 @@ def _make_kernel(world, outputs=None):
             bb_nha = crow(np.asarray(spec.bb_nha, np.float32))
             bb_nhb = crow(np.asarray(spec.bb_nhb, np.float32))
 
-        # action clamps persist on state.force/torque (physics.py:229-247);
-        # idempotent, so hoisted out of the substep loop
-        for e in range(E):
-            if is_agent[e] and movable[e]:
-                mf = float(spec.max_f[e])
-                if math.isfinite(mf):
-                    n = jnp.sqrt(fx[e] * fx[e] + fy[e] * fy[e])
-                    over = n > mf
-                    s = jnp.where(over, mf / jnp.where(over, n, 1.0), 1.0)
-                    fx[e] = fx[e] * s
-                    fy[e] = fy[e] * s
-                fr = float(spec.f_range[e])
-                if math.isfinite(fr):
-                    fx[e] = jnp.clip(fx[e], -fr, fr)
-                    fy[e] = jnp.clip(fy[e], -fr, fr)
-            if is_agent[e] and rotatable[e]:
-                mt = float(spec.max_t[e])
-                if math.isfinite(mt):
-                    tq[e] = jnp.clip(tq[e], -mt, mt)
-                tr = float(spec.t_range[e])
-                if math.isfinite(tr):
-                    tq[e] = jnp.clip(tq[e], -tr, tr)
+        def clamp_actions():
+            """Action clamps persisting on state.force/torque
+            (physics.py:229-248). The XLA path runs this at the start of
+            EVERY substep on the persistent rows, and clamp_with_norm is not
+            exactly idempotent in f32 (a rescaled norm can round just above
+            max_f), so the fused path must re-clamp per substep too; the
+            divide-then-multiply order matches clamp_with_norm's
+            ``tensor / norm * max_norm`` rounding."""
+            for e in range(E):
+                if is_agent[e] and movable[e]:
+                    mf = float(spec.max_f[e])
+                    if math.isfinite(mf):
+                        n = jnp.sqrt(fx[e] * fx[e] + fy[e] * fy[e])
+                        over = n > mf
+                        den = jnp.where(over, n, 1.0)
+                        fx[e] = jnp.where(over, fx[e] / den * mf, fx[e])
+                        fy[e] = jnp.where(over, fy[e] / den * mf, fy[e])
+                    fr = float(spec.f_range[e])
+                    if math.isfinite(fr):
+                        fx[e] = jnp.clip(fx[e], -fr, fr)
+                        fy[e] = jnp.clip(fy[e], -fr, fr)
+                if is_agent[e] and rotatable[e]:
+                    mt = float(spec.max_t[e])
+                    if math.isfinite(mt):
+                        tq[e] = jnp.clip(tq[e], -mt, mt)
+                    tr = float(spec.t_range[e])
+                    if math.isfinite(tr):
+                        tq[e] = jnp.clip(tq[e], -tr, tr)
 
         for substep in range(substeps):
+            clamp_actions()
             Fx = [None] * E
             Fy = [None] * E
             Tq = [None] * E
@@ -790,15 +801,17 @@ def _make_kernel(world, outputs=None):
 
 def _blk_for(bp: int, n_rows: int) -> int:
     """Largest 128-multiple block that divides the padded batch while the
-    kernel's in+out VMEM blocks stay within budget (~8 MB of the v5e's
-    ~16 MB VMEM, leaving room for live intermediates). ``n_rows`` should
-    include an allowance for the lane-batched pair tiles' live
-    intermediates."""
-    budget = 8 * 2**20
+    kernel's resident f32 rows (``n_rows`` = input rows + output rows +
+    lane-batched intermediate allowance, all passed in by the caller) stay
+    within budget. The 4 MB budget is deliberately conservative — a quarter
+    of the v5e's ~16 MB VMEM — leaving headroom for Mosaic's own temporaries;
+    all round-2 kernel timings were taken at this setting, so raising it is
+    an unmeasured perf lever, not a free win."""
+    budget = 4 * 2**20
     best = 128
     blk = 128
     while blk <= bp:
-        if bp % blk == 0 and 2 * n_rows * blk * 4 <= budget:
+        if bp % blk == 0 and n_rows * blk * 4 <= budget:
             best = blk
         blk += 128
     return best
@@ -861,9 +874,13 @@ def fused_physics_step(world, state, outputs=None):
     blk = _blk_for(bp, R + 9 * E + K_out + _batched_rows_estimate(spec))
 
     kernel = _make_kernel(world, outputs)
-    # when the input has no extra (joint / dyn-gravity / scratch) rows it can
-    # donate its buffer to the output, halving the kernel's HBM footprint
-    alias = {0: 0} if R == 9 * E + K_out else {}
+    # donate the input buffer to the output only when the two have identical
+    # shape AND identical row meaning (pure 9E state rows, no joint /
+    # dyn-gravity / scratch inputs, no fused outputs) — shape equality alone
+    # (e.g. J + K_in == K_out by coincidence) would rely on every x_ref read
+    # preceding every o_ref write inside the kernel body, which nothing
+    # enforces structurally
+    alias = {0: 0} if (J == 0 and not dyn and K_in == 0 and K_out == 0) else {}
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((9 * E + K_out, bp), jnp.float32),

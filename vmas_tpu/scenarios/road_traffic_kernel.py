@@ -78,9 +78,13 @@ def build_tables(paths):
 def _make_kernel(NP, Mc, Mb, lh, wh, S, interval, shift):
     """Generate the kernel for static map/agent geometry. ``lh``/``wh`` are
     the rectangle half length/width, S/interval/shift the short-term-path
-    parameters (reference road_traffic.py:3458-3525, shift=-2 per step)."""
+    parameters (reference road_traffic.py:3458-3525). The only caller stages
+    the CENTERLINE short-term path, which uses shift=1; the nearing-boundary
+    refresh (shift=-2) still runs on the XLA path — anyone fusing it must
+    pass its own shift, not reuse this one."""
 
     def kernel(t_ref, x_ref, o_ref):
+        from vmas_tpu.core.fused import _norm as safe_norm2
         Bk = x_ref.shape[1]
         pid = x_ref[0:1, :]
         px = x_ref[1:2, :]
@@ -135,8 +139,7 @@ def _make_kernel(NP, Mc, Mb, lh, wh, S, interval, shift):
                 t = jnp.clip((pvx * vx + pvy * vy) / ll, 0, 1)
                 dx = (sx + vx * t) - qx
                 dy = (sy + vy * t) - qy
-                sq = dx * dx + dy * dy
-                d = jnp.where(sq == 0.0, 0.0, jnp.sqrt(jnp.where(sq == 0.0, 1.0, sq)))
+                d = safe_norm2(dx, dy)
                 end_d = jnp.sum(jnp.where(end_mask, d, 0.0), axis=0, keepdims=True)
                 d = jnp.where(tail, end_d, d)
                 dmin = jnp.min(d, axis=0, keepdims=True)

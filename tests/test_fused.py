@@ -283,3 +283,22 @@ def test_fused_discovery_obs_after_respawn():
         )
         np.testing.assert_allclose(
             np.asarray(rews_f[i]), np.asarray(rews_x[i]), atol=2e-3)
+
+
+def test_supports_rejects_many_entity_unroll():
+    """The compile-time guard must count the per-entity instruction stream,
+    not just pairs: a zero-pair world with hundreds of movable entities
+    unrolls into a Mosaic program just as pathological as a pair-heavy one
+    and must fall back to XLA."""
+    from vmas_tpu.core import world as W
+    from vmas_tpu.core import fused as _fused
+
+    builder = W.World(batch_dim=2, dim_c=0, substeps=10)
+    for i in range(500):
+        builder.add_agent(
+            W.Agent(f"a{i}", shape=W.Sphere(0.05), collide=False)
+        )
+    builder.finalize()
+    assert not _fused.supports(builder), (
+        "500 movable entities x 10 substeps passed the unroll guard"
+    )

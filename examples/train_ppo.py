@@ -70,17 +70,26 @@ def make_ppo_update(env, horizon=32, lr=3e-4, gamma=0.99, lam=0.95,
     import optax
 
     agents = env.agents
-    scenario = env.scenario
-    A = len(agents)
-    act_dim = agents[0].action_size
+    assert env.continuous_actions, "this example samples a Gaussian policy"
+    assert len({a.action_size for a in agents}) == 1, (
+        "the shared actor-critic folds agents into the batch — it needs "
+        "homogeneous action sizes (write a per-agent-params variant otherwise)"
+    )
+    assert env.world.dim_c == 0 or all(a.silent for a in agents), (
+        "this example does not model communication actions; pick a comm-free "
+        "scenario or extend the policy head by dim_c columns"
+    )
     opt = optax.adam(lr)
+
+    def _obs_mat(state, k):
+        # the env's own obs pipeline (plural batch hook aware); requires
+        # homogeneous obs widths to stack into [B, A, O]
+        return jnp.stack(env._obs_fn_raw(state, k), axis=1)
 
     def collect(params, state, steps, key):
         def one_step(carry, k):
             state, steps = carry
-            obs = jnp.stack(
-                [scenario.observation(a, state) for a in agents], axis=1
-            )  # [B, A, O]
+            obs = _obs_mat(state, jax.random.fold_in(k, 2))  # [B, A, O]
             mean, std = policy_dist(params, obs)
             raw = mean + std * jax.random.normal(jax.random.fold_in(k, 0), mean.shape)
             raw = jnp.clip(raw, -1.0, 1.0)
@@ -96,13 +105,20 @@ def make_ppo_update(env, horizon=32, lr=3e-4, gamma=0.99, lam=0.95,
             done = terminated | truncated
             out = dict(obs=obs, act=raw, logp=logp, value=value,
                        rew=jnp.stack(rews, axis=-1), done=done)
+            # autoreset: terminated envs restart inside the rollout, so the
+            # policy never trains on absorbing post-episode states (GAE's
+            # nonterm mask already cuts the bootstrap at the boundary)
+            state, steps, _, _, _, _ = env._reset_masked(
+                state, steps, jax.random.fold_in(k, 3), done
+            )
             return (state, steps), out
 
         (state, steps), traj = jax.lax.scan(
             one_step, (state, steps), jax.random.split(key, horizon)
         )
-        last_obs = jnp.stack([scenario.observation(a, state) for a in agents], axis=1)
-        last_value = _mlp(params["v"], last_obs)[..., 0]
+        last_value = _mlp(
+            params["v"], _obs_mat(state, jax.random.fold_in(key, 4))
+        )[..., 0]
         return state, steps, traj, last_value
 
     def gae(traj, last_value):
@@ -134,8 +150,7 @@ def make_ppo_update(env, horizon=32, lr=3e-4, gamma=0.99, lam=0.95,
         return pg + vf_coeff * vf - ent_coeff * entropy, (pg, vf)
 
     def update(params, opt_state, state, steps, key):
-        k_roll, k_up = jax.random.split(key)
-        state, steps, traj, last_value = collect(params, state, steps, k_roll)
+        state, steps, traj, last_value = collect(params, state, steps, key)
         advs, rets = gae(traj, last_value)
         # fold T and A into the batch; keep B leading so the env-axis
         # sharding carries into the update (grads all-reduce over the mesh)
@@ -144,7 +159,9 @@ def make_ppo_update(env, horizon=32, lr=3e-4, gamma=0.99, lam=0.95,
             "adv": advs, "ret": rets,
         }
 
-        def one_epoch(carry, k):
+        def one_epoch(carry, _):
+            # full-batch epochs — deliberately no minibatch shuffling (the
+            # whole batch fits on-chip), so no per-epoch randomness is needed
             params, opt_state = carry
             (loss, (pg, vf)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, flat
@@ -154,7 +171,7 @@ def make_ppo_update(env, horizon=32, lr=3e-4, gamma=0.99, lam=0.95,
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            one_epoch, (params, opt_state), jax.random.split(k_up, epochs)
+            one_epoch, (params, opt_state), None, length=epochs
         )
         metrics = {
             "loss": losses[-1],
@@ -174,20 +191,26 @@ def main(scenario="transport", num_envs=512, iters=50, horizon=32, lr=3e-4,
     import optax  # noqa: F401  (fail fast if unavailable)
 
     from vmas_tpu import make_env
-    from vmas_tpu.parallel.mesh import env_mesh, shard_state
+    from vmas_tpu.parallel import distribute
 
     env = make_env(scenario, num_envs=num_envs, seed=seed)
-    mesh = env_mesh()
+    distribute(env)  # env-axis mesh over all devices (asserts divisibility)
+    mesh = env.mesh
     print(f"mesh: {mesh.devices.size} devices, {num_envs} envs "
           f"({num_envs // mesh.devices.size}/device)")
 
-    obs = env.scenario.observation(env.agents[0], env.state)
+    obs_dims = {
+        o.shape[-1] for o in env._obs_fn_raw(env.state, jax.random.PRNGKey(0))
+    }
+    assert len(obs_dims) == 1, (
+        f"shared actor-critic needs homogeneous obs widths, got {obs_dims}"
+    )
     params = init_actor_critic(
-        jax.random.PRNGKey(seed), obs.shape[-1], env.agents[0].action_size
+        jax.random.PRNGKey(seed), obs_dims.pop(), env.agents[0].action_size
     )
     update, opt = make_ppo_update(env, horizon=horizon, lr=lr)
     opt_state = opt.init(params)
-    state = shard_state(env.state, mesh)
+    state = env.state
     steps = env.steps
 
     step_fn = jax.jit(update)

@@ -67,6 +67,10 @@ def test_two_process_rollout_and_learner(tmp_path):
         if not k.startswith(("JAX_", "XLA_"))
     }
     clean_env["PYTHONPATH"] = repo
+    # worker stdout goes to FILES, not PIPEs: the two workers are coupled by
+    # gloo collectives, and a worker blocked writing into a full 64 KiB pipe
+    # that nothing drains would stall its peer's all-reduce until the timeout
+    logs = [open(tmp_path / f"proc{i}.log", "w+b") for i in range(2)]
     procs = [
         subprocess.Popen(
             [
@@ -79,15 +83,26 @@ def test_two_process_rollout_and_learner(tmp_path):
                 "--horizon", str(HORIZON),
             ],
             env=clean_env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            stdout=logs[i], stderr=subprocess.STDOUT,
             cwd=repo,
         )
         for i in range(2)
     ]
+    try:
+        for p in procs:
+            p.wait(timeout=850)
+    finally:
+        # never leak gloo workers (and the coordinator port) into the rest
+        # of the pytest session on timeout/assert failure
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=850)
-        outs.append(out.decode(errors="replace"))
+    for f in logs:
+        f.seek(0)
+        outs.append(f.read().decode(errors="replace"))
+        f.close()
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"worker {i} failed:\n{outs[i][-4000:]}"
 

@@ -119,6 +119,17 @@ class Environment:
         world = self.world
         fo = self._fused_outputs
 
+        def obs_only(state: WorldState, obs_key):
+            """Observations for the current state — the ONE place that
+            encodes the plural-batch-hook-then-per-agent-fallback order
+            (scenario.observations replaces the per-agent calls when it
+            returns non-None, e.g. road_traffic's all-ego kernel)."""
+            state = state.replace(scenario={**state.scenario, "__obs_key": obs_key})
+            obs = scenario.observations(state)
+            if obs is None:
+                obs = tuple(scenario.observation(a, state) for a in self.agents)
+            return obs
+
         def outputs(state: WorldState, steps, obs_key, with_rewards: bool = True,
                     fused_extra=None):
             # Observation-noise key, available to scenarios as
@@ -158,9 +169,7 @@ class Environment:
                 state = scenario.pre_rewards(state)
                 rews = tuple(scenario.reward(a, state) for a in self.agents)
                 state = scenario.post_rewards(state)
-            obs = scenario.observations(state)
-            if obs is None:
-                obs = tuple(scenario.observation(a, state) for a in self.agents)
+            obs = obs_only(state, obs_key)
             infos = tuple(scenario.info(a, state) for a in self.agents)
             terminated = scenario.done(state)
             if self.max_steps is not None:
@@ -227,6 +236,7 @@ class Environment:
         self._reset_full = jax.jit(lambda s, st, k: reset_fn(s, st, k, None))
         self._reset_masked = jax.jit(reset_fn)
         self._step_fn_raw = step_fn  # unjitted, for debug/checkify wrappers
+        self._obs_fn_raw = obs_only  # unjitted, for rollout/eager observers
         self._step_jit = jax.jit(step_fn, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
@@ -383,8 +393,9 @@ class Environment:
             dict_agent_names = self.dict_spaces
         # fresh obs-noise key per call (the reference draws fresh torch noise
         # per observation under local_seed)
+        obs_key = self._next_key()
         state = self.state.replace(
-            scenario={**self.state.scenario, "__obs_key": self._next_key()}
+            scenario={**self.state.scenario, "__obs_key": obs_key}
         )
         if get_rewards:
             # reward hooks only when rewards are requested — matches the
@@ -394,7 +405,8 @@ class Environment:
         if get_rewards:
             state = self.scenario.post_rewards(state)
             self.state = state
-        obs = tuple(self.scenario.observation(a, state) for a in self.agents) if get_observations else None
+        # same plural-hook-then-fallback order as the compiled outputs path
+        obs = self._obs_fn_raw(state, obs_key) if get_observations else None
         infos = tuple(self.scenario.info(a, state) for a in self.agents) if get_infos else None
 
         result = []

@@ -54,7 +54,6 @@ def make_train_step(env, horizon: int = 5, lr: float = 1e-3):
         "make_train_step differentiates through the env's action decode; "
         "build the env with grad_enabled=True"
     )
-    scenario = env.scenario
     agents = env.agents
 
     def policy_actions(params, obs):
@@ -63,14 +62,18 @@ def make_train_step(env, horizon: int = 5, lr: float = 1e-3):
             w = mlp(params, obs[i])  # [-1, 1]
             u = w[:, : a.action_size] * jnp.asarray(a.u_range_array)[None]
             if env.world.dim_c != 0 and not a.silent:
-                comm = (w[:, a.action_size :] + 1) / 2  # [0, 1]
+                # exactly dim_c comm columns — the shared MLP may be sized to
+                # the WIDEST agent, so an open slice would grab padding too
+                comm = (w[:, a.action_size : a.action_size + env.world.dim_c] + 1) / 2
                 u = jnp.concatenate([u, comm], axis=-1)
             actions.append(u)
         return tuple(actions)
 
     def loss_fn(params, state, steps, key):
         total = 0.0
-        obs = tuple(scenario.observation(a, state) for a in agents)
+        # the env's own obs pipeline (plural batch hook aware), not a
+        # per-agent re-derivation
+        obs = env._obs_fn_raw(state, jax.random.fold_in(key, horizon))
         for t in range(horizon):
             actions = policy_actions(params, obs)
             state, obs, rews, terminated, truncated, infos, steps = env._step_fn_raw(

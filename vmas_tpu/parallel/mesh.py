@@ -21,8 +21,10 @@ def env_mesh(devices: Optional[Sequence] = None, n_devices: Optional[int] = None
     """1D mesh over the env axis."""
     if devices is None:
         devices = jax.devices()
-        if n_devices is not None:
-            devices = devices[:n_devices]
+    if n_devices is not None:
+        # applies to explicit device lists too — silently ignoring it there
+        # would hand back a bigger mesh than the caller asked for
+        devices = list(devices)[:n_devices]
     return Mesh(np.asarray(devices), ("env",))
 
 

@@ -67,52 +67,70 @@ def rollout_fn(env, policy: Optional[Callable] = None, horizon: int = 100):
     ``obs`` (tuple of [T, B, obs_dim] per agent). The returned function is
     jit-compatible and shards over the env axis like everything else.
     """
-    agents = env.agents
-    scenario = env.scenario
     random_pol = policy is None
 
     def one_step(carry, xs):
-        state, steps = carry
+        # policy rollouts carry the step's own emitted observations — the
+        # policy at t acts on the obs the env emitted at t-1, and the obs
+        # pipeline (plural batch hook / fused-output rows) runs exactly once
+        # per step instead of being re-derived from the carry state
+        state, steps = carry[:2]
         pol_input, step_key = xs
         if random_pol:
             actions = pol_input
         else:
-            obs_in = tuple(scenario.observation(a, state) for a in agents)
-            actions = policy(obs_in, pol_input)
+            actions = policy(carry[2], pol_input)
         state, obs, rews, terminated, truncated, infos, steps = env._step_fn_raw(
             state, steps, tuple(actions), step_key
         )
         done = terminated | truncated
-        return (state, steps), (jnp.stack(rews, axis=-1), done, obs)
+        new_carry = (state, steps) if random_pol else (state, steps, obs)
+        return new_carry, (jnp.stack(rews, axis=-1), done, obs)
 
     def run(state, steps, key):
-        k_pol, k_step = jax.random.split(key)
+        k_pol, k_step, k_obs0 = jax.random.split(key, 3)
         if random_pol:
             pol_xs = _random_actions_for_horizon(env, k_pol, horizon)
+            carry0 = (state, steps)
         else:
             pol_xs = jax.random.split(k_pol, horizon)
+            # initial observations through the env's own obs pipeline
+            # (fresh obs-noise key, like every eager observation call)
+            carry0 = (state, steps, env._obs_fn_raw(state, k_obs0))
         step_keys = jax.random.split(k_step, horizon)
-        (state, steps), (rews, dones, obs) = jax.lax.scan(
-            one_step, (state, steps), (pol_xs, step_keys), length=horizon
+        carry, (rews, dones, obs) = jax.lax.scan(
+            one_step, carry0, (pol_xs, step_keys), length=horizon
         )
+        state, steps = carry[:2]
         return state, steps, {"rewards": rews, "dones": dones, "obs": obs}
 
     return run
 
 
+_ROLLOUT_CACHE_MAX = 16
+
+
 def rollout(env, policy=None, horizon: int = 100, key=None):
     """Convenience: run a compiled rollout on the env's current state.
 
-    The jitted program is cached on the env per (policy, horizon) so repeated
-    calls don't re-trace."""
+    The jitted program is cached on the env per (policy identity, horizon),
+    so pass the SAME policy callable across calls — a fresh lambda per call
+    re-traces and recompiles every time. The cache is bounded (oldest entry
+    evicted past 16) so leaked closures can't pin compiled executables for
+    the env's lifetime; for full control build ``rollout_fn`` + ``jax.jit``
+    yourself."""
     if key is None:
         key = env._next_key()
     cache = getattr(env, "_rollout_cache", None)
     if cache is None:
         cache = env._rollout_cache = {}
+    # the cached closure keeps `policy` alive, so its id cannot be recycled
+    # while the entry exists
     cache_key = (id(policy), horizon)
     fn = cache.get(cache_key)
     if fn is None:
+        if len(cache) >= _ROLLOUT_CACHE_MAX:
+            cache.pop(next(iter(cache)))
         fn = cache[cache_key] = jax.jit(rollout_fn(env, policy, horizon))
     env.state, env.steps, traj = fn(env.state, env.steps, key)
     return traj

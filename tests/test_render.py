@@ -148,3 +148,15 @@ def test_interactive_env_headless_loop():
     assert "up" in ie.keys
     ie.on_key_release(_Ev("up"))
     assert "up" not in ie.keys
+
+
+def test_interactive_rendering_module_alias():
+    """Reference import path `vmas.interactive_rendering` has a matching
+    module here (class + entry point + CLI parser)."""
+    from vmas_tpu.interactive_rendering import (
+        InteractiveEnv, parse_args, render_interactively,
+    )
+
+    assert callable(render_interactively) and callable(InteractiveEnv.format_obs)
+    args = parse_args(["--scenario", "balance", "--save_render"])
+    assert args.scenario == "balance" and args.save_render

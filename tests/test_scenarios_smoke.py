@@ -4,6 +4,7 @@ Every implemented scenario x {continuous, discrete} stepped with random
 actions; partial reset on each; obs/rew finite and correctly shaped.
 """
 
+import os
 import importlib
 
 import numpy as np
@@ -65,3 +66,43 @@ def test_registry_has_all_reference_scenarios():
     """Registry completeness (reference test_all_scenarios_included)."""
     names = set(_names())
     assert len(names) == 23 + 11 + 9
+
+
+def test_scenario_kwargs_cover_reference():
+    """Every scenario consumes at least the kwarg names its reference
+    counterpart consumes (commented-out reference pops excluded) — a silent
+    config gap would be invisible to the golden parity tests, which only
+    replay recorded configs. Extra TPU-side kwargs (pallas_sweeps, ...) are
+    fine."""
+    import re
+
+    refdir = "/root/reference/vmas/scenarios"
+    if not os.path.isdir(refdir):
+        pytest.skip("reference tree not mounted")
+
+    def pops(path):
+        names = set()
+        for line in open(path):
+            if line.lstrip().startswith("#"):
+                continue
+            names |= set(re.findall(r"kwargs\.pop\(\s*['\"]([a-z0-9_]+)['\"]", line))
+        return names
+
+    ours_dirs = [
+        os.path.join(os.path.dirname(__file__), "..", "vmas_tpu", "scenarios", d)
+        for d in ("", "mpe", "debug")
+    ]
+    gaps = {}
+    for root, _, files in os.walk(refdir):
+        for f in sorted(files):
+            if not f.endswith(".py") or f == "__init__.py":
+                continue
+            ours = next(
+                (os.path.join(d, f) for d in ours_dirs
+                 if os.path.exists(os.path.join(d, f))), None
+            )
+            assert ours is not None, f"reference scenario {f} has no file here"
+            missing = pops(os.path.join(root, f)) - pops(ours)
+            if missing:
+                gaps[f] = sorted(missing)
+    assert not gaps, f"reference kwargs not consumed: {gaps}"

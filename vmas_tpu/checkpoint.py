@@ -69,8 +69,28 @@ def load_state(template: Any, path: str) -> Any:
                 f"checkpoint leaf {i} has shape {loaded.shape}, template expects "
                 f"{tmpl.shape} (scenario config must match the one checkpointed)"
             )
-        new_leaves.append(jnp.asarray(loaded, tmpl.dtype))
+        new_leaves.append(_placed(l, jnp.asarray(loaded, tmpl.dtype)))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def _placed(template_leaf: Any, value):
+    """Restore a leaf ONTO the template leaf's sharding when that sharding
+    spans multiple devices — restoring into a mesh-distributed env must not
+    silently de-shard it (the next jitted step would otherwise run
+    single-device). Single-device leaves are NOT device_put: that would
+    commit them (and everything derived from them, e.g. actions drawn from
+    the restored PRNG key) to one device, which conflicts with sharded
+    arguments in later jitted calls."""
+    sharding = getattr(template_leaf, "sharding", None)
+    if sharding is not None and len(sharding.device_set) > 1:
+        return jax.device_put(value, sharding)
+    if isinstance(value, jax.Array):
+        # a restore backend may hand back arrays COMMITTED to one device
+        # (orbax does); round-trip through host to uncommit, or arrays
+        # derived from them (e.g. actions drawn from the restored PRNG key)
+        # will conflict with sharded arguments in later jitted calls
+        return jnp.asarray(np.asarray(value), value.dtype)
+    return value
 
 
 def save_env(env, path: str, backend: str = "npz") -> None:
@@ -123,5 +143,6 @@ def load_state_orbax(template: Any, path: str) -> Any:
     ckpt = ocp.PyTreeCheckpointer()
     restored = ckpt.restore(os.path.abspath(path), item=_orbax_safe(template))
     return jax.tree.map(
-        lambda t, r: t if jnp.asarray(t).size == 0 else r, template, restored
+        lambda t, r: t if jnp.asarray(t).size == 0 else _placed(t, r),
+        template, restored,
     )

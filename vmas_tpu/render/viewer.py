@@ -155,9 +155,9 @@ def render_env(
     visualize_when_rgb: bool = False,
     plot_position_function=None,
     plot_position_function_precision: float = 0.01,
-    plot_position_function_range: float = 1.0,
+    plot_position_function_range=None,
     plot_position_function_cmap_range=None,
-    plot_position_function_cmap_alpha: float = 0.5,
+    plot_position_function_cmap_alpha: float = 1.0,
     plot_position_function_cmap_name: str = "viridis",
     **kwargs,
 ):
@@ -182,9 +182,38 @@ def render_env(
         env._render_fig = fig
     fig.clf()
     ax = fig.add_subplot(111)
+
+    # camera (reference environment.py:855-903) — computed FIRST so a
+    # range=None heat-map overlay can span the visible bounds like the
+    # reference's plot_function (environment.py:999-1013)
+    pos = np.asarray(state.pos[env_index])
+    if agent_index_focus is not None:
+        c = pos[env.agents[agent_index_focus].index]
+        xlim = (c[0] - zoom, c[0] + zoom)
+        ylim = (c[1] - zoom, c[1] + zoom)
+    else:
+        agent_pos = pos[[a.index for a in env.world.agents]] if env.world.agents else pos
+        cx, cy = getattr(scenario, "render_origin", (0.0, 0.0))
+        # reference camera: fit all agents plus a 2*max_agent_radius margin,
+        # never tighter than zoom * cam_range (environment.py:855-903)
+        max_radius = max(
+            (a.shape.radius for a in env.world.agents
+             if isinstance(a.shape, Sphere)), default=0.05,
+        )
+        fit = max(
+            float(np.abs(agent_pos[:, 0] - cx).max(initial=0.0)),
+            float(np.abs(agent_pos[:, 1] - cy).max(initial=0.0)),
+        )
+        extent = max(fit + 2 * max_radius, zoom * 1.0)
+        xlim = (cx - extent, cx + extent)
+        ylim = (cy - extent, cy + extent)
+
     if plot_position_function is not None:
+        rng = plot_position_function_range
+        if rng is None:
+            rng = (xlim, ylim)  # reference: None -> current viewer bounds
         render_function_util(
-            plot_position_function, plot_position_function_range, ax,
+            plot_position_function, rng, ax,
             cmap_range=plot_position_function_cmap_range,
             cmap_alpha=plot_position_function_cmap_alpha,
             precision=plot_position_function_precision,
@@ -200,28 +229,9 @@ def render_env(
     # scenario.py:24-451 hook list)
     _call_render_hook(scenario.top_layer_render, env, ax, env_index)
 
-    # camera (reference environment.py:855-903)
-    pos = np.asarray(state.pos[env_index])
-    if agent_index_focus is not None:
-        c = pos[env.agents[agent_index_focus].index]
-        ax.set_xlim(c[0] - zoom, c[0] + zoom)
-        ax.set_ylim(c[1] - zoom, c[1] + zoom)
-    else:
-        agent_pos = pos[[a.index for a in env.world.agents]] if env.world.agents else pos
-        cx, cy = getattr(scenario, "render_origin", (0.0, 0.0))
-        # reference camera: fit all agents plus a 2*max_agent_radius margin,
-        # never tighter than zoom * cam_range (environment.py:855-903)
-        max_radius = max(
-            (a.shape.radius for a in env.world.agents
-             if isinstance(a.shape, Sphere)), default=0.05,
-        )
-        fit = max(
-            float(np.abs(agent_pos[:, 0] - cx).max(initial=0.0)),
-            float(np.abs(agent_pos[:, 1] - cy).max(initial=0.0)),
-        )
-        extent = max(fit + 2 * max_radius, zoom * 1.0)
-        ax.set_xlim(cx - extent, cx + extent)
-        ax.set_ylim(cy - extent, cy + extent)
+    # applied after all drawing — imshow/artists autoscale must not win
+    ax.set_xlim(*xlim)
+    ax.set_ylim(*ylim)
 
     # semidim boundaries (reference environment.py:941-997)
     if getattr(scenario, "visualize_semidims", True):

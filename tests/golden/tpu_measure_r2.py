@@ -7,7 +7,7 @@ XLA-sweeps vs pallas-sweeps vs pallas-sweeps+pallas-obs at 512 envs,
 covered scenarios, (4) bench.py's transport config sanity number.
 
 Usage: python tests/golden/tpu_measure_r2.py [section ...]
-Sections: probe rt fused bench   (default: all)
+Sections: probe rt fused vmem lanemin bench   (default: probe rt fused bench)
 
 NEVER kill this mid-compile (wedges the axon tunnel claim; see
 docs/PERFORMANCE.md); the guards below time out by skipping sections,
@@ -111,6 +111,58 @@ def fused():
         log(f"fused/{name}: " + "  ".join(row))
 
 
+def _transport_sweep(env_var, values):
+    """Run the bench-config transport rollout in a subprocess per value of
+    ``env_var`` (fresh process = fresh jit cache + fresh kernel build)."""
+    import subprocess
+
+    snippet = (
+        "import time, jax;"
+        "from vmas_tpu import make_env;"
+        "from vmas_tpu.parallel.rollout import rollout_fn;"
+        "env = make_env('transport', num_envs=4096, n_agents=4, seed=0,"
+        " fused_physics=True);"
+        "run = jax.jit(rollout_fn(env, horizon=100));"
+        "key = jax.random.PRNGKey(0);"
+        "s, st, tr = run(env.state, env.steps, key);"
+        "jax.block_until_ready(tr['rewards']);"
+        "t0 = time.time()\n"
+        "while time.time() - t0 < 8:"
+        " s, st, tr = run(s, st, key);"
+        " jax.block_until_ready(tr['rewards'])\n"
+        "best = 1e9\n"
+        "for r in range(3):"
+        " t0 = time.perf_counter();"
+        " s, st, tr = run(s, st, key);"
+        " s, st, tr = run(s, st, key);"
+        " jax.block_until_ready(tr['rewards']);"
+        " best = min(best, (time.perf_counter() - t0) / 200)\n"
+        "print(f'{best*1e6:.1f} us/step')"
+    )
+    for v in values:
+        env = dict(os.environ, **{env_var: v})
+        out = subprocess.run(
+            [sys.executable, "-c", snippet], capture_output=True, text=True,
+            timeout=1200, env=env,
+            cwd=os.path.join(os.path.dirname(__file__), "..", ".."),
+        )
+        log(f"{env_var}={v}: {out.stdout.strip() or out.stderr[-200:]}")
+
+
+def vmem():
+    """Sweep the fused kernel's VMEM block budget (fused._blk_for) on the
+    bench config — docs/PERFORMANCE.md lists raising it as an unmeasured
+    lever."""
+    _transport_sweep("VMAS_TPU_FUSED_VMEM_MB", ["2", "4", "8"])
+
+
+def lanemin():
+    """Sweep the pair-tile threshold: transport's pair counts (ss=6, bs=4)
+    sit just under the default of 8, so lowering it lane-batches the bench
+    config's own pair loop (bitwise-identical results by construction)."""
+    _transport_sweep("VMAS_TPU_FUSED_LANE_MIN", ["2", "4", "8"])
+
+
 def bench():
     import subprocess
 
@@ -125,4 +177,5 @@ def bench():
 if __name__ == "__main__":
     for s in SECTIONS:
         log(f"=== {s} ===")
-        {"probe": probe, "rt": rt, "fused": fused, "bench": bench}[s]()
+        {"probe": probe, "rt": rt, "fused": fused, "vmem": vmem,
+         "lanemin": lanemin, "bench": bench}[s]()

@@ -36,6 +36,7 @@ gravity are fully supported.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -203,8 +204,11 @@ _MAX_UNROLL = 4000
 # pair types with at least this many pairs switch from per-pair unrolling to
 # ONE vectorized computation over a [P, BLK] tile (pairs on sublanes, envs on
 # lanes) — the many-entity/few-pair-type regime (football-class worlds) where
-# per-pair (1, BLK) rows waste 7/8 of every VREG
-_LANE_MIN = 8
+# per-pair (1, BLK) rows waste 7/8 of every VREG. Overridable for on-hardware
+# threshold sweeps (tests/golden/tpu_measure_r2.py lanemin); results are
+# bitwise identical either way (the tile scatter preserves accumulation
+# order), so the knob is purely a performance experiment.
+_LANE_MIN = int(os.environ.get("VMAS_TPU_FUSED_LANE_MIN", "8"))
 
 
 def _pair_cost(n, weight, substeps):
@@ -803,11 +807,11 @@ def _blk_for(bp: int, n_rows: int) -> int:
     """Largest 128-multiple block that divides the padded batch while the
     kernel's resident f32 rows (``n_rows`` = input rows + output rows +
     lane-batched intermediate allowance, all passed in by the caller) stay
-    within budget. The 4 MB budget is deliberately conservative — a quarter
-    of the v5e's ~16 MB VMEM — leaving headroom for Mosaic's own temporaries;
-    all round-2 kernel timings were taken at this setting, so raising it is
-    an unmeasured perf lever, not a free win."""
-    budget = 4 * 2**20
+    within budget. The 4 MB default budget is deliberately conservative — a
+    quarter of the v5e's ~16 MB VMEM — leaving headroom for Mosaic's own
+    temporaries. ``VMAS_TPU_FUSED_VMEM_MB`` overrides it for on-hardware
+    sweeps (all round-2 timings were taken at the default)."""
+    budget = int(float(os.environ.get("VMAS_TPU_FUSED_VMEM_MB", "4")) * 2**20)
     best = 128
     blk = 128
     while blk <= bp:

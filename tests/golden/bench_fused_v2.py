@@ -44,7 +44,7 @@ def compare(name, B=7, steps=4, **kw):
     counts = {t: len(getattr(spec, a)) for t, a in [
         ("ss", "ss_a"), ("ls", "ls_line"), ("ll", "ll_a"),
         ("bs", "bs_box"), ("bl", "bl_box"), ("bb", "bb_a")]}
-    batched = [t for t, n in counts.items() if n >= fused._LANE_MIN]
+    batched = [t for t, n in counts.items() if n >= fused._lane_min()]
     sr = jax.jit(er.world.step)
     sf = jax.jit(ef.world.step)
     ref = fus = _randomized(er, jax.random.PRNGKey(42))

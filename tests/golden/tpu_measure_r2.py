@@ -141,12 +141,21 @@ def _transport_sweep(env_var, values):
     )
     for v in values:
         env = dict(os.environ, **{env_var: v})
-        out = subprocess.run(
-            [sys.executable, "-c", snippet], capture_output=True, text=True,
-            timeout=1200, env=env,
-            cwd=os.path.join(os.path.dirname(__file__), "..", ".."),
-        )
-        log(f"{env_var}={v}: {out.stdout.strip() or out.stderr[-200:]}")
+        # No hard kill on a TPU child: SIGKILLing it mid-compile/claim wedges
+        # the axon tunnel (docs/PERFORMANCE.md). The snippet self-limits via
+        # its own wall clocks; the outer timeout is a last-resort backstop,
+        # generous enough that only a truly hung claim hits it — and when it
+        # does, skip to the next value instead of aborting the sweep.
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", snippet], capture_output=True, text=True,
+                timeout=3600, env=env,
+                cwd=os.path.join(os.path.dirname(__file__), "..", ".."),
+            )
+            log(f"{env_var}={v}: {out.stdout.strip() or out.stderr[-200:]}")
+        except subprocess.TimeoutExpired:
+            log(f"{env_var}={v}: TIMED OUT after 3600s — skipping "
+                "(expect a wedged tunnel claim; let it drain before retrying)")
 
 
 def vmem():
@@ -166,10 +175,14 @@ def lanemin():
 def bench():
     import subprocess
 
-    out = subprocess.run(
-        [sys.executable, "bench.py"], capture_output=True, text=True,
-        timeout=1200, cwd=os.path.join(os.path.dirname(__file__), "..", ".."),
-    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "bench.py"], capture_output=True, text=True,
+            timeout=3600, cwd=os.path.join(os.path.dirname(__file__), "..", ".."),
+        )
+    except subprocess.TimeoutExpired:
+        log("bench.py: TIMED OUT after 3600s — skipping")
+        return
     last = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else str(out.stderr)[-200:]
     log("bench.py: " + last)
 

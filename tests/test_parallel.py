@@ -171,3 +171,57 @@ def test_policy_rollout_uses_step_obs_and_is_differentiable():
     g = np.asarray(grad)
     assert np.isfinite(g).all()
     assert np.abs(g).sum() > 0, "no gradient flowed through the policy rollout"
+
+
+def test_rollout_autoreset_matches_eager_masked_reset():
+    """rollout_fn(autoreset=True) must reproduce, inside lax.scan, exactly
+    what the eager step + masked-reset loop produces (the compiled analog of
+    the reference's done-driven reset_at loop, environment.py:131-148)."""
+    from vmas_tpu.parallel.rollout import _random_actions_for_horizon
+
+    horizon, B = 9, 8
+    env = make_env("dispersion", num_envs=B, seed=0, max_steps=4)
+    key = jax.random.PRNGKey(11)
+    run = jax.jit(rollout_fn(env, horizon=horizon, autoreset=True))
+    state_f, steps_f, traj = run(env.state, env.steps, key)
+
+    # eager replay with the identical key derivation
+    k_pol, k_step, _ = jax.random.split(key, 3)
+    pol_xs = _random_actions_for_horizon(env, k_pol, horizon)
+    step_keys = jax.random.split(k_step, horizon)
+    state, steps = env.state, env.steps
+    for t in range(horizon):
+        sk, rk = jax.random.split(step_keys[t])
+        acts = tuple(a[t] for a in pol_xs)
+        state, obs, rews, term, trunc, infos, steps = env._step_fn_raw(
+            state, steps, acts, sk
+        )
+        done = term | trunc
+        state, steps, obs_r, _, _, _ = env._reset_masked(state, steps, rk, done)
+        obs = jax.tree_util.tree_map(
+            lambda o, r: jnp.where(done.reshape((-1,) + (1,) * (o.ndim - 1)), r, o),
+            obs, obs_r,
+        )
+        np.testing.assert_array_equal(np.asarray(traj["dones"][t]), np.asarray(done))
+        # tolerances absorb scan-vs-eager fusion (FMA) rounding only; the
+        # wiring under test (which envs reset, which obs are blended) would
+        # diverge at O(1), not O(ulp)
+        np.testing.assert_allclose(
+            np.asarray(traj["rewards"][t]),
+            np.asarray(jnp.stack(rews, axis=-1)), rtol=1e-5, atol=1e-6,
+        )
+        for a_i, o in enumerate(obs):
+            np.testing.assert_allclose(
+                np.asarray(traj["obs"][a_i][t]), np.asarray(o),
+                rtol=1e-5, atol=1e-6,
+            )
+    np.testing.assert_allclose(np.asarray(state_f.pos), np.asarray(state.pos),
+                               rtol=1e-5, atol=1e-6)
+
+    # behavioral: max_steps=4 truncates every env at t=3 and t=7 (steps
+    # counter was zeroed in-scan), nowhere else
+    dones = np.asarray(traj["dones"])
+    assert dones[3].all() and dones[7].all()
+    assert not dones[[0, 1, 2, 4, 5, 6, 8]].any()
+    # the carried-out steps counter reflects the in-scan resets
+    assert int(steps_f[0]) == 1  # 9 steps, reset after 4 and 8

@@ -160,3 +160,26 @@ def test_interactive_rendering_module_alias():
     assert callable(render_interactively) and callable(InteractiveEnv.format_obs)
     args = parse_args(["--scenario", "balance", "--save_render"])
     assert args.scenario == "balance" and args.save_render
+
+
+@pytest.mark.parametrize("continuous", [True, False])
+def test_comm_message_text_overlay(continuous):
+    """Human/rgb render draws one 'agent sends <word>' text line per
+    non-silent agent on comm worlds (reference environment.py:1042-1064)."""
+    env = make_env("simple_reference", num_envs=2, seed=0,
+                   continuous_actions=continuous)
+    env.step(env.get_random_actions())
+    frame = env.render(mode="rgb_array")
+    assert frame is not None and frame.ndim == 3
+    fig = env._render_fig
+    texts = [t.get_text() for t in fig.texts]
+    senders = [t for t in texts if " sends " in t]
+    expected = [a for a in env.world.agents if not a.silent]
+    assert len(senders) == len(expected) == 2
+    for agent, line in zip(expected, senders):
+        assert line.startswith(f"{agent.name} sends ")
+        if continuous:
+            assert "[" in line and "]" in line  # comm vector readout
+        else:
+            word = line.split(" sends ")[1].strip()
+            assert len(word) == 1 and word.isalpha()  # ALPHABET letter

@@ -14,7 +14,7 @@ entity counts: MXU<->VPU switching costs more than the extra VPU ops.)
 
 Two pair formulations, auto-selected per pair type: few pairs run one
 (1, BLK) row computation each (transport/joint-class worlds); a type with
->= _LANE_MIN pairs instead stacks its operands into a [P, BLK] tile
+>= lane_min pairs instead stacks its operands into a [P, BLK] tile
 (static sublane concatenation — the indices are compile-time constants) and
 runs ONE vectorized computation for all its pairs, with per-pair slice-adds
 scattering forces back. The tile form fills all 8 sublanes of every VREG,
@@ -204,17 +204,24 @@ _MAX_UNROLL = 4000
 # pair types with at least this many pairs switch from per-pair unrolling to
 # ONE vectorized computation over a [P, BLK] tile (pairs on sublanes, envs on
 # lanes) — the many-entity/few-pair-type regime (football-class worlds) where
-# per-pair (1, BLK) rows waste 7/8 of every VREG. Overridable for on-hardware
-# threshold sweeps (tests/golden/tpu_measure_r2.py lanemin); results are
-# bitwise identical either way (the tile scatter preserves accumulation
-# order), so the knob is purely a performance experiment.
-_LANE_MIN = int(os.environ.get("VMAS_TPU_FUSED_LANE_MIN", "8"))
+# per-pair (1, BLK) rows waste 7/8 of every VREG. Overridable via
+# VMAS_TPU_FUSED_LANE_MIN for on-hardware threshold sweeps
+# (tests/golden/tpu_measure_r2.py lanemin); the env var is read at every
+# kernel build (NOT at import), so setting it after importing vmas_tpu still
+# takes effect — but note a globally-set value alters kernel structure and
+# supports() eligibility for every subsequently-built world. Results match
+# the unrolled form within 1 ulp either way (the tile scatter preserves
+# accumulation order; constant tiles round their float64 bases once, like
+# the unrolled path).
+def _lane_min() -> int:
+    v = int(os.environ.get("VMAS_TPU_FUSED_LANE_MIN", "8"))
+    return max(v, 1)
 
 
 def _pair_cost(n, weight, substeps):
     """Instruction-stream cost of one pair type: batched types cost one
     vectorized computation per 8 sublanes, unrolled types one per pair."""
-    if n >= _LANE_MIN:
+    if n >= _lane_min():
         return (-(-n // 8) + n // 4) * weight * substeps  # compute + scatter
     return n * weight * substeps
 
@@ -307,6 +314,7 @@ def _make_kernel(world, outputs=None):
     formulation because it never touches the MXU and Mosaic pipelines the
     pure-VPU stream."""
     spec = world.spec
+    lane_min = _lane_min()
     E = len(spec.mass)
     cm = float(world.contact_margin)
     cf = float(world.collision_force)
@@ -346,25 +354,27 @@ def _make_kernel(world, outputs=None):
         crow = lambda vals: stack([jnp.full_like(px[0], float(v)) for v in vals])
 
         # per-pair-type constant tiles, hoisted out of the substep loop
-        if len(spec.ss_a) >= _LANE_MIN:
+        if len(spec.ss_a) >= lane_min:
             ss_dmin = crow(np.asarray(spec.ss_ra) + np.asarray(spec.ss_rb))
-        if len(spec.ls_line) >= _LANE_MIN:
+        if len(spec.ls_line) >= lane_min:
             ls_half = crow(np.asarray(spec.ls_len) / 2)
             ls_dmin = crow(np.asarray(spec.ls_rad) + LINE_MIN_DIST)
-        if len(spec.ll_a) >= _LANE_MIN:
+        if len(spec.ll_a) >= lane_min:
             ll_ha = crow(np.asarray(spec.ll_la) / 2)
             ll_hb = crow(np.asarray(spec.ll_lb) / 2)
-        if len(spec.bs_box) >= _LANE_MIN:
+        if len(spec.bs_box) >= lane_min:
             bs_hw = crow(np.asarray(spec.bs_wid) / 2)
             bs_hl = crow(np.asarray(spec.bs_len) / 2)
-            bs_rad = crow(np.asarray(spec.bs_rad))
+            # round the float64 sum once, exactly like the unrolled path's
+            # float(spec.bs_rad[k]) + LINE_MIN_DIST python constant
+            bs_dmin0 = crow(np.asarray(spec.bs_rad) + LINE_MIN_DIST)
             bs_nh = crow(np.asarray(spec.bs_not_hollow, np.float32))
-        if len(spec.bl_box) >= _LANE_MIN:
+        if len(spec.bl_box) >= lane_min:
             bl_hw = crow(np.asarray(spec.bl_bwid) / 2)
             bl_hl = crow(np.asarray(spec.bl_blen) / 2)
             bl_lh = crow(np.asarray(spec.bl_llen) / 2)
             bl_nh = crow(np.asarray(spec.bl_not_hollow, np.float32))
-        if len(spec.bb_a) >= _LANE_MIN:
+        if len(spec.bb_a) >= lane_min:
             bb_hwa = crow(np.asarray(spec.bb_wa) / 2)
             bb_hla = crow(np.asarray(spec.bb_la) / 2)
             bb_hwb = crow(np.asarray(spec.bb_wb) / 2)
@@ -507,7 +517,7 @@ def _make_kernel(world, outputs=None):
 
             # sphere-sphere
             ss_pairs = [(int(a), int(b)) for a, b in zip(spec.ss_a, spec.ss_b)]
-            if len(ss_pairs) >= _LANE_MIN:
+            if len(ss_pairs) >= lane_min:
                 ax = stack([px[a] for a, _ in ss_pairs])
                 ay = stack([py[a] for a, _ in ss_pairs])
                 bx = stack([px[b] for _, b in ss_pairs])
@@ -523,7 +533,7 @@ def _make_kernel(world, outputs=None):
 
             # line-sphere
             ls_pairs = [(int(l), int(s)) for l, s in zip(spec.ls_line, spec.ls_sphere)]
-            if len(ls_pairs) >= _LANE_MIN:
+            if len(ls_pairs) >= lane_min:
                 lx = stack([px[l] for l, _ in ls_pairs])
                 ly = stack([py[l] for l, _ in ls_pairs])
                 sx = stack([px[s] for _, s in ls_pairs])
@@ -550,7 +560,7 @@ def _make_kernel(world, outputs=None):
 
             # line-line
             ll_pairs = [(int(a), int(b)) for a, b in zip(spec.ll_a, spec.ll_b)]
-            if len(ll_pairs) >= _LANE_MIN:
+            if len(ll_pairs) >= lane_min:
                 ax = stack([px[a] for a, _ in ll_pairs])
                 ay = stack([py[a] for a, _ in ll_pairs])
                 bx = stack([px[b] for _, b in ll_pairs])
@@ -586,7 +596,7 @@ def _make_kernel(world, outputs=None):
 
             # box-sphere
             bs_pairs = [(int(b), int(s)) for b, s in zip(spec.bs_box, spec.bs_sphere)]
-            if len(bs_pairs) >= _LANE_MIN:
+            if len(bs_pairs) >= lane_min:
                 bx = stack([px[b] for b, _ in bs_pairs])
                 by = stack([py[b] for b, _ in bs_pairs])
                 sx = stack([px[s] for _, s in bs_pairs])
@@ -599,7 +609,7 @@ def _make_kernel(world, outputs=None):
                 ix = jnp.where(nh, ihx, cx)
                 iy = jnp.where(nh, ihy, cy)
                 d = jnp.where(nh, dh, 0.0)
-                dmin = bs_rad + LINE_MIN_DIST + d
+                dmin = bs_dmin0 + d
                 sfx, sfy = _constraint_force(cm, sx, sy, ix, iy, dmin, cf)
                 tqb = (cx - bx) * (-sfy) - (cy - by) * (-sfx)
                 for k, (b, s) in enumerate(bs_pairs):
@@ -623,7 +633,7 @@ def _make_kernel(world, outputs=None):
 
             # box-line
             bl_pairs = [(int(b), int(l)) for b, l in zip(spec.bl_box, spec.bl_line)]
-            if len(bl_pairs) >= _LANE_MIN:
+            if len(bl_pairs) >= lane_min:
                 bx = stack([px[b] for b, _ in bl_pairs])
                 by = stack([py[b] for b, _ in bl_pairs])
                 lx = stack([px[l] for _, l in bl_pairs])
@@ -687,7 +697,7 @@ def _make_kernel(world, outputs=None):
                     cands.append((ona_x, ona_y, onb_x, onb_y))
                 return _pick_closest(cands)
 
-            if len(bb_pairs) >= _LANE_MIN:
+            if len(bb_pairs) >= lane_min:
                 ax = stack([px[a] for a, _ in bb_pairs])
                 ay = stack([py[a] for a, _ in bb_pairs])
                 bx = stack([px[b] for _, b in bb_pairs])
@@ -836,7 +846,7 @@ def _batched_rows_estimate(spec) -> int:
         (len(spec.bl_box), 24, 4),
         (len(spec.bb_a), 32, 6),
     ):
-        if n >= _LANE_MIN:
+        if n >= _lane_min():
             transient = max(transient, n * per_pair)
             resident += n * n_consts
     return transient + resident

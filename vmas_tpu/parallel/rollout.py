@@ -57,7 +57,8 @@ def _random_actions_for_horizon(env, key, horizon):
     return tuple(xs)
 
 
-def rollout_fn(env, policy: Optional[Callable] = None, horizon: int = 100):
+def rollout_fn(env, policy: Optional[Callable] = None, horizon: int = 100,
+               autoreset: bool = False):
     """Build ``(state, steps, key) -> (state', steps', traj)`` scanning
     ``horizon`` env steps through the env's own compiled step semantics.
 
@@ -66,6 +67,17 @@ def rollout_fn(env, policy: Optional[Callable] = None, horizon: int = 100):
     ``traj`` holds per-step ``rewards [T, B, A]``, ``dones [T, B]`` and
     ``obs`` (tuple of [T, B, obs_dim] per agent). The returned function is
     jit-compatible and shards over the env axis like everything else.
+
+    ``autoreset=True`` resets done envs inside the scan via the env's own
+    masked reset (the compiled analog of the reference's per-index
+    ``reset_at`` loop, environment.py:131-148): after each step, envs whose
+    ``terminated | truncated`` flag is set are re-spawned, their step
+    counters zeroed, and the recorded/carried observations for those envs
+    are the post-reset observations (gymnasium-vec convention — the done
+    flag in ``traj`` still marks the boundary, so returns/GAE masks work
+    unchanged). Each step's key is split between the step and the masked
+    reset, so a given rollout key yields different random streams with
+    autoreset on vs off.
     """
     random_pol = policy is None
 
@@ -76,6 +88,8 @@ def rollout_fn(env, policy: Optional[Callable] = None, horizon: int = 100):
         # per step instead of being re-derived from the carry state
         state, steps = carry[:2]
         pol_input, step_key = xs
+        if autoreset:
+            step_key, reset_key = jax.random.split(step_key)
         if random_pol:
             actions = pol_input
         else:
@@ -84,6 +98,16 @@ def rollout_fn(env, policy: Optional[Callable] = None, horizon: int = 100):
             state, steps, tuple(actions), step_key
         )
         done = terminated | truncated
+        if autoreset:
+            state, steps, obs_reset, _, _, _ = env._reset_masked(
+                state, steps, reset_key, done
+            )
+            obs = jax.tree_util.tree_map(
+                lambda o, r: jnp.where(
+                    done.reshape((-1,) + (1,) * (o.ndim - 1)), r, o
+                ),
+                obs, obs_reset,
+            )
         new_carry = (state, steps) if random_pol else (state, steps, obs)
         return new_carry, (jnp.stack(rews, axis=-1), done, obs)
 

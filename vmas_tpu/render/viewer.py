@@ -248,6 +248,29 @@ def render_env(
     ax.set_xticks([])
     ax.set_yticks([])
 
+    # per-agent comm-message text lines (reference environment.py:1042-1064:
+    # one TextLine per non-silent agent at y = idx*40 px, "<name> sends
+    # <word>" where word is the comm vector for continuous actions or the
+    # ALPHABET letter of its argmax for discrete)
+    if env.world.dim_c > 0:
+        from vmas_tpu.core.utils import ALPHABET
+
+        c_all = np.asarray(state.c[env_index])
+        idx = 0
+        for a_i, agent in enumerate(env.world.agents):
+            if agent.silent:
+                continue
+            c = c_all[a_i]
+            if env.continuous_actions:
+                word = "[" + ",".join(f"{v:.2f}" for v in c) + "]"
+            else:
+                word = ALPHABET[int(np.argmax(c))]
+            fig.text(
+                0.01, (10 + idx * 40) / viewer_size[1],
+                f"{agent.name} sends {word}   ", fontsize=9,
+            )
+            idx += 1
+
     if mode == "rgb_array":
         if visualize_when_rgb:
             # reference semantics: show the live window while also returning

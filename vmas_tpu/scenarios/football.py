@@ -185,6 +185,90 @@ class AgentPolicy:
         ) * 0.7
         return self.go_to(state, ai, agent, hit_pos, hit_vel, start_vel=start_vel, mask=mask)
 
+    def get_rel_ang(self, vec1=None, vec2=None, ang1=None, ang2=None):
+        """football.py:2040-2049."""
+        if vec1 is not None:
+            ang1 = jnp.arctan2(vec1[:, 1], vec1[:, 0])
+        if vec2 is not None:
+            ang2 = jnp.arctan2(vec2[:, 1], vec2[:, 0])
+        if ang1.ndim == 2:
+            ang1 = ang1[:, 0]
+        if ang2.ndim == 2:
+            ang2 = ang2[:, 0]
+        return (ang1 - ang2 + jnp.pi) % (2 * jnp.pi) - jnp.pi
+
+    def dribble(self, state, ai, agent, pos, mask=None):
+        """football.py:1866-1871."""
+        return self.update_dribble(state, ai, agent, pos, mask=mask)
+
+    def dribble_to_goal(self, state, ai, agent, mask=None):
+        """football.py:1863-1864."""
+        return self.dribble(state, ai, agent, self.target_net.pos(state), mask=mask)
+
+    def shoot(self, state, ai, agent, pos, mask=None):
+        """football.py:1893-1918: line the agent up behind the ball facing
+        ``pos`` (via dribble) and arm ``shot_power`` when the ball is within
+        shooting_radius/shooting_angle and the shot line within
+        take_shot_angle. shot_power is re-armed from -1 on EVERY call for
+        all envs (the reference writes ``[:] = -1`` unmasked), so only the
+        last shoot() in a step sticks."""
+        i = self.slot_in_team(agent)
+        agent_pos = agent.pos(state)
+        ball_disp = self.scenario.ball.pos(state) - agent_pos
+        ball_dist = safe_norm(ball_disp)
+        within_range = ball_dist <= self.shooting_radius
+        target_disp = pos - agent_pos
+        target_dist = safe_norm(target_disp)
+        rot = agent.rot(state)
+        ball_within = jnp.abs(self.get_rel_ang(ang1=rot, vec2=ball_disp)) < self.shooting_angle / 2
+        rot_within = jnp.abs(self.get_rel_ang(ang1=rot, vec2=target_disp)) < self.take_shot_angle / 2
+        shooting_mask = within_range & ball_within & rot_within
+        m = mask if mask is not None else jnp.ones_like(shooting_mask)
+        ai = dict(ai)
+        target_ang = jnp.arctan2(target_disp[:, 1], target_disp[:, 0])
+        ai["target_ang"] = ai["target_ang"].at[:, i].set(
+            jnp.where(m, target_ang, ai["target_ang"][:, i])
+        )
+        ai = self.update_dribble(state, ai, agent, pos, mask=mask)
+        sp = jnp.full_like(ai["shot_power"][:, i], -1.0)
+        sp = jnp.where(
+            shooting_mask & m, jnp.minimum(target_dist / self.max_shot_dist, 1.0), sp
+        )
+        ai["shot_power"] = ai["shot_power"].at[:, i].set(sp)
+        return ai
+
+    def dribble_policy(self, state, ai, agent):
+        """football.py:1805-1815: possession holder dribbles to the target
+        net; everyone else repositions to the best sampled spot."""
+        i = self.slot_in_team(agent)
+        possession_mask = ai["agent_possession"][:, i]
+        ai = self.update_dribble(
+            state, ai, agent, self.target_net.pos(state), mask=possession_mask
+        )
+        best_pos = self.check_better_positions(state, ai, agent)
+        return self.go_to(state, ai, agent, best_pos, aggression=1.0,
+                          mask=~possession_mask)
+
+    def passing_policy(self, state, ai, agent):
+        """football.py:1817-1833: possession holder shoots toward its
+        teammate instead of dribbling to goal (callable alternative the
+        reference ships even though run() always uses dribble_policy)."""
+        i = self.slot_in_team(agent)
+        possession_mask = ai["agent_possession"][:, i]
+        otheragent = next(a for a in self.teammates if a is not agent)
+        ai = self.shoot(state, ai, agent, otheragent.pos(state), mask=possession_mask)
+        best_pos = self.check_better_positions(state, ai, agent)
+        return self.go_to(state, ai, agent, best_pos, aggression=1.0,
+                          mask=~possession_mask)
+
+    def disable(self):
+        """football.py:1836-1837."""
+        self.disabled = True
+
+    def enable(self):
+        """football.py:1839-1840."""
+        self.disabled = False
+
     def check_possession(self, state, ai):
         """football.py:2116-2145."""
         team = self.teammates
@@ -323,12 +407,7 @@ class AgentPolicy:
         ai = dict(scratch[self.key])
         if self.slot_in_team(agent) == 0:
             ai = self.check_possession(state, ai)
-        # dribble_policy (football.py:1805-1815)
-        i = self.slot_in_team(agent)
-        possession_mask = ai["agent_possession"][:, i]
-        ai = self.update_dribble(state, ai, agent, self.target_net.pos(state), mask=possession_mask)
-        best_pos = self.check_better_positions(state, ai, agent)
-        ai = self.go_to(state, ai, agent, best_pos, aggression=1.0, mask=~possession_mask)
+        ai = self.dribble_policy(state, ai, agent)
         control = self.get_action(state, ai, agent)
         control = jnp.clip(control, -agent.u_range_array[None], agent.u_range_array[None])
         u = control * agent.u_multiplier_array[None]

@@ -326,10 +326,64 @@ class Scenario(BaseScenario):
 
 
 class HeuristicPolicy(BaseHeuristicPolicy):
-    """Proportional controller toward the goal (the reference's heuristic uses
-    cvxpylayers; this is the dependency-free equivalent used by tests)."""
+    """CLF-QP goal-seeking controller — a jax port of the reference's
+    cvxpylayers QP (navigation.py:314-410):
+
+        minimize  ||u||^2 + clf_slack * s^2
+        s.t.      -u_range <= u <= u_range
+                  LfV + LgV·u + clf_epsilon*V + s <= 0
+
+    with the Lyapunov function V = |p-g|^2 + 0.5 (p-g)·v + |v|^2 from the
+    reference (arXiv:1903.03692). The reference solves it with a generic
+    differentiable QP layer; with ONE inequality plus a box the exact KKT
+    solution is one-dimensional in the dual multiplier λ:
+    u(λ) = clip(-λ·LgV/2, -r, r), s(λ) = -λ/(2w), and the constraint
+    residual a + LgV·u(λ) + s(λ) (a = LfV + εV) is strictly decreasing in
+    λ, so fixed-iteration bisection finds the root exactly — vectorized
+    over envs, no host dependency, jit-compatible."""
+
+    def __init__(self, *args, clf_epsilon=0.2, clf_slack=100.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.clf_epsilon = clf_epsilon
+        self.clf_slack = clf_slack
 
     def compute_action(self, observation, u_range):
-        # obs layout: pos(2), vel(2), pos - goal(2), ...
-        to_goal = -observation[:, 4:6]
-        return jnp.clip(to_goal * 2.0 - observation[:, 2:4] * 0.5, -u_range, u_range)
+        # obs layout: pos(2), vel(2), pos - goal(2), ... — the reference
+        # recovers goal_pos and then only ever uses pos - goal_pos (= rel)
+        vel = observation[:, 2:4]
+        rel = observation[:, 4:6]
+        V = (rel[:, 0] ** 2 + 0.5 * rel[:, 0] * vel[:, 0] + vel[:, 0] ** 2
+             + rel[:, 1] ** 2 + 0.5 * rel[:, 1] * vel[:, 1] + vel[:, 1] ** 2)
+        LfV = ((2 * rel[:, 0] + vel[:, 0]) * vel[:, 0]
+               + (2 * rel[:, 1] + vel[:, 1]) * vel[:, 1])
+        LgV = jnp.stack(
+            [0.5 * rel[:, 0] + 2 * vel[:, 0], 0.5 * rel[:, 1] + 2 * vel[:, 1]],
+            axis=1,
+        )
+        a = LfV + self.clf_epsilon * V
+        w = self.clf_slack
+        r = u_range
+
+        def u_of(lam):
+            return jnp.clip(-lam[:, None] * LgV / 2.0, -r, r)
+
+        def resid(lam):
+            # LgV·u(λ) <= 0 for λ>=0, so resid(hi) <= a - hi/(2w) < 0 at
+            # hi = 2w(|a|+1): a sign change is bracketed whenever a > 0
+            return a + jnp.sum(LgV * u_of(lam), axis=1) - lam / (2.0 * w)
+
+        lo = jnp.zeros_like(a)
+        hi = 2.0 * w * (jnp.abs(a) + 1.0)
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            pos = resid(mid) > 0
+            return jnp.where(pos, mid, lo), jnp.where(pos, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, 60, body, (lo, hi))
+        lam = 0.5 * (lo + hi)
+        # constraint already satisfied at u=0 (a <= 0) -> λ=0 -> u=0,
+        # exactly the QP's minimum-norm optimum
+        lam = jnp.where(a <= 0, 0.0, lam)
+        return u_of(lam)

@@ -28,8 +28,16 @@ REF = "/root/reference"
 OUT = os.path.join(os.path.dirname(__file__), "data")
 
 B = 16
-T = 10
+T = 50
 SEED = 11
+
+# per-case horizon overrides: contact-saturated scenes fork on closest-point
+# argmin ties (CHAOTIC_ENVS in tests/test_scenario_parity.py) — longer
+# replays would just accumulate forks, so they keep the short horizon
+T_OF = {
+    "debug/kinematic_bicycle": 10,
+    "debug/pollock": 10,
+}
 
 # scenario -> kwargs (must match the JAX test exactly)
 SCENARIOS = {
@@ -57,6 +65,11 @@ SCENARIOS = {
     # candidates, football.py:2151) — unreplayable; record both teams as
     # policy agents instead (AI covered by behavioral tests)
     "football": dict(ai_red_agents=False),
+    # scripted AI ON: the per-step check_better_positions objectives are
+    # captured (STEP_CAPTURE below) and injected as scratch on replay, so
+    # the rest of the AI (possession, dribble, go_to, hermite control, ball
+    # script) is trajectory-compared against the reference
+    "football_ai": {},
     "painting": {},
     # reference mix_knowledge does torch.logical_or(*in_prox) — only valid
     # for exactly 2 other agents, i.e. n_agents=3 (painting.py:607)
@@ -77,6 +90,65 @@ ALIASES = {
     "painting_full": "painting",
     "road_traffic_map2": "road_traffic",
     "road_traffic_map3": "road_traffic",
+    "football_ai": "football",
+}
+
+
+def _capture_football_ai(scen):
+    """Wrap the scripted red AI's check_better_positions to record each
+    step's chosen repositioning objective per agent (football.py:2147-2177).
+    dribble_policy calls it with env_index = the non-possession mask
+    (football.py:1809), so outputs are scattered into a full-B buffer
+    (possession envs never consume the value — they dribble instead).
+
+    The fork's get_wall_separations assumes pos [N, 2] and CRASHES on the
+    [N, n_candidates, 2] batches check_better_positions feeds it
+    (football.py:2233-2244 boolean-mask indexing) — i.e. the fork's scripted
+    AI is unrunnable as shipped. Recording patches it shape-generically
+    (flatten trailing candidate dims, call the original, reshape back),
+    which is the obvious intended semantics; the replay side never compares
+    check_better_positions internals anyway (objectives are injected)."""
+    import torch
+
+    ctrl = scen.red_controller
+    B = scen.world.batch_dim
+    orig = ctrl.check_better_positions
+    orig_wall = ctrl.get_wall_separations
+    slots = {a: i for i, a in enumerate(scen.red_agents)}
+    step_buf = {}
+
+    def wall_fixed(pos):
+        if pos.dim() == 2:
+            return orig_wall(pos)
+        flat = pos.reshape(-1, pos.shape[-1])
+        return orig_wall(flat).reshape(*pos.shape[:-1], 2, 2)
+
+    ctrl.get_wall_separations = wall_fixed
+
+    def wrapped(agent, env_index=Ellipsis):
+        out = orig(agent, env_index=env_index)
+        buf = np.zeros((B, 2), np.float32)
+        if isinstance(env_index, torch.Tensor):
+            buf[env_index.numpy()] = out.detach().numpy()
+        else:
+            buf[:] = out.detach().numpy()
+        step_buf[slots[agent]] = buf
+        return out
+
+    ctrl.check_better_positions = wrapped
+
+    def collect():
+        rows = np.stack([step_buf[i] for i in sorted(step_buf)])  # [A, B, 2]
+        step_buf.clear()
+        return {"extra_step_ai_best_pos": rows}
+
+    return collect
+
+
+# case -> fn(scenario) -> collect(); collect() is called after every step and
+# must return a dict of per-step arrays (stacked over T into the npz)
+STEP_CAPTURE = {
+    "football_ai": _capture_football_ai,
 }
 
 MPE = {
@@ -228,10 +300,13 @@ def record(name, kwargs):
     if name in EXTRA_RECORD:
         data.update(EXTRA_RECORD[name](scen))
 
+    collect = STEP_CAPTURE[name](scen) if name in STEP_CAPTURE else None
+    step_extras = []
+
     acts, rews_t, done_t = [], [], []
     obs_t = [[] for _ in pol_agents]
     traj = {k: [] for k in ("pos", "vel", "rot", "ang_vel")}
-    for t in range(T):
+    for t in range(T_OF.get(name, T)):
         step_acts = []
         for a in pol_agents:
             assert a.action.u_noise == 0 or a.action.u_noise is None or (
@@ -270,7 +345,12 @@ def record(name, kwargs):
             obs_t[i].append(o.numpy())
         for k, v in snap().items():
             traj[k].append(v.numpy())
+        if collect is not None:
+            step_extras.append(collect())
 
+    if step_extras:
+        for k in step_extras[0]:
+            data[k] = np.stack([se[k] for se in step_extras])  # [T, ...]
     data["actions"] = np.stack(acts)  # [T, A, B, act_max]
     data["rewards"] = np.stack(rews_t)  # [T, A, B]
     data["done"] = np.stack(done_t)  # [T, B]

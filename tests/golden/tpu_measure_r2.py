@@ -172,6 +172,57 @@ def lanemin():
     _transport_sweep("VMAS_TPU_FUSED_LANE_MIN", ["2", "4", "8"])
 
 
+def enttile():
+    """A/B the round-3 entity-tiled per-entity stream (clamp/friction/
+    gravity/integrate on [E, BLK] tiles) against the per-row unroll."""
+    _transport_sweep("VMAS_TPU_FUSED_ENTITY_TILE", ["0", "1"])
+
+
+def _scenario_sweep(name, B, env_var, values, horizon=50, mkkw=""):
+    """Like _transport_sweep but for an arbitrary scenario/config."""
+    import subprocess
+
+    snippet = (
+        "import time, jax;"
+        "from vmas_tpu import make_env;"
+        "from vmas_tpu.parallel.rollout import rollout_fn;"
+        f"env = make_env('{name}', num_envs={B}, seed=0, fused_physics=True{mkkw});"
+        f"run = jax.jit(rollout_fn(env, horizon={horizon}));"
+        "key = jax.random.PRNGKey(0);"
+        "s, st, tr = run(env.state, env.steps, key);"
+        "jax.block_until_ready(tr['rewards']);"
+        "t0 = time.time()\n"
+        "while time.time() - t0 < 8:"
+        " s, st, tr = run(s, st, key);"
+        " jax.block_until_ready(tr['rewards'])\n"
+        "best = 1e9\n"
+        "for r in range(3):"
+        " t0 = time.perf_counter();"
+        " s, st, tr = run(s, st, key);"
+        " jax.block_until_ready(tr['rewards']);"
+        f" best = min(best, (time.perf_counter() - t0) / {horizon})\n"
+        "print(f'{best*1e6:.1f} us/step')"
+    )
+    for v in values:
+        env = dict(os.environ, **{env_var: v})
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", snippet], capture_output=True, text=True,
+                timeout=3600, env=env,
+                cwd=os.path.join(os.path.dirname(__file__), "..", ".."),
+            )
+            log(f"{name}@{B} {env_var}={v}: {out.stdout.strip() or out.stderr[-300:]}")
+        except subprocess.TimeoutExpired:
+            log(f"{name}@{B} {env_var}={v}: TIMED OUT after 3600s — skipping")
+
+
+def enttile_scen():
+    """Entity-tile A/B on the pair-heavy / substeps-heavy worlds."""
+    for name, B in [("football", 4096), ("joint_passage", 1024),
+                    ("balance", 1024), ("wind_flocking", 1024)]:
+        _scenario_sweep(name, B, "VMAS_TPU_FUSED_ENTITY_TILE", ["0", "1"])
+
+
 def bench():
     import subprocess
 
@@ -191,4 +242,5 @@ if __name__ == "__main__":
     for s in SECTIONS:
         log(f"=== {s} ===")
         {"probe": probe, "rt": rt, "fused": fused, "vmem": vmem,
-         "lanemin": lanemin, "bench": bench}[s]()
+         "lanemin": lanemin, "enttile": enttile,
+         "enttile_scen": enttile_scen, "bench": bench}[s]()

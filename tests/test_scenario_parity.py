@@ -25,6 +25,14 @@ DATA = os.path.join(os.path.dirname(__file__), "golden", "data")
 KWARGS = {
     "transport": dict(n_agents=4),
     "football": dict(ai_red_agents=False),
+    # scripted AI ON: the reference's sampled check_better_positions
+    # objectives were recorded per step and are injected as scratch
+    # (PER_STEP_INJECT below), trajectory-testing the rest of the AI —
+    # possession, dribble, go_to, hermite control, ball script. The
+    # candidate *selection* is deliberately not compared: the reference's
+    # gather returns env-0's candidates for every env (football.py:2170),
+    # which our port fixes.
+    "football_ai": dict(ai_forced_objectives=True),
     "painting_full": dict(task_type="full", n_agents=3, n_goals=3),
     "het_mass": dict(mass_noise=0),
     "asym_joint": dict(obs_noise=0),
@@ -39,6 +47,26 @@ CASE_SCENARIO = {
     "painting_full": "painting",
     "road_traffic_map2": "road_traffic",
     "road_traffic_map3": "road_traffic",
+    "football_ai": "football",
+}
+
+
+def _inject_football_ai(env, d, t):
+    """Write the reference AI's recorded step-t objectives into the red
+    controller's scratch (consumed by dribble_policy under
+    ai_forced_objectives=True)."""
+    scr = dict(env.state.scenario)
+    ai = dict(scr["ai_Red"])
+    ai["forced_best_pos"] = jnp.asarray(
+        d["extra_step_ai_best_pos"][t]
+    ).transpose(1, 0, 2)  # [A, B, 2] -> [B, A, 2]
+    scr["ai_Red"] = ai
+    env.state = env.state.replace(scenario=scr)
+
+
+# case -> fn(env, data, t) run before each replay step
+PER_STEP_INJECT = {
+    "football_ai": _inject_football_ai,
 }
 # collision/contact-heavy scenes accumulate fp reorder noise faster
 ATOL = {
@@ -324,6 +352,8 @@ def test_scenario_parity(name):
 
     forked = {}
     for t in range(T):
+        if name in PER_STEP_INJECT:
+            PER_STEP_INJECT[name](env, d, t)
         actions = [
             jnp.asarray(d["actions"][t, i, :, : env.get_agent_action_size(a)])
             for i, a in enumerate(env.agents)

@@ -218,6 +218,78 @@ def _lane_min() -> int:
     return max(v, 1)
 
 
+# The per-entity clamp/friction/gravity/integrate stream runs on [E, BLK]
+# tiles (entities on sublanes, envs on lanes) instead of E separate (1, BLK)
+# rows — the same lever as the lane-batched pair tiles, applied to the
+# per-entity stream (docs/PERFORMANCE.md "Speed-of-light check"). Pair/joint
+# force scatters chain onto SLICES of the tile-computed base force, so the
+# per-entity accumulation order (action + friction + gravity, then joints,
+# then pairs) is element-for-element the order the unrolled path retires —
+# results match within the usual +0.0/-0.0 equivalence.
+#
+# Auto-selected by entity count (like the pair tiles' lane_min): measured on
+# hardware (docs/PERFORMANCE.md round-3), tiles win at MANY entities
+# (football E=19: -14% step time) and lose at few (wind_flocking E=5: +15%;
+# joint-class substeps pay per-substep sublane extracts for the pair reads),
+# with transport (E=6) a wash. VMAS_TPU_FUSED_ENTITY_TILE=0/1 forces it for
+# A/B sweeps; unset/auto applies the threshold.
+_ENTITY_TILE_MIN_E = 16
+
+
+def _entity_tile_on(E: int) -> bool:
+    v = os.environ.get("VMAS_TPU_FUSED_ENTITY_TILE", "auto").strip().lower()
+    if v in ("0", "false", "off"):
+        return False
+    if v in ("1", "true", "on"):
+        return True
+    return E >= _ENTITY_TILE_MIN_E
+
+
+class _Rows:
+    """Lazy per-entity (1, BLK) row views over an [E, BLK] tile; rows are
+    sliced (and cached) only when the pair/joint/emit code actually reads
+    them, so untouched entities cost no sublane extracts."""
+
+    __slots__ = ("t", "c")
+
+    def __init__(self, t):
+        self.t = t
+        self.c = {}
+
+    def __getitem__(self, e):
+        if e not in self.c:
+            self.c[e] = self.t[e : e + 1, :]
+        return self.c[e]
+
+    def __len__(self):
+        return int(self.t.shape[0])
+
+    def __iter__(self):
+        return (self[e] for e in range(len(self)))
+
+
+def _assemble(rows, base):
+    """Rebuild the [E, BLK] force tile from per-entity accumulator rows,
+    taking maximal runs of untouched entities as multi-row slices of the
+    base tile (one sublane copy per run instead of per entity)."""
+    E = int(base.shape[0])
+    segs = []
+    i = 0
+    while i < E:
+        if rows[i] is None:
+            j = i
+            while j < E and rows[j] is None:
+                j += 1
+            segs.append(base[i:j, :])
+            i = j
+        else:
+            segs.append(rows[i])
+            i += 1
+    if len(segs) == 1:
+        return segs[0]
+    return jnp.concatenate(segs, axis=0)
+
+
 def _pair_cost(n, weight, substeps):
     """Instruction-stream cost of one pair type: batched types cost one
     vectorized computation per 8 sublanes, unrolled types one per pair."""
@@ -332,26 +404,126 @@ def _make_kernel(world, outputs=None):
 
     K_in = int(outputs.n_scratch_in) if outputs is not None else 0
 
+    ent_tile = E >= 2 and _entity_tile_on(E)
+    inf = float("inf")
+    # Static per-entity constants / gates for the tiled stream. Every value
+    # is rounded float64 -> float32 exactly once (inside crow), matching the
+    # unrolled path's python-float constants; entities a clamp/friction/
+    # gravity term does not apply to get the identity element (inf bound,
+    # zero term, unit drag factor), which the VPU applies bitwise-neutrally.
+    mass_l = [float(m) for m in spec.mass]
+    lf_l = [float(v) for v in spec.lin_fric]
+    af_l = [float(v) for v in spec.ang_fric]
+    drag_l = [float(v) for v in spec.drag]
+    has_lf = any(lf_l[e] != 0.0 and movable[e] for e in range(E))
+    has_af = any(af_l[e] != 0.0 and rotatable[e] for e in range(E))
+    any_drag = any(d != 0.0 for d in drag_l)
+    mf_l = [float(spec.max_f[e]) if (is_agent[e] and movable[e]) else inf
+            for e in range(E)]
+    fr_l = [float(spec.f_range[e]) if (is_agent[e] and movable[e]) else inf
+            for e in range(E)]
+    mt_l = [float(spec.max_t[e]) if (is_agent[e] and rotatable[e]) else inf
+            for e in range(E)]
+    tr_l = [float(spec.t_range[e]) if (is_agent[e] and rotatable[e]) else inf
+            for e in range(E)]
+    ms_l = [float(spec.max_speed[e]) if movable[e] else inf for e in range(E)]
+    vr_l = [float(spec.v_range[e]) if movable[e] else inf for e in range(E)]
+    has_mf = any(math.isfinite(v) for v in mf_l)
+    has_fr = any(math.isfinite(v) for v in fr_l)
+    has_mt = any(math.isfinite(v) for v in mt_l)
+    has_tr = any(math.isfinite(v) for v in tr_l)
+    has_ms = any(math.isfinite(v) for v in ms_l)
+    has_vr = any(math.isfinite(v) for v in vr_l)
+    egx_l = [gx + float(spec.ent_gravity[e, 0]) for e in range(E)]
+    egy_l = [gy + float(spec.ent_gravity[e, 1]) for e in range(E)]
+    gsx_l = [mass_l[e] * egx_l[e]
+             if movable[e] and (egx_l[e] != 0.0 or egy_l[e] != 0.0) else 0.0
+             for e in range(E)]
+    gsy_l = [mass_l[e] * egy_l[e]
+             if movable[e] and (egx_l[e] != 0.0 or egy_l[e] != 0.0) else 0.0
+             for e in range(E)]
+    has_static_grav = any(
+        gsx_l[e] != 0.0 or gsy_l[e] != 0.0 for e in range(E)
+    )
+    # entities whose rotation trig the pair/joint code reads; if many, one
+    # whole-tile cos/sin pair beats per-row transcendentals
+    trig_ents = set()
+    for seq in (spec.ls_line, spec.ll_a, spec.ll_b, spec.bs_box,
+                spec.bl_box, spec.bl_line, spec.bb_a, spec.bb_b,
+                spec.joint_idx_a, spec.joint_idx_b):
+        for v in seq:
+            trig_ents.add(int(v))
+    tile_trig = ent_tile and len(trig_ents) >= 8
+
     def kernel(x_ref, o_ref):
         row = lambda r: x_ref[r : r + 1, :]
-        px = [row(e) for e in range(E)]
-        py = [row(E + e) for e in range(E)]
-        vx = [row(2 * E + e) for e in range(E)]
-        vy = [row(3 * E + e) for e in range(E)]
-        rot = [row(4 * E + e) for e in range(E)]
-        w = [row(5 * E + e) for e in range(E)]
-        fx = [row(6 * E + e) for e in range(E)]
-        fy = [row(7 * E + e) for e in range(E)]
-        tq = [row(8 * E + e) for e in range(E)]
+        tmpl = x_ref[0:1, :]
+        stack = lambda rows: jnp.concatenate(rows, axis=0)  # [(1,BLK)] -> [P,BLK]
+        crow = lambda vals: stack([jnp.full_like(tmpl, float(v)) for v in vals])
+
+        if ent_tile:
+            PX = x_ref[0:E, :]
+            PY = x_ref[E : 2 * E, :]
+            VX = x_ref[2 * E : 3 * E, :]
+            VY = x_ref[3 * E : 4 * E, :]
+            ROT = x_ref[4 * E : 5 * E, :]
+            W = x_ref[5 * E : 6 * E, :]
+            FX = x_ref[6 * E : 7 * E, :]
+            FY = x_ref[7 * E : 8 * E, :]
+            TQ = x_ref[8 * E : 9 * E, :]
+            mvT = crow([1.0 if m else 0.0 for m in movable]) > 0.5
+            roT = crow([1.0 if r else 0.0 for r in rotatable]) > 0.5
+            inv_mT = crow(spec.inv_mass)
+            inv_moiT = crow(spec.inv_moi)
+            if any_drag:
+                dragfacT = crow([1.0 - d for d in drag_l])
+            if has_mf:
+                mfT = crow(mf_l)
+            if has_fr:
+                frT = crow(fr_l)
+            if has_mt:
+                mtT = crow(mt_l)
+            if has_tr:
+                trT = crow(tr_l)
+            if has_ms:
+                msT = crow(ms_l)
+            if has_vr:
+                vrT = crow(vr_l)
+            if has_lf:
+                mT = crow(mass_l)
+                lfmT = crow([lf_l[e] * mass_l[e] for e in range(E)])
+                lf_onT = crow([1.0 if (lf_l[e] != 0.0 and movable[e]) else 0.0
+                               for e in range(E)]) > 0.5
+            if has_af:
+                moiT = crow(spec.moi)
+                afmT = crow([af_l[e] * float(spec.moi[e]) for e in range(E)])
+                af_onT = crow([1.0 if (af_l[e] != 0.0 and rotatable[e]) else 0.0
+                               for e in range(E)]) > 0.5
+            if dyn_gravity:
+                gmT = crow(mass_l)
+                egxT = crow(egx_l)
+                egyT = crow(egy_l)
+                DGX = x_ref[9 * E + J : 9 * E + J + E, :]
+                DGY = x_ref[9 * E + J + E : 9 * E + J + 2 * E, :]
+            elif has_static_grav:
+                gsxT = crow(gsx_l)
+                gsyT = crow(gsy_l)
+        else:
+            px = [row(e) for e in range(E)]
+            py = [row(E + e) for e in range(E)]
+            vx = [row(2 * E + e) for e in range(E)]
+            vy = [row(3 * E + e) for e in range(E)]
+            rot = [row(4 * E + e) for e in range(E)]
+            w = [row(5 * E + e) for e in range(E)]
+            fx = [row(6 * E + e) for e in range(E)]
+            fy = [row(7 * E + e) for e in range(E)]
+            tq = [row(8 * E + e) for e in range(E)]
+            if dyn_gravity:
+                dgx = [row(9 * E + J + e) for e in range(E)]
+                dgy = [row(9 * E + J + E + e) for e in range(E)]
         jfr = [row(9 * E + j) for j in range(J)]
-        if dyn_gravity:
-            dgx = [row(9 * E + J + e) for e in range(E)]
-            dgy = [row(9 * E + J + E + e) for e in range(E)]
         n_dyn = 2 * E if dyn_gravity else 0
         scratch_in = [row(9 * E + J + n_dyn + k) for k in range(K_in)]
-
-        stack = lambda rows: jnp.concatenate(rows, axis=0)  # [(1,BLK)] -> [P,BLK]
-        crow = lambda vals: stack([jnp.full_like(px[0], float(v)) for v in vals])
 
         # per-pair-type constant tiles, hoisted out of the substep loop
         if len(spec.ss_a) >= lane_min:
@@ -382,7 +554,7 @@ def _make_kernel(world, outputs=None):
             bb_nha = crow(np.asarray(spec.bb_nha, np.float32))
             bb_nhb = crow(np.asarray(spec.bb_nhb, np.float32))
 
-        def clamp_actions():
+        def clamp_actions_rows():
             """Action clamps persisting on state.force/torque
             (physics.py:229-248). The XLA path runs this at the start of
             EVERY substep on the persistent rows, and clamp_with_norm is not
@@ -412,65 +584,136 @@ def _make_kernel(world, outputs=None):
                         tq[e] = jnp.clip(tq[e], -tr, tr)
 
         for substep in range(substeps):
-            clamp_actions()
+            if ent_tile:
+                # clamp (tile form): entities a clamp does not apply to carry
+                # an inf bound, making over=False / clip an exact identity —
+                # same per-lane values as the unrolled per-entity branches
+                if has_mf:
+                    n = jnp.sqrt(FX * FX + FY * FY)
+                    over = n > mfT
+                    den = jnp.where(over, n, 1.0)
+                    FX = jnp.where(over, FX / den * mfT, FX)
+                    FY = jnp.where(over, FY / den * mfT, FY)
+                if has_fr:
+                    FX = jnp.clip(FX, -frT, frT)
+                    FY = jnp.clip(FY, -frT, frT)
+                if has_mt:
+                    TQ = jnp.clip(TQ, -mtT, mtT)
+                if has_tr:
+                    TQ = jnp.clip(TQ, -trT, trT)
+                px = _Rows(PX)
+                py = _Rows(PY)
+                rot = _Rows(ROT)
+            else:
+                clamp_actions_rows()
             Fx = [None] * E
             Fy = [None] * E
             Tq = [None] * E
             trig = {}
 
-            def cs(e):
-                """cos/sin of entity e's rotation, computed once per substep."""
-                if e not in trig:
-                    trig[e] = (jnp.cos(rot[e]), jnp.sin(rot[e]))
-                return trig[e]
+            if tile_trig:
+                COSr = _Rows(jnp.cos(ROT))
+                SINr = _Rows(jnp.sin(ROT))
 
-            def addf(e, ax, ay):
-                if not movable[e]:
-                    return
-                Fx[e] = ax if Fx[e] is None else Fx[e] + ax
-                Fy[e] = ay if Fy[e] is None else Fy[e] + ay
+                def cs(e):
+                    return COSr[e], SINr[e]
+            else:
+                def cs(e):
+                    """cos/sin of entity e's rotation, once per substep."""
+                    if e not in trig:
+                        trig[e] = (jnp.cos(rot[e]), jnp.sin(rot[e]))
+                    return trig[e]
 
-            def addt(e, t):
-                if not rotatable[e]:
-                    return
-                Tq[e] = t if Tq[e] is None else Tq[e] + t
-
-            # action forces
-            for e in range(E):
-                addf(e, fx[e], fy[e])
-                addt(e, tq[e])
-
-            # coulomb friction (physics.py:255-263)
-            for e in range(E):
-                lf = float(spec.lin_fric[e])
-                m = float(spec.mass[e])
-                if lf != 0.0 and movable[e]:
-                    speed = _norm(vx[e], vy[e])
+            if ent_tile:
+                # base force/torque tiles: action + friction + gravity, the
+                # exact per-entity accumulation order of the unrolled path
+                # (terms that don't apply contribute an exact 0.0)
+                BFX, BFY, BTQ = FX, FY, TQ
+                if has_lf:
+                    speed = _norm(VX, VY)
                     den = jnp.where(speed == 0.0, 1.0, speed)
-                    fcx = jnp.minimum(lf * m, jnp.abs(vx[e]) / sub_dt * m)
-                    fcy = jnp.minimum(lf * m, jnp.abs(vy[e]) / sub_dt * m)
-                    zero = speed == 0.0
-                    addf(e, jnp.where(zero, 0.0, -(vx[e] / den) * fcx),
-                         jnp.where(zero, 0.0, -(vy[e] / den) * fcy))
-                af = float(spec.ang_fric[e])
-                if af != 0.0 and rotatable[e]:
-                    moi = float(spec.moi[e])
-                    sp = jnp.abs(w[e])
+                    fcx = jnp.minimum(lfmT, jnp.abs(VX) / sub_dt * mT)
+                    fcy = jnp.minimum(lfmT, jnp.abs(VY) / sub_dt * mT)
+                    drop = (speed == 0.0) | ~lf_onT
+                    BFX = BFX + jnp.where(drop, 0.0, -(VX / den) * fcx)
+                    BFY = BFY + jnp.where(drop, 0.0, -(VY / den) * fcy)
+                if has_af:
+                    sp = jnp.abs(W)
                     den = jnp.where(sp == 0.0, 1.0, sp)
-                    fc = jnp.minimum(af * moi, sp / sub_dt * moi)
-                    addt(e, jnp.where(sp == 0.0, 0.0, -(w[e] / den) * fc))
-
-            # gravity (world + per-entity static + per-env dynamic)
-            for e in range(E):
-                if not movable[e]:
-                    continue
-                egx = gx + float(spec.ent_gravity[e, 0])
-                egy = gy + float(spec.ent_gravity[e, 1])
-                m = float(spec.mass[e])
+                    fc = jnp.minimum(afmT, sp / sub_dt * moiT)
+                    BTQ = BTQ + jnp.where(
+                        (sp == 0.0) | ~af_onT, 0.0, -(W / den) * fc
+                    )
                 if dyn_gravity:
-                    addf(e, m * (dgx[e] + egx), m * (dgy[e] + egy))
-                elif egx != 0.0 or egy != 0.0:
-                    addf(e, jnp.full_like(px[e], m * egx), jnp.full_like(px[e], m * egy))
+                    BFX = BFX + gmT * (DGX + egxT)
+                    BFY = BFY + gmT * (DGY + egyT)
+                elif has_static_grav:
+                    BFX = BFX + gsxT
+                    BFY = BFY + gsyT
+
+                def addf(e, ax, ay):
+                    if not movable[e]:
+                        return
+                    if Fx[e] is None:
+                        Fx[e] = BFX[e : e + 1, :]
+                        Fy[e] = BFY[e : e + 1, :]
+                    Fx[e] = Fx[e] + ax
+                    Fy[e] = Fy[e] + ay
+
+                def addt(e, t):
+                    if not rotatable[e]:
+                        return
+                    if Tq[e] is None:
+                        Tq[e] = BTQ[e : e + 1, :]
+                    Tq[e] = Tq[e] + t
+            else:
+                def addf(e, ax, ay):
+                    if not movable[e]:
+                        return
+                    Fx[e] = ax if Fx[e] is None else Fx[e] + ax
+                    Fy[e] = ay if Fy[e] is None else Fy[e] + ay
+
+                def addt(e, t):
+                    if not rotatable[e]:
+                        return
+                    Tq[e] = t if Tq[e] is None else Tq[e] + t
+
+                # action forces
+                for e in range(E):
+                    addf(e, fx[e], fy[e])
+                    addt(e, tq[e])
+
+                # coulomb friction (physics.py:255-263)
+                for e in range(E):
+                    lf = float(spec.lin_fric[e])
+                    m = float(spec.mass[e])
+                    if lf != 0.0 and movable[e]:
+                        speed = _norm(vx[e], vy[e])
+                        den = jnp.where(speed == 0.0, 1.0, speed)
+                        fcx = jnp.minimum(lf * m, jnp.abs(vx[e]) / sub_dt * m)
+                        fcy = jnp.minimum(lf * m, jnp.abs(vy[e]) / sub_dt * m)
+                        zero = speed == 0.0
+                        addf(e, jnp.where(zero, 0.0, -(vx[e] / den) * fcx),
+                             jnp.where(zero, 0.0, -(vy[e] / den) * fcy))
+                    af = float(spec.ang_fric[e])
+                    if af != 0.0 and rotatable[e]:
+                        moi = float(spec.moi[e])
+                        sp = jnp.abs(w[e])
+                        den = jnp.where(sp == 0.0, 1.0, sp)
+                        fc = jnp.minimum(af * moi, sp / sub_dt * moi)
+                        addt(e, jnp.where(sp == 0.0, 0.0, -(w[e] / den) * fc))
+
+                # gravity (world + per-entity static + per-env dynamic)
+                for e in range(E):
+                    if not movable[e]:
+                        continue
+                    egx = gx + float(spec.ent_gravity[e, 0])
+                    egy = gy + float(spec.ent_gravity[e, 1])
+                    m = float(spec.mass[e])
+                    if dyn_gravity:
+                        addf(e, m * (dgx[e] + egx), m * (dgy[e] + egy))
+                    elif egx != 0.0 or egy != 0.0:
+                        addf(e, jnp.full_like(px[e], m * egx), jnp.full_like(px[e], m * egy))
 
             # joint constraints (physics.py:266-300)
             for j in range(J):
@@ -753,56 +996,109 @@ def _make_kernel(world, outputs=None):
                     addt(b, (qbx - px[b]) * (-afy) - (qby - py[b]) * (-afx))
 
             # integrate (physics.py:413-441)
-            for e in range(E):
-                if movable[e]:
-                    drag = float(spec.drag[e])
-                    if substep == 0 and drag != 0.0:
-                        vx[e] = vx[e] * (1 - drag)
-                        vy[e] = vy[e] * (1 - drag)
-                    inv_m = float(spec.inv_mass[e])
-                    fex = Fx[e] if Fx[e] is not None else 0.0
-                    fey = Fy[e] if Fy[e] is not None else 0.0
-                    vx[e] = vx[e] + fex * inv_m * sub_dt
-                    vy[e] = vy[e] + fey * inv_m * sub_dt
-                    ms = float(spec.max_speed[e])
-                    if math.isfinite(ms):
-                        n = jnp.sqrt(vx[e] * vx[e] + vy[e] * vy[e])
-                        over = n > ms
-                        s = jnp.where(over, ms / jnp.where(over, n, 1.0), 1.0)
-                        vx[e] = vx[e] * s
-                        vy[e] = vy[e] * s
-                    vr = float(spec.v_range[e])
-                    if math.isfinite(vr):
-                        vx[e] = jnp.clip(vx[e], -vr, vr)
-                        vy[e] = jnp.clip(vy[e], -vr, vr)
-                    px[e] = px[e] + vx[e] * sub_dt
-                    py[e] = py[e] + vy[e] * sub_dt
-                    if world.x_semidim is not None:
-                        px[e] = jnp.clip(px[e], -world.x_semidim, world.x_semidim)
-                    if world.y_semidim is not None:
-                        py[e] = jnp.clip(py[e], -world.y_semidim, world.y_semidim)
-                if rotatable[e]:
-                    drag = float(spec.drag[e])
-                    if substep == 0 and drag != 0.0:
-                        w[e] = w[e] * (1 - drag)
-                    te = Tq[e] if Tq[e] is not None else 0.0
-                    w[e] = w[e] + te * float(spec.inv_moi[e]) * sub_dt
-                    rot[e] = rot[e] + w[e] * sub_dt
+            if ent_tile:
+                FTx = _assemble(Fx, BFX)
+                FTy = _assemble(Fy, BFY)
+                TT = _assemble(Tq, BTQ)
+                VXn, VYn = VX, VY
+                if any_drag and substep == 0:
+                    VXn = VXn * dragfacT
+                    VYn = VYn * dragfacT
+                VXn = VXn + FTx * inv_mT * sub_dt
+                VYn = VYn + FTy * inv_mT * sub_dt
+                if has_ms:
+                    n = jnp.sqrt(VXn * VXn + VYn * VYn)
+                    over = n > msT
+                    s = jnp.where(over, msT / jnp.where(over, n, 1.0), 1.0)
+                    VXn = VXn * s
+                    VYn = VYn * s
+                if has_vr:
+                    VXn = jnp.clip(VXn, -vrT, vrT)
+                    VYn = jnp.clip(VYn, -vrT, vrT)
+                PXn = PX + VXn * sub_dt
+                PYn = PY + VYn * sub_dt
+                if world.x_semidim is not None:
+                    PXn = jnp.clip(PXn, -world.x_semidim, world.x_semidim)
+                if world.y_semidim is not None:
+                    PYn = jnp.clip(PYn, -world.y_semidim, world.y_semidim)
+                PX = jnp.where(mvT, PXn, PX)
+                PY = jnp.where(mvT, PYn, PY)
+                VX = jnp.where(mvT, VXn, VX)
+                VY = jnp.where(mvT, VYn, VY)
+                Wn = W
+                if any_drag and substep == 0:
+                    Wn = Wn * dragfacT
+                Wn = Wn + TT * inv_moiT * sub_dt
+                ROTn = ROT + Wn * sub_dt
+                W = jnp.where(roT, Wn, W)
+                ROT = jnp.where(roT, ROTn, ROT)
+            else:
+                for e in range(E):
+                    if movable[e]:
+                        drag = float(spec.drag[e])
+                        if substep == 0 and drag != 0.0:
+                            vx[e] = vx[e] * (1 - drag)
+                            vy[e] = vy[e] * (1 - drag)
+                        inv_m = float(spec.inv_mass[e])
+                        fex = Fx[e] if Fx[e] is not None else 0.0
+                        fey = Fy[e] if Fy[e] is not None else 0.0
+                        vx[e] = vx[e] + fex * inv_m * sub_dt
+                        vy[e] = vy[e] + fey * inv_m * sub_dt
+                        ms = float(spec.max_speed[e])
+                        if math.isfinite(ms):
+                            n = jnp.sqrt(vx[e] * vx[e] + vy[e] * vy[e])
+                            over = n > ms
+                            s = jnp.where(over, ms / jnp.where(over, n, 1.0), 1.0)
+                            vx[e] = vx[e] * s
+                            vy[e] = vy[e] * s
+                        vr = float(spec.v_range[e])
+                        if math.isfinite(vr):
+                            vx[e] = jnp.clip(vx[e], -vr, vr)
+                            vy[e] = jnp.clip(vy[e], -vr, vr)
+                        px[e] = px[e] + vx[e] * sub_dt
+                        py[e] = py[e] + vy[e] * sub_dt
+                        if world.x_semidim is not None:
+                            px[e] = jnp.clip(px[e], -world.x_semidim, world.x_semidim)
+                        if world.y_semidim is not None:
+                            py[e] = jnp.clip(py[e], -world.y_semidim, world.y_semidim)
+                    if rotatable[e]:
+                        drag = float(spec.drag[e])
+                        if substep == 0 and drag != 0.0:
+                            w[e] = w[e] * (1 - drag)
+                        te = Tq[e] if Tq[e] is not None else 0.0
+                        w[e] = w[e] + te * float(spec.inv_moi[e]) * sub_dt
+                        rot[e] = rot[e] + w[e] * sub_dt
 
-        for e in range(E):
-            o_ref[e : e + 1, :] = px[e]
-            o_ref[E + e : E + e + 1, :] = py[e]
-            o_ref[2 * E + e : 2 * E + e + 1, :] = vx[e]
-            o_ref[3 * E + e : 3 * E + e + 1, :] = vy[e]
-            o_ref[4 * E + e : 4 * E + e + 1, :] = rot[e]
-            o_ref[5 * E + e : 5 * E + e + 1, :] = w[e]
-            o_ref[6 * E + e : 6 * E + e + 1, :] = fx[e]
-            o_ref[7 * E + e : 7 * E + e + 1, :] = fy[e]
-            o_ref[8 * E + e : 8 * E + e + 1, :] = tq[e]
+        if ent_tile:
+            o_ref[0:E, :] = PX
+            o_ref[E : 2 * E, :] = PY
+            o_ref[2 * E : 3 * E, :] = VX
+            o_ref[3 * E : 4 * E, :] = VY
+            o_ref[4 * E : 5 * E, :] = ROT
+            o_ref[5 * E : 6 * E, :] = W
+            o_ref[6 * E : 7 * E, :] = FX
+            o_ref[7 * E : 8 * E, :] = FY
+            o_ref[8 * E : 9 * E, :] = TQ
+        else:
+            for e in range(E):
+                o_ref[e : e + 1, :] = px[e]
+                o_ref[E + e : E + e + 1, :] = py[e]
+                o_ref[2 * E + e : 2 * E + e + 1, :] = vx[e]
+                o_ref[3 * E + e : 3 * E + e + 1, :] = vy[e]
+                o_ref[4 * E + e : 4 * E + e + 1, :] = rot[e]
+                o_ref[5 * E + e : 5 * E + e + 1, :] = w[e]
+                o_ref[6 * E + e : 6 * E + e + 1, :] = fx[e]
+                o_ref[7 * E + e : 7 * E + e + 1, :] = fy[e]
+                o_ref[8 * E + e : 8 * E + e + 1, :] = tq[e]
 
         if outputs is not None:
-            ctx = {"px": px, "py": py, "vx": vx, "vy": vy, "rot": rot,
-                   "w": w, "scratch": scratch_in}
+            if ent_tile:
+                ctx = {"px": _Rows(PX), "py": _Rows(PY), "vx": _Rows(VX),
+                       "vy": _Rows(VY), "rot": _Rows(ROT), "w": _Rows(W),
+                       "scratch": scratch_in}
+            else:
+                ctx = {"px": px, "py": py, "vx": vx, "vy": vy, "rot": rot,
+                       "w": w, "scratch": scratch_in}
             extra = outputs.emit(ctx)
             assert len(extra) == int(outputs.n_out), (
                 f"emit produced {len(extra)} rows, n_out={outputs.n_out}"
@@ -838,6 +1134,11 @@ def _batched_rows_estimate(spec) -> int:
     tiles, which are hoisted before the substep loop and stay resident."""
     transient = 0
     resident = 0
+    if _entity_tile_on(len(spec.mass)):
+        # entity-tiled stream: ~20 resident per-entity constant tiles plus
+        # the state/base/integrate working tiles
+        resident += 20 * len(spec.mass)
+        transient += 12 * len(spec.mass)
     for n, per_pair, n_consts in (
         (len(spec.ss_a), 6, 1),
         (len(spec.ls_line), 10, 2),

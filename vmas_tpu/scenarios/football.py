@@ -65,7 +65,13 @@ class AgentPolicy:
     """
 
     def __init__(self, scenario, team, speed_strength=1.0, decision_strength=1.0,
-                 precision_strength=1.0, disabled=False):
+                 precision_strength=1.0, disabled=False, forced_objectives=False):
+        # forced_objectives: replay harness hook — repositioning targets are
+        # read from the scratch row ``forced_best_pos`` instead of sampling
+        # check_better_positions. Used by the golden AI-trajectory parity
+        # test to inject the reference AI's recorded objectives (whose
+        # candidate selection we intentionally deviate from: the reference's
+        # gather indexes env 0's candidates for every env, football.py:2170).
         self.scenario = scenario
         self.team_name = team
         self.speed_strength = speed_strength**2
@@ -84,6 +90,7 @@ class AgentPolicy:
         self.sigma = 0.5
         self.replan_margin = 0.0
         self.disabled = disabled
+        self.forced_objectives = forced_objectives
         self.key = f"ai_{team}"
         self.pos_coeffs = jnp.asarray(hermite_coeffs(min(self.pos_lookahead, 1), 0))
         self.vel_coeffs = jnp.asarray(hermite_coeffs(min(self.vel_lookahead, 1), 1))
@@ -121,6 +128,9 @@ class AgentPolicy:
             "start_vel": z(B, A, 2),
             "agent_possession": jnp.zeros((B, A), bool),
             "team_possession": jnp.zeros((B,), bool),
+            # replay-harness slot (see __init__ forced_objectives); always
+            # present so the scratch pytree structure is config-independent
+            "forced_best_pos": z(B, A, 2),
         }
 
     # -- helpers ----------------------------------------------------------
@@ -245,7 +255,10 @@ class AgentPolicy:
         ai = self.update_dribble(
             state, ai, agent, self.target_net.pos(state), mask=possession_mask
         )
-        best_pos = self.check_better_positions(state, ai, agent)
+        if self.forced_objectives:
+            best_pos = ai["forced_best_pos"][:, i]
+        else:
+            best_pos = self.check_better_positions(state, ai, agent)
         return self.go_to(state, ai, agent, best_pos, aggression=1.0,
                           mask=~possession_mask)
 
@@ -257,7 +270,10 @@ class AgentPolicy:
         possession_mask = ai["agent_possession"][:, i]
         otheragent = next(a for a in self.teammates if a is not agent)
         ai = self.shoot(state, ai, agent, otheragent.pos(state), mask=possession_mask)
-        best_pos = self.check_better_positions(state, ai, agent)
+        if self.forced_objectives:
+            best_pos = ai["forced_best_pos"][:, i]
+        else:
+            best_pos = self.check_better_positions(state, ai, agent)
         return self.go_to(state, ai, agent, best_pos, aggression=1.0,
                           mask=~possession_mask)
 
@@ -456,6 +472,9 @@ class Scenario(BaseScenario):
         self.ai_decision_strength = kwargs.pop("ai_decision_strength", 1.0)
         self.ai_precision_strength = kwargs.pop("ai_precision_strength", 1.0)
         self.disable_ai_red = kwargs.pop("disable_ai_red", False)
+        # test-harness extension (not a reference kwarg): scripted AIs take
+        # repositioning targets from scratch instead of sampling them
+        self.ai_forced_objectives = kwargs.pop("ai_forced_objectives", False)
         self.agent_size = kwargs.pop("agent_size", 0.025)
         self.goal_size = kwargs.pop("goal_size", 0.35)
         self.goal_depth = kwargs.pop("goal_depth", 0.1)
@@ -543,6 +562,7 @@ class Scenario(BaseScenario):
                 speed_strength=strength(self.ai_speed_strength, 1),
                 precision_strength=strength(self.ai_precision_strength, 1),
                 decision_strength=strength(self.ai_decision_strength, 1),
+                forced_objectives=self.ai_forced_objectives,
             )
             if self.ai_red_agents else None
         )
@@ -552,6 +572,7 @@ class Scenario(BaseScenario):
                 speed_strength=strength(self.ai_speed_strength, 0),
                 precision_strength=strength(self.ai_precision_strength, 0),
                 decision_strength=strength(self.ai_decision_strength, 0),
+                forced_objectives=self.ai_forced_objectives,
             )
             if self.ai_blue_agents else None
         )

@@ -158,6 +158,10 @@ def test_fused_matches_xla(scenario, monkeypatch):
         ("simple_world_comm", dict(), None, 4),
         ("simple_world_comm", dict(num_good_agents=3, num_adversaries=2, num_forests=1, num_food=3), None, 2),
         ("simple_tag", dict(shape_agent_rew=True, shape_adversary_rew=True, agents_share_rew=True, adversaries_share_rew=False, observe_same_team=False, observe_pos=False), "per_agent_rew", 2),
+        # scripted red AI + ball script run pre-kernel; obs/rew/done as rows
+        ("football", dict(), "pos_shaping_blue", 2),
+        # both teams policy: red-team x-flip rows + dense_red branch
+        ("football", dict(ai_red_agents=False), "pos_shaping_red", 2),
     ],
 )
 def test_fused_outputs_match_scenario_path(scenario, kwargs, scratch_key,

@@ -1095,10 +1095,11 @@ def _make_kernel(world, outputs=None):
             if ent_tile:
                 ctx = {"px": _Rows(PX), "py": _Rows(PY), "vx": _Rows(VX),
                        "vy": _Rows(VY), "rot": _Rows(ROT), "w": _Rows(W),
+                       "fx": _Rows(FX), "fy": _Rows(FY),
                        "scratch": scratch_in}
             else:
                 ctx = {"px": px, "py": py, "vx": vx, "vy": vy, "rot": rot,
-                       "w": w, "scratch": scratch_in}
+                       "w": w, "fx": fx, "fy": fy, "scratch": scratch_in}
             extra = outputs.emit(ctx)
             assert len(extra) == int(outputs.n_out), (
                 f"emit produced {len(extra)} rows, n_out={outputs.n_out}"

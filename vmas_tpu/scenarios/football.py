@@ -948,6 +948,203 @@ class Scenario(BaseScenario):
             <= self.agent_size + self.ball_size + 1e-2,
         }
 
+    # -- fused outputs --------------------------------------------------------
+    def make_fused_outputs(self, world):
+        """Emit football's observations/rewards/done as extra rows of the
+        fused physics kernel (fused.FusedOutputs) for the flat-obs,
+        non-shooting configs; returns None otherwise so the hook pipeline
+        runs. The scripted AIs (and the ball's anti-stall script) run in
+        process_action, BEFORE the kernel, and are untouched.
+
+        Row math mirrors pre_rewards/_dense_reward/observation/done above
+        line for line (reference football.py:1118-1457); the red-team flip
+        is an exact f32 negation of the x rows. Asserted equal to the hook
+        pipeline by tests/test_fused.py for both the AI-red and two-policy-
+        team configs."""
+        if self.dict_obs or self.enable_shooting:
+            return None
+        from vmas_tpu.core import fused as F
+
+        scen = self
+        agents = world.policy_agents
+        if not agents:
+            return None
+        A_pol = len(agents)
+        bi = self.ball.index
+        blue_set = set(id(a) for a in self.blue_agents)
+        is_blue = [id(a) in blue_set for a in agents]
+        blue_idx = [a.index for a in self.blue_agents]
+        red_idx = [a.index for a in self.red_agents]
+        # right goal == blue's target and the red flip of the left goal
+        gx = float(self.pitch_length / 2 + self.ball_size / 2)
+        x_over = float(self.pitch_length / 2 + self.ball_size / 2)
+        y_goal = float(self.goal_size / 2)
+        scoring = float(self.scoring_reward)
+        f_goal = float(self.pos_shaping_factor_ball_goal)
+        f_agent = float(self.pos_shaping_factor_agent_ball)
+        trigger = float(self.distance_to_ball_trigger)
+        dense_blue_on = self.dense_reward and not self.ai_blue_agents
+        dense_red_on = self.dense_reward and not self.ai_red_agents
+        obs_adv = self.observe_adversaries
+        obs_team = self.observe_teammates
+
+        def obs_w(blue):
+            other = red_idx if blue else blue_idx
+            team = blue_idx if blue else red_idx
+            w = 12 + 2 + 2
+            if obs_adv and len(other):
+                w += 8 * len(other)
+            if obs_team:
+                w += 8 * (len(team) - 1)
+            return w
+
+        widths = [obs_w(b) for b in is_blue]
+        n_dense_rows = 5 * (int(dense_blue_on) + int(dense_red_on))
+        total_out = sum(widths) + 4 + n_dense_rows
+
+        class FootballOutputs(F.FusedOutputs):
+            n_scratch_in = 2 * (int(dense_blue_on) + int(dense_red_on))
+            n_out = total_out
+
+            @staticmethod
+            def scratch_rows(state):
+                s = state.scenario
+                rows = []
+                if dense_blue_on:
+                    rows += [s["pos_shaping_blue"], s["pos_shaping_agent_blue"]]
+                if dense_red_on:
+                    rows += [s["pos_shaping_red"], s["pos_shaping_agent_red"]]
+                import numpy as _np
+
+                if not rows:
+                    return _np.zeros((0, state.batch_dim), _np.float32)
+                return jnp.stack(rows, axis=0)
+
+            @staticmethod
+            def emit(ctx):
+                px, py, vx, vy = ctx["px"], ctx["py"], ctx["vx"], ctx["vy"]
+                fx, fy = ctx["fx"], ctx["fy"]
+                prev = ctx["scratch"]
+                bpx, bpy = px[bi], py[bi]
+                bvx, bvy = vx[bi], vy[bi]
+
+                # pre_rewards sparse block
+                over_right = bpx > x_over
+                over_left = bpx < -x_over
+                goal_mask = (bpy <= y_goal) & (bpy >= -y_goal)
+                blue_score = over_right & goal_mask
+                red_score = over_left & goal_mask
+                sparse_blue = (
+                    scoring * blue_score.astype(jnp.float32)
+                    - scoring * red_score.astype(jnp.float32)
+                )
+                done = (blue_score | red_score).astype(jnp.float32)
+
+                def dense(team_idx, goal_sign, prev0, prev1):
+                    # _dense_reward: goal_pos is (goal_sign*gx, 0)
+                    dist_goal = F._norm(bpx - goal_sign * gx, bpy)
+                    pos_shaping = dist_goal * f_goal
+                    pos_rew = prev0 - pos_shaping
+                    min_dist = None
+                    for ai in team_idx:
+                        d = F._norm(px[ai] - bpx, py[ai] - bpy)
+                        min_dist = d if min_dist is None else jnp.minimum(min_dist, d)
+                    agent_shaping = min_dist * f_agent
+                    ball_moving = F._norm(bvx, bvy) > 1e-6
+                    close = min_dist < trigger
+                    pos_rew_agent = jnp.where(
+                        close | ball_moving, 0.0, prev1 - agent_shaping
+                    )
+                    return (pos_rew + pos_rew_agent,
+                            [pos_rew, pos_rew_agent, pos_shaping, agent_shaping,
+                             min_dist])
+
+                k = 0
+                dense_rows = []
+                zero = jnp.zeros_like(sparse_blue)
+                if dense_blue_on:
+                    dense_blue, extra_b = dense(blue_idx, 1.0, prev[k], prev[k + 1])
+                    k += 2
+                    dense_rows += extra_b
+                else:
+                    dense_blue = zero
+                if dense_red_on:
+                    dense_red, extra_r = dense(red_idx, -1.0, prev[k], prev[k + 1])
+                    k += 2
+                    dense_rows += extra_r
+                else:
+                    dense_red = zero
+
+                rows = []
+                for a, blue in zip(agents, is_blue):
+                    ai = a.index
+                    s = 1.0 if blue else -1.0
+                    sx = (lambda r: r) if blue else (lambda r: -r)
+                    other = red_idx if blue else blue_idx
+                    team = blue_idx if blue else red_idx
+                    # "obs": force | pos-ball | vel-ballvel | ball-goal | ballvel | ballforce
+                    rows += [sx(fx[ai]), fy[ai]]
+                    rows += [sx(px[ai] - bpx), py[ai] - bpy]
+                    rows += [sx(vx[ai] - bvx), vy[ai] - bvy]
+                    rows += [sx(bpx) - gx, bpy]
+                    rows += [sx(bvx), bvy]
+                    rows += [sx(fx[bi]), fy[bi]]
+                    # "pos": agent - goal; "vel"
+                    rows += [sx(px[ai]) - gx, py[ai]]
+                    rows += [sx(vx[ai]), vy[ai]]
+                    if obs_adv and len(other):
+                        for oi in other:
+                            rows += [sx(px[ai] - px[oi]), py[ai] - py[oi],
+                                     sx(vx[ai] - vx[oi]), vy[ai] - vy[oi],
+                                     sx(vx[oi]), vy[oi], sx(fx[oi]), fy[oi]]
+                    if obs_team:
+                        for oi in team:
+                            if oi == ai:
+                                continue
+                            rows += [sx(px[ai] - px[oi]), py[ai] - py[oi],
+                                     sx(vx[ai] - vx[oi]), vy[ai] - vy[oi],
+                                     sx(vx[oi]), vy[oi], sx(fx[oi]), fy[oi]]
+                rows += [sparse_blue, dense_blue, dense_red, done]
+                rows += dense_rows
+                return rows
+
+            @staticmethod
+            def unpack(extra, state):
+                obs = []
+                o = 0
+                for w in widths:
+                    obs.append(extra[o : o + w].T)
+                    o += w
+                sparse = extra[o]
+                dense_b = extra[o + 1]
+                dense_r = extra[o + 2]
+                done = extra[o + 3] > 0.5
+                o += 4
+                rews = tuple(
+                    (sparse + dense_b) if blue else (-sparse + dense_r)
+                    for blue in is_blue
+                )
+                updates = {
+                    "sparse_blue": sparse,
+                    "dense_blue": dense_b,
+                    "dense_red": dense_r,
+                    "done": done,
+                }
+                for on, tag in ((dense_blue_on, "blue"), (dense_red_on, "red")):
+                    if not on:
+                        continue
+                    updates[f"pos_rew_{tag}"] = extra[o]
+                    updates[f"pos_rew_agent_{tag}"] = extra[o + 1]
+                    updates[f"pos_shaping_{tag}"] = extra[o + 2]
+                    updates[f"pos_shaping_agent_{tag}"] = extra[o + 3]
+                    updates[f"min_agent_dist_to_ball_{tag}"] = extra[o + 4]
+                    o += 5
+                return tuple(obs), rews, done, updates
+
+        # silence the unused-variable lint for scen (kept for debuggability)
+        del scen
+        return FootballOutputs()
+
     # -- rendering ----------------------------------------------------------
     def extra_render(self, env, ax, env_index: int = 0):
         """Field background + blue-agent indices + shooting sectors

@@ -262,13 +262,16 @@ def _make_obs_kernel(A, S, K, apply_mask, norm_pos, norm_v, norm_dist, thresh):
 
         for i in range(A):
             pxi, pyi, roti = row(PX + i), row(PY + i), row(ROT + i)
+            ci, si = jnp.cos(roti), jnp.sin(roti)
 
-            def to_local(qx, qy):
-                """one point -> ego-i frame (observation's to_local)."""
+            def to_local(qx, qy, ci=ci, si=si, pxi=pxi, pyi=pyi):
+                """one point -> ego-i frame. The observation hook's to_local
+                is the polar form cos/sin(atan2(dy,dx) - rot)*|v|; this is
+                its exact rotation-matrix identity (equal to ~1 ulp) —
+                Mosaic has no atan2 lowering, and hoisting cos/sin(rot) per
+                ego removes 3 transcendentals per transformed point."""
                 dx, dy = qx - pxi, qy - pyi
-                vec_abs = safe_norm2(dx, dy)
-                rel = jnp.arctan2(dy, dx) - roti
-                return jnp.cos(rel) * vec_abs, jnp.sin(rel) * vec_abs
+                return dx * ci + dy * si, dy * ci - dx * si
 
             # mutual distances from ego i (d_agents row i, diagonal lifted —
             # the global-max lift only keeps self out of the top-K, so an

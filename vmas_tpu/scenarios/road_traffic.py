@@ -269,8 +269,11 @@ class Scenario(BaseScenario):
         # Environment flips it off under grad_enabled
         self.pallas_sweeps = bool(kwargs.pop("pallas_sweeps", True))
         # all-ego pallas observation kernel (road_traffic_kernel.obs_all):
-        # forward-only, default-config observation structure only
-        self.pallas_obs = bool(kwargs.pop("pallas_obs", False))
+        # forward-only, default-config observation structure only (the
+        # observations() hook returns None and the per-agent path runs
+        # otherwise). Default ON since round 3: measured 2.07 -> 1.10 ms/step
+        # at 512 envs, 13.9 -> 5.4 ms at 4096 (docs/PERFORMANCE.md)
+        self.pallas_obs = bool(kwargs.pop("pallas_obs", True))
         ScenarioUtils.check_kwargs_consumed(kwargs)
 
         if self.n_nearing_agents >= self.n_agents:

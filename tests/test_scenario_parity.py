@@ -68,7 +68,12 @@ def _inject_football_ai(env, d, t):
 PER_STEP_INJECT = {
     "football_ai": _inject_football_ai,
 }
-# collision/contact-heavy scenes accumulate fp reorder noise faster
+# collision/contact-heavy scenes accumulate fp reorder noise faster.
+# Horizons are per-case (gen_scenario_cases.py T_OF): the stiff-contact set
+# below records 10 steps — at 50 their f32-reorder drift compounds past any
+# meaningful tolerance (measured in round 3: atol bumps only delay the
+# failure step, and buzz_wire's ±10 wire-touch reward flips on sub-atol pos
+# drift) — while the other ~40 cases replay 50 steps at these tolerances.
 ATOL = {
     "transport": 2e-3,
     "reverse_transport": 2e-3,
@@ -274,7 +279,14 @@ def refresh_scratch(env, state, name):
 # drift (bounded), assert the rest exactly — and assert post-hoc that every
 # forked env actually WAS in contact at its fork step (a fork away from
 # contact would be a real kernel bug, not a tie flip).
-CHAOTIC_ENVS = {"kinematic_bicycle": 1, "pollock": 1}
+CHAOTIC_ENVS = {
+    "kinematic_bicycle": 1,
+    "pollock": 1,
+    # top-K nearing-agent selection ties flip on sub-atol pos drift late in
+    # the 50-step replay (obs-only divergence; trajectories stay in parity)
+    "road_traffic": 1,
+    "road_traffic_map3": 1,
+}
 # a forked trajectory legitimately diverges without bound; the cap only
 # exists to catch NaN/explosion-class failures in the excluded envs
 CHAOS_CAP = 1.0

@@ -11,6 +11,33 @@ from __future__ import annotations
 import abc
 from abc import ABC
 
+import jax.numpy as jnp
+import numpy as np
+
+
+def stack_u(state, agents):
+    """[B, A, W] stack of the group's decoded actions (equal widths —
+    the grouping key includes action_size)."""
+    return jnp.stack([a.u(state) for a in agents], axis=1)
+
+
+def gather_body(state, agents):
+    """(pos [B,A,2], rot [B,A], vel [B,A,2], ang_vel [B,A]) for the group."""
+    idx = np.asarray([a.index for a in agents])
+    return state.pos[:, idx], state.rot[:, idx], state.vel[:, idx], state.ang_vel[:, idx]
+
+
+def scatter_force(state, agents, force):
+    """Write force [B, A, 2] to the group's entity rows — the batched form
+    of per-agent ``set_force`` (same values, disjoint rows)."""
+    idx = np.asarray([a.index for a in agents])
+    return state.replace(force=state.force.at[:, idx].set(jnp.asarray(force, jnp.float32)))
+
+
+def scatter_torque(state, agents, torque):
+    idx = np.asarray([a.index for a in agents])
+    return state.replace(torque=state.torque.at[:, idx].set(jnp.asarray(torque, jnp.float32)))
+
 
 class Dynamics(ABC):
     def __init__(self):
@@ -34,6 +61,27 @@ class Dynamics(ABC):
     # hidden-state lifecycle (reference Dynamics.reset/zero_grad)
     def init_state(self, batch_dim: int):
         return ()
+
+    # -- agent-axis batching --------------------------------------------
+    # The reference applies dynamics in a per-agent Python loop
+    # (core.py:1994-2003 via scenario.py:91-97). Under jit that unrolls to
+    # N independent small-op chains, and at many-agent counts (road_traffic's
+    # 20 bicycles) the step becomes bound by the sheer number of tiny fused
+    # kernels, not by math. Models whose process_action is elementwise in the
+    # agent axis advertise a ``batch_spec`` key; the environment groups
+    # same-key agents at build time and runs ONE [B, A]-shaped
+    # ``process_action_batch`` for the group. Stacking rows of an
+    # elementwise computation changes no float op, so results are bitwise
+    # identical to the per-agent loop (asserted by tests/test_dynamics_batch.py).
+    def batch_spec(self):
+        """Hashable grouping key, or None if this model must run per-agent
+        (stateful models like Drone, or anything non-elementwise)."""
+        return None
+
+    def process_action_batch(self, world, state, agents):
+        """Process a whole same-``batch_spec`` agent group in one batched
+        computation. Only called when ``batch_spec()`` returned non-None."""
+        raise NotImplementedError
 
     def check_and_process_action(self, world, state):
         u = self.agent.u(state)

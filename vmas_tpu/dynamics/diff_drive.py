@@ -22,7 +22,7 @@ class DiffDrive(Dynamics):
         self.world = world
 
     def f(self, state, u_command, ang_vel_command):
-        theta = state[:, 2]
+        theta = state[..., 2]
         dx = u_command * jnp.cos(theta)
         dy = u_command * jnp.sin(theta)
         return jnp.stack((dx, dy, ang_vel_command), axis=-1)
@@ -58,3 +58,33 @@ class DiffDrive(Dynamics):
 
         state = agent.set_force(state, agent.mass * acc_xy)
         return agent.set_torque(state, agent.moment_of_inertia * acc_ang)
+
+    def batch_spec(self):
+        return ("diff_drive", self.dt, self.integration)
+
+    def process_action_batch(self, world, state, agents):
+        """One [B, A] evaluation of the group — ``f`` is elementwise in the
+        agent axis, so this is the per-agent loop bit for bit."""
+        import numpy as np
+
+        from vmas_tpu.dynamics.common import (
+            gather_body, scatter_force, scatter_torque, stack_u,
+        )
+
+        u = stack_u(state, agents)  # [B, A, W]
+        u_command, ang_vel_command = u[:, :, 0], u[:, :, 1]
+
+        pos, rot, vel, ang_vel = gather_body(state, agents)
+        cur = jnp.concatenate([pos, rot[..., None]], axis=-1)  # [B, A, 3]
+        if self.integration == "euler":
+            delta = self.euler(cur, u_command, ang_vel_command)
+        else:
+            delta = self.runge_kutta(cur, u_command, ang_vel_command)
+
+        acc_xy = (delta[..., :2] - vel * self.dt) / self.dt**2
+        acc_ang = (delta[..., 2] - ang_vel * self.dt) / self.dt**2
+
+        mass = np.asarray([a.mass for a in agents], np.float32)
+        moi = np.asarray([a.moment_of_inertia for a in agents], np.float32)
+        state = scatter_force(state, agents, mass[None, :, None] * acc_xy)
+        return scatter_torque(state, agents, moi[None] * acc_ang)

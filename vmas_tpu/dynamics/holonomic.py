@@ -10,3 +10,11 @@ class Holonomic(Dynamics):
 
     def process_action(self, world, state):
         return self.agent.set_force(state, self.agent.u(state)[:, :2])
+
+    def batch_spec(self):
+        return ("holonomic",)
+
+    def process_action_batch(self, world, state, agents):
+        from vmas_tpu.dynamics.common import scatter_force, stack_u
+
+        return scatter_force(state, agents, stack_u(state, agents)[:, :, :2])

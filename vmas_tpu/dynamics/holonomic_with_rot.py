@@ -12,3 +12,13 @@ class HolonomicWithRotation(Dynamics):
         u = self.agent.u(state)
         state = self.agent.set_force(state, u[:, :2])
         return self.agent.set_torque(state, u[:, 2])
+
+    def batch_spec(self):
+        return ("holonomic_with_rotation",)
+
+    def process_action_batch(self, world, state, agents):
+        from vmas_tpu.dynamics.common import scatter_force, scatter_torque, stack_u
+
+        u = stack_u(state, agents)
+        state = scatter_force(state, agents, u[:, :, :2])
+        return scatter_torque(state, agents, u[:, :, 2])

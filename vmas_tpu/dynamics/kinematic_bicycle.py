@@ -23,12 +23,12 @@ class KinematicBicycle(Dynamics):
         self.world = world
 
     def f(self, state, steering_command, v_command):
-        theta = state[:, 2]
+        theta = state[..., 2]
         beta = jnp.arctan2(jnp.tan(steering_command) * self.l_r / (self.l_f + self.l_r), 1.0)
         dx = v_command * jnp.cos(theta + beta)
         dy = v_command * jnp.sin(theta + beta)
         dtheta = v_command / (self.l_f + self.l_r) * jnp.cos(beta) * jnp.tan(steering_command)
-        return jnp.stack((dx, dy, dtheta), axis=1)
+        return jnp.stack((dx, dy, dtheta), axis=-1)
 
     def euler(self, state, steering_command, v_command):
         return self.dt * self.f(state, steering_command, v_command)
@@ -62,3 +62,37 @@ class KinematicBicycle(Dynamics):
 
         state = agent.set_force(state, agent.mass * acc_xy)
         return agent.set_torque(state, agent.moment_of_inertia * acc_ang)
+
+    def batch_spec(self):
+        return (
+            "kinematic_bicycle", self.width, self.l_f, self.l_r,
+            self.max_steering_angle, self.dt, self.integration,
+        )
+
+    def process_action_batch(self, world, state, agents):
+        """One [B, A] evaluation of the group — ``f`` is elementwise in the
+        agent axis, so this is the per-agent loop bit for bit."""
+        import numpy as np
+
+        from vmas_tpu.dynamics.common import (
+            gather_body, scatter_force, scatter_torque, stack_u,
+        )
+
+        u = stack_u(state, agents)  # [B, A, W]
+        v_command = u[:, :, 0]
+        steering_command = jnp.clip(u[:, :, 1], -self.max_steering_angle, self.max_steering_angle)
+
+        pos, rot, vel, ang_vel = gather_body(state, agents)
+        cur = jnp.concatenate([pos, rot[..., None]], axis=-1)  # [B, A, 3]
+        if self.integration == "euler":
+            delta = self.euler(cur, steering_command, v_command)
+        else:
+            delta = self.runge_kutta(cur, steering_command, v_command)
+
+        acc_xy = (delta[..., :2] - vel * self.dt) / self.dt**2
+        acc_ang = (delta[..., 2] - ang_vel * self.dt) / self.dt**2
+
+        mass = np.asarray([a.mass for a in agents], np.float32)
+        moi = np.asarray([a.moment_of_inertia for a in agents], np.float32)
+        state = scatter_force(state, agents, mass[None, :, None] * acc_xy)
+        return scatter_torque(state, agents, moi[None] * acc_ang)

@@ -11,3 +11,11 @@ class Rotation(Dynamics):
 
     def process_action(self, world, state):
         return self.agent.set_torque(state, self.agent.u(state)[:, 0])
+
+    def batch_spec(self):
+        return ("rotation",)
+
+    def process_action_batch(self, world, state, agents):
+        from vmas_tpu.dynamics.common import scatter_torque, stack_u
+
+        return scatter_torque(state, agents, stack_u(state, agents)[:, :, 0])

@@ -10,3 +10,9 @@ class Static(Dynamics):
 
     def process_action(self, world, state):
         return state
+
+    def batch_spec(self):
+        return ("static",)
+
+    def process_action_batch(self, world, state, agents):
+        return state

@@ -20,6 +20,7 @@ one-hot ``[B]`` mask blended into the state (state.blend), not a Python index.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np
@@ -114,10 +115,52 @@ class Environment:
     # ------------------------------------------------------------------
     # compiled pipelines
     # ------------------------------------------------------------------
+    def _plan_process_action(self):
+        """Build-time grouping of ``world.agents`` for the process_action
+        phase: ``(singles, groups)``.
+
+        The reference applies actions in a per-agent Python loop
+        (environment.py:325-404 via scenario.py:91-97); traced, that unrolls
+        into N independent small-op chains, and many-agent worlds become
+        bound by kernel COUNT, not math (road_traffic's 20 bicycle RK4
+        chains were ~half its step). Agents whose env_process_action
+        reduces to pure dynamics — no action_script, scenario does not
+        override process_action — and whose dynamics advertise a
+        ``batch_spec`` are grouped by (spec, action_size); each group runs
+        one [B, A] ``process_action_batch``, bitwise equal to the loop
+        (tests/test_dynamics_batch.py). Everything else stays in the
+        original per-agent order. VMAS_TPU_BATCH_DYNAMICS=0 disables
+        grouping (A/B sweeps)."""
+        agents = list(self.world.agents)
+        flag = os.environ.get("VMAS_TPU_BATCH_DYNAMICS", "1").strip().lower()
+        if flag in ("0", "false", "off"):
+            return agents, []
+        if type(self.scenario).process_action is not BaseScenario.process_action:
+            return agents, []
+        groups: Dict = {}
+        singles = []
+        for a in agents:
+            spec = None
+            if a.action_script is None and a.action_size >= a.dynamics.needed_action_size:
+                spec = a.dynamics.batch_spec()
+            if spec is None:
+                singles.append(a)
+            else:
+                groups.setdefault((spec, a.action_size), []).append(a)
+        out = []
+        for grp in groups.values():
+            if len(grp) >= 2:
+                out.append(tuple(grp))
+            else:
+                singles.extend(grp)
+        singles.sort(key=lambda a: a.index)
+        return singles, out
+
     def _build_jit_fns(self):
         scenario = self.scenario
         world = self.world
         fo = self._fused_outputs
+        pa_singles, pa_groups = self._plan_process_action()
 
         def obs_only(state: WorldState, obs_key):
             """Observations for the current state — the ONE place that
@@ -220,8 +263,15 @@ class Environment:
             keys = jax.random.split(key, max(self.n_agents, 1))
             for i, agent in enumerate(self.agents):
                 state = self._decode_action(state, agent, actions[i], keys[i])
-            for agent in world.agents:
+            # Per-agent hook order for scripted / scenario-processed /
+            # non-batchable agents; same-dynamics groups run ONE batched
+            # [B, A] computation each (bitwise equal to the loop — the
+            # batched agents touch only their own rows and the remaining
+            # hooks are identities for them; see _plan_process_action).
+            for agent in pa_singles:
                 state = scenario.env_process_action(agent, state)
+            for group in pa_groups:
+                state = group[0].dynamics.process_action_batch(world, state, group)
             state = scenario.pre_step(state)
             if fo is not None:
                 state, fused_extra = world.step_with_outputs(state, fo)

@@ -1,11 +1,14 @@
-"""Batched process_action (Dynamics.process_action_batch) is bitwise equal
-to the reference-shaped per-agent loop.
+"""Batched process_action (Dynamics.process_action_batch) matches the
+reference-shaped per-agent loop to ~1 ulp per step.
 
-The environment groups same-batch_spec agents at build time
-(Environment._plan_process_action) and runs one [B, A] computation per
-group; stacking rows of an elementwise computation changes no float op, so
-every state leaf must match EXACTLY (zero tolerance) against an env built
-with VMAS_TPU_BATCH_DYNAMICS=0.
+The opt-in VMAS_TPU_BATCH_DYNAMICS=1 groups same-batch_spec agents at build
+time (Environment._plan_process_action) and runs one [B, A] computation per
+group. The math is element-for-element identical, but XLA may pick different
+FMA/SIMD contractions for the stacked shapes of the transcendental models
+(tan/cos/sin in kinematic_bicycle measured 1 ulp off on CPU), so the
+contract is a TIGHT allclose over a short rollout, not bitwise — which is
+also why the knob defaults OFF (the drift compounds past golden-parity
+tolerance on road_traffic map 2 at horizon 50, for a measured ~7% win).
 """
 
 import jax
@@ -13,6 +16,10 @@ import numpy as np
 import pytest
 
 from vmas_tpu import make_env
+
+# ~1 ulp/step on O(1) values, 5 steps, plus slack for drift amplification
+# through the contact chain
+ATOL = 1e-5
 
 # scenarios exercising each batchable model with >= 2 same-spec agents:
 #   road_traffic: 20 KinematicBicycle         transport: 4 Holonomic
@@ -42,17 +49,17 @@ def _rollout(monkeypatch, flag, name, kwargs, steps=5):
 
 
 @pytest.mark.parametrize("name,kwargs", CASES)
-def test_batched_dynamics_bitwise(monkeypatch, name, kwargs):
+def test_batched_dynamics_matches_loop(monkeypatch, name, kwargs):
     s_ref, obs_ref, rew_ref = _rollout(monkeypatch, "0", name, kwargs)
     s_bat, obs_bat, rew_bat = _rollout(monkeypatch, "1", name, kwargs)
     for a, b in zip(jax.tree_util.tree_leaves(s_ref), jax.tree_util.tree_leaves(s_bat)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=ATOL, rtol=0)
     for oa, ob in zip(obs_ref, obs_bat):
         for a, b in zip(jax.tree_util.tree_leaves(oa), jax.tree_util.tree_leaves(ob)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=ATOL, rtol=0)
     for ra, rb in zip(rew_ref, rew_bat):
         for a, b in zip(jax.tree_util.tree_leaves(ra), jax.tree_util.tree_leaves(rb)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=ATOL, rtol=0)
 
 
 def test_plan_groups_road_traffic(monkeypatch):

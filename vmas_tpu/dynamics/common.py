@@ -70,9 +70,11 @@ class Dynamics(ABC):
     # kernels, not by math. Models whose process_action is elementwise in the
     # agent axis advertise a ``batch_spec`` key; the environment groups
     # same-key agents at build time and runs ONE [B, A]-shaped
-    # ``process_action_batch`` for the group. Stacking rows of an
-    # elementwise computation changes no float op, so results are bitwise
-    # identical to the per-agent loop (asserted by tests/test_dynamics_batch.py).
+    # ``process_action_batch`` for the group. The math is element-for-
+    # element the per-agent loop's, but XLA may contract the stacked shapes
+    # differently (FMA/SIMD choice), so results match to ~1 ulp/step, not
+    # bitwise (asserted by tests/test_dynamics_batch.py) — which is why the
+    # grouping is an opt-in knob (see Environment._plan_process_action).
     def batch_spec(self):
         """Hashable grouping key, or None if this model must run per-agent
         (stateful models like Drone, or anything non-elementwise)."""

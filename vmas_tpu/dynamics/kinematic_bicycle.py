@@ -71,7 +71,8 @@ class KinematicBicycle(Dynamics):
 
     def process_action_batch(self, world, state, agents):
         """One [B, A] evaluation of the group — ``f`` is elementwise in the
-        agent axis, so this is the per-agent loop bit for bit."""
+        agent axis, so this is the per-agent loop's math row for row (XLA's
+        shape-dependent FMA/SIMD choices leave ~1 ulp/step; see common.py)."""
         import numpy as np
 
         from vmas_tpu.dynamics.common import (

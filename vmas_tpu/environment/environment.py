@@ -127,13 +127,20 @@ class Environment:
         reduces to pure dynamics — no action_script, scenario does not
         override process_action — and whose dynamics advertise a
         ``batch_spec`` are grouped by (spec, action_size); each group runs
-        one [B, A] ``process_action_batch``, bitwise equal to the loop
-        (tests/test_dynamics_batch.py). Everything else stays in the
-        original per-agent order. VMAS_TPU_BATCH_DYNAMICS=0 disables
-        grouping (A/B sweeps)."""
+        one [B, A] ``process_action_batch``. Everything else stays in the
+        original per-agent order.
+
+        OFF by default (VMAS_TPU_BATCH_DYNAMICS=1 opts in): stacked shapes
+        let XLA pick different FMA/SIMD contractions for the transcendental
+        models, so the grouped result drifts ~1 ulp/step from the per-agent
+        loop (tests/test_dynamics_batch.py asserts the tight bound) — enough
+        to compound past golden-parity tolerance on road_traffic map 2 over
+        50 steps — and the measured win was only ~7% (road_traffic@512 on
+        TPU, same-process A/B: 1160 -> 1084 us/step, round 4). A knob, not a
+        default."""
         agents = list(self.world.agents)
-        flag = os.environ.get("VMAS_TPU_BATCH_DYNAMICS", "1").strip().lower()
-        if flag in ("0", "false", "off"):
+        flag = os.environ.get("VMAS_TPU_BATCH_DYNAMICS", "0").strip().lower()
+        if flag in ("0", "false", "off", ""):
             return agents, []
         if type(self.scenario).process_action is not BaseScenario.process_action:
             return agents, []

@@ -306,3 +306,62 @@ def test_supports_rejects_many_entity_unroll():
     assert not _fused.supports(builder), (
         "500 movable entities x 10 substeps passed the unroll guard"
     )
+
+
+@pytest.mark.parametrize(
+    "scenario,kwargs,ent_tile",
+    [
+        ("transport", dict(n_agents=3), "0"),   # unrolled per-pair rows
+        ("transport", dict(n_agents=3), "1"),   # entity-tiled stream
+        ("joint_passage", dict(), "0"),         # joints + substeps
+    ],
+)
+def test_sublane_packing_matches_row_form(scenario, kwargs, ent_tile, monkeypatch):
+    """S>1 sublane packing (fused._sublanes, opt-in — measured a loss on
+    hardware, see the _sublanes comment) is a pure layout change — the
+    host-side [R, B] -> [R*S, B/S] reshape is a row-major bitcast and every
+    kernel op stays elementwise per env — so per-env values must match the
+    S=1 row form to the usual shape-dependent-contraction slack (~1 ulp)."""
+    monkeypatch.setenv("VMAS_TPU_FUSED_ENTITY_TILE", ent_tile)
+    B = 256  # bp=256 -> S=2, the smallest batch the packing engages on
+
+    envs = {}
+    for s in ("1", "2"):
+        monkeypatch.setenv("VMAS_TPU_FUSED_SUBLANES", s)
+        env = make_env(scenario, num_envs=B, seed=3, **kwargs)
+        env.world.fused = True
+        envs[s] = (env, jax.jit(env.world.step))
+    state = _randomized(envs["1"][0], jax.random.PRNGKey(5))
+
+    monkeypatch.setenv("VMAS_TPU_FUSED_SUBLANES", "1")
+    s1 = envs["1"][1](state)
+    jax.block_until_ready(s1.pos)
+    monkeypatch.setenv("VMAS_TPU_FUSED_SUBLANES", "2")
+    s2 = envs["2"][1](state)
+    for name in ("pos", "vel", "rot", "ang_vel", "force", "torque"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s2, name)), np.asarray(getattr(s1, name)),
+            atol=1e-6, rtol=1e-6,
+            err_msg=f"{scenario} ent_tile={ent_tile}: {name} differs packed vs row form",
+        )
+
+
+def test_sublane_packing_with_fused_outputs(monkeypatch):
+    """Fused output rows (scratch inputs + emitted obs/rew/done) under S=2:
+    the whole env.step must agree with the S=1 form."""
+    B = 256
+    outs = {}
+    for s in ("1", "2"):
+        monkeypatch.setenv("VMAS_TPU_FUSED_SUBLANES", s)
+        env = make_env("transport", num_envs=B, seed=3, n_agents=3,
+                       fused_physics=True)
+        assert env._fused_outputs is not None
+        acts = [np.full((B, env.get_agent_action_size(a)), 0.3, np.float32)
+                for a in env.agents]
+        obs, rews, dones, infos = env.step(acts)
+        jax.block_until_ready(obs[0])
+        outs[s] = (obs, rews, dones)
+    for a, b in zip(jax.tree_util.tree_leaves(outs["1"]),
+                    jax.tree_util.tree_leaves(outs["2"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)

@@ -245,34 +245,64 @@ def _entity_tile_on(E: int) -> bool:
     return E >= _ENTITY_TILE_MIN_E
 
 
+# Sublane packing (VMAS_TPU_FUSED_SUBLANES, default OFF): a logical (1, B)
+# state row nominally occupies ceil(B/128) VREGs with 1 of 8 sublanes live,
+# which round 2's roofline note blamed for the kernel's VPU-issue floor.
+# Packing S row-segments onto sublanes tests that theory WITHOUT in-kernel
+# relayouts (the round-2 attempt reshaped inside the kernel and paid real
+# layout copies): the host-side [R, B] -> [R*S, B/S] reshape is row-major
+# contiguous — a free XLA bitcast — and every kernel row view becomes a
+# fully-packed (S, B/S) tile, values per env bit-identical to S=1.
+#
+# MEASURED A LOSS on hardware (round 4, same-process interleaved A/B,
+# transport@4096 fused bench rollout: S=1 281.5 vs S=8 318.3 us/step best,
+# S=8 behind in every window) — i.e. the kernel is bound by per-op issue
+# overhead that is INDEPENDENT of how many VREGs an op retires; Mosaic
+# evidently already streams (1, N) rows efficiently. Default stays 1; the
+# knob and its bit-equality tests stay so the theory is not re-derived a
+# fourth time (docs/PERFORMANCE.md). "auto" (opt-in) picks the largest S
+# that the 128-padded batch divides by; no extra padding is ever introduced.
+def _sublanes(bp: int) -> int:
+    v = os.environ.get("VMAS_TPU_FUSED_SUBLANES", "1").strip().lower()
+    if v in ("auto",):
+        for s in (8, 4, 2):
+            if bp % (128 * s) == 0:
+                return s
+        return 1
+    s = int(v or "1")
+    assert s in (1, 2, 4, 8), f"VMAS_TPU_FUSED_SUBLANES must be 1/2/4/8, got {s}"
+    return s if bp % (128 * s) == 0 else 1
+
+
 class _Rows:
-    """Lazy per-entity (1, BLK) row views over an [E, BLK] tile; rows are
-    sliced (and cached) only when the pair/joint/emit code actually reads
+    """Lazy per-entity (S, BLK/S) row views over an [E*S, BLK/S] tile; rows
+    are sliced (and cached) only when the pair/joint/emit code actually reads
     them, so untouched entities cost no sublane extracts."""
 
-    __slots__ = ("t", "c")
+    __slots__ = ("t", "c", "s")
 
-    def __init__(self, t):
+    def __init__(self, t, s=1):
         self.t = t
         self.c = {}
+        self.s = s
 
     def __getitem__(self, e):
         if e not in self.c:
-            self.c[e] = self.t[e : e + 1, :]
+            self.c[e] = self.t[e * self.s : (e + 1) * self.s, :]
         return self.c[e]
 
     def __len__(self):
-        return int(self.t.shape[0])
+        return int(self.t.shape[0]) // self.s
 
     def __iter__(self):
         return (self[e] for e in range(len(self)))
 
 
-def _assemble(rows, base):
-    """Rebuild the [E, BLK] force tile from per-entity accumulator rows,
+def _assemble(rows, base, s=1):
+    """Rebuild the [E*S, BLK/S] force tile from per-entity accumulator rows,
     taking maximal runs of untouched entities as multi-row slices of the
     base tile (one sublane copy per run instead of per entity)."""
-    E = int(base.shape[0])
+    E = int(base.shape[0]) // s
     segs = []
     i = 0
     while i < E:
@@ -280,7 +310,7 @@ def _assemble(rows, base):
             j = i
             while j < E and rows[j] is None:
                 j += 1
-            segs.append(base[i:j, :])
+            segs.append(base[i * s : j * s, :])
             i = j
         else:
             segs.append(rows[i])
@@ -378,13 +408,15 @@ def _one_hot_select(idx_row, rows):
     )
 
 
-def _make_kernel(world, outputs=None):
+def _make_kernel(world, outputs=None, sublanes=1):
     """Generate the per-spec kernel: static structure is baked into the
     program as python scalars (one unrolled instruction stream per spec —
     no array constants, which TPU pallas kernels may not capture). Rows are
-    (1, BLK) lane vectors; at small entity counts this beats a matrix
+    (S, BLK/S) sublane-packed lane tiles (see _sublanes; S=1 reproduces the
+    round-2 (1, BLK) row form); at small entity counts this beats a matrix
     formulation because it never touches the MXU and Mosaic pipelines the
     pure-VPU stream."""
+    S = int(sublanes)
     spec = world.spec
     lane_min = _lane_min()
     E = len(spec.mass)
@@ -456,21 +488,25 @@ def _make_kernel(world, outputs=None):
     tile_trig = ent_tile and len(trig_ents) >= 8
 
     def kernel(x_ref, o_ref):
-        row = lambda r: x_ref[r : r + 1, :]
-        tmpl = x_ref[0:1, :]
-        stack = lambda rows: jnp.concatenate(rows, axis=0)  # [(1,BLK)] -> [P,BLK]
+        # logical row r lives at physical rows [r*S, (r+1)*S): S sublane-
+        # packed segments of the env axis (see _sublanes). All math below is
+        # elementwise per (sublane, lane) position, so the logical-row code
+        # is untouched by S.
+        row = lambda r: x_ref[r * S : (r + 1) * S, :]
+        tmpl = x_ref[0:S, :]
+        stack = lambda rows: jnp.concatenate(rows, axis=0)  # [(S,BLK)] -> [P*S,BLK]
         crow = lambda vals: stack([jnp.full_like(tmpl, float(v)) for v in vals])
 
         if ent_tile:
-            PX = x_ref[0:E, :]
-            PY = x_ref[E : 2 * E, :]
-            VX = x_ref[2 * E : 3 * E, :]
-            VY = x_ref[3 * E : 4 * E, :]
-            ROT = x_ref[4 * E : 5 * E, :]
-            W = x_ref[5 * E : 6 * E, :]
-            FX = x_ref[6 * E : 7 * E, :]
-            FY = x_ref[7 * E : 8 * E, :]
-            TQ = x_ref[8 * E : 9 * E, :]
+            PX = x_ref[0 : E * S, :]
+            PY = x_ref[E * S : 2 * E * S, :]
+            VX = x_ref[2 * E * S : 3 * E * S, :]
+            VY = x_ref[3 * E * S : 4 * E * S, :]
+            ROT = x_ref[4 * E * S : 5 * E * S, :]
+            W = x_ref[5 * E * S : 6 * E * S, :]
+            FX = x_ref[6 * E * S : 7 * E * S, :]
+            FY = x_ref[7 * E * S : 8 * E * S, :]
+            TQ = x_ref[8 * E * S : 9 * E * S, :]
             mvT = crow([1.0 if m else 0.0 for m in movable]) > 0.5
             roT = crow([1.0 if r else 0.0 for r in rotatable]) > 0.5
             inv_mT = crow(spec.inv_mass)
@@ -503,8 +539,8 @@ def _make_kernel(world, outputs=None):
                 gmT = crow(mass_l)
                 egxT = crow(egx_l)
                 egyT = crow(egy_l)
-                DGX = x_ref[9 * E + J : 9 * E + J + E, :]
-                DGY = x_ref[9 * E + J + E : 9 * E + J + 2 * E, :]
+                DGX = x_ref[(9 * E + J) * S : (9 * E + J + E) * S, :]
+                DGY = x_ref[(9 * E + J + E) * S : (9 * E + J + 2 * E) * S, :]
             elif has_static_grav:
                 gsxT = crow(gsx_l)
                 gsyT = crow(gsy_l)
@@ -601,9 +637,9 @@ def _make_kernel(world, outputs=None):
                     TQ = jnp.clip(TQ, -mtT, mtT)
                 if has_tr:
                     TQ = jnp.clip(TQ, -trT, trT)
-                px = _Rows(PX)
-                py = _Rows(PY)
-                rot = _Rows(ROT)
+                px = _Rows(PX, S)
+                py = _Rows(PY, S)
+                rot = _Rows(ROT, S)
             else:
                 clamp_actions_rows()
             Fx = [None] * E
@@ -612,8 +648,8 @@ def _make_kernel(world, outputs=None):
             trig = {}
 
             if tile_trig:
-                COSr = _Rows(jnp.cos(ROT))
-                SINr = _Rows(jnp.sin(ROT))
+                COSr = _Rows(jnp.cos(ROT), S)
+                SINr = _Rows(jnp.sin(ROT), S)
 
                 def cs(e):
                     return COSr[e], SINr[e]
@@ -655,8 +691,8 @@ def _make_kernel(world, outputs=None):
                     if not movable[e]:
                         return
                     if Fx[e] is None:
-                        Fx[e] = BFX[e : e + 1, :]
-                        Fy[e] = BFY[e : e + 1, :]
+                        Fx[e] = BFX[e * S : (e + 1) * S, :]
+                        Fy[e] = BFY[e * S : (e + 1) * S, :]
                     Fx[e] = Fx[e] + ax
                     Fy[e] = Fy[e] + ay
 
@@ -664,7 +700,7 @@ def _make_kernel(world, outputs=None):
                     if not rotatable[e]:
                         return
                     if Tq[e] is None:
-                        Tq[e] = BTQ[e : e + 1, :]
+                        Tq[e] = BTQ[e * S : (e + 1) * S, :]
                     Tq[e] = Tq[e] + t
             else:
                 def addf(e, ax, ay):
@@ -755,8 +791,8 @@ def _make_kernel(world, outputs=None):
                 (+ on a, - on b), in pair order — the same accumulation
                 order as the unrolled path."""
                 for k, (a, b) in enumerate(pairs):
-                    addf(a, fx_p[k : k + 1], fy_p[k : k + 1])
-                    addf(b, -fx_p[k : k + 1], -fy_p[k : k + 1])
+                    addf(a, fx_p[k * S : (k + 1) * S], fy_p[k * S : (k + 1) * S])
+                    addf(b, -fx_p[k * S : (k + 1) * S], -fy_p[k * S : (k + 1) * S])
 
             # sphere-sphere
             ss_pairs = [(int(a), int(b)) for a, b in zip(spec.ss_a, spec.ss_b)]
@@ -787,9 +823,9 @@ def _make_kernel(world, outputs=None):
                 sfx, sfy = _constraint_force(cm, sx, sy, cx, cy, ls_dmin, cf)
                 tql = (cx - lx) * (-sfy) - (cy - ly) * (-sfx)
                 for k, (l, s) in enumerate(ls_pairs):
-                    addf(s, sfx[k : k + 1], sfy[k : k + 1])
-                    addf(l, -sfx[k : k + 1], -sfy[k : k + 1])
-                    addt(l, tql[k : k + 1])
+                    addf(s, sfx[k * S : (k + 1) * S], sfy[k * S : (k + 1) * S])
+                    addf(l, -sfx[k * S : (k + 1) * S], -sfy[k * S : (k + 1) * S])
+                    addt(l, tql[k * S : (k + 1) * S])
             else:
                 for k, (l, s) in enumerate(ls_pairs):
                     half = float(spec.ls_len[k]) / 2
@@ -819,10 +855,10 @@ def _make_kernel(world, outputs=None):
                 tqa = (pax - ax) * afy - (pay - ay) * afx
                 tqb = (pbx - bx) * (-afy) - (pby - by) * (-afx)
                 for k, (a, b) in enumerate(ll_pairs):
-                    addf(a, afx[k : k + 1], afy[k : k + 1])
-                    addt(a, tqa[k : k + 1])
-                    addf(b, -afx[k : k + 1], -afy[k : k + 1])
-                    addt(b, tqb[k : k + 1])
+                    addf(a, afx[k * S : (k + 1) * S], afy[k * S : (k + 1) * S])
+                    addt(a, tqa[k * S : (k + 1) * S])
+                    addf(b, -afx[k * S : (k + 1) * S], -afy[k * S : (k + 1) * S])
+                    addt(b, tqb[k * S : (k + 1) * S])
             else:
                 for k, (a, b) in enumerate(ll_pairs):
                     ha, hb = float(spec.ll_la[k]) / 2, float(spec.ll_lb[k]) / 2
@@ -856,9 +892,9 @@ def _make_kernel(world, outputs=None):
                 sfx, sfy = _constraint_force(cm, sx, sy, ix, iy, dmin, cf)
                 tqb = (cx - bx) * (-sfy) - (cy - by) * (-sfx)
                 for k, (b, s) in enumerate(bs_pairs):
-                    addf(s, sfx[k : k + 1], sfy[k : k + 1])
-                    addf(b, -sfx[k : k + 1], -sfy[k : k + 1])
-                    addt(b, tqb[k : k + 1])
+                    addf(s, sfx[k * S : (k + 1) * S], sfy[k * S : (k + 1) * S])
+                    addf(b, -sfx[k * S : (k + 1) * S], -sfy[k * S : (k + 1) * S])
+                    addt(b, tqb[k * S : (k + 1) * S])
             else:
                 for k, (b, s) in enumerate(bs_pairs):
                     cos, sin = cs(b)
@@ -897,10 +933,10 @@ def _make_kernel(world, outputs=None):
                 tqb = (qbx - bx) * bfy - (qby - by) * bfx
                 tql = (qlx - lx) * (-bfy) - (qly - ly) * (-bfx)
                 for k, (b, l) in enumerate(bl_pairs):
-                    addf(b, bfx[k : k + 1], bfy[k : k + 1])
-                    addt(b, tqb[k : k + 1])
-                    addf(l, -bfx[k : k + 1], -bfy[k : k + 1])
-                    addt(l, tql[k : k + 1])
+                    addf(b, bfx[k * S : (k + 1) * S], bfy[k * S : (k + 1) * S])
+                    addt(b, tqb[k * S : (k + 1) * S])
+                    addf(l, -bfx[k * S : (k + 1) * S], -bfy[k * S : (k + 1) * S])
+                    addt(l, tql[k * S : (k + 1) * S])
             else:
                 for k, (b, l) in enumerate(bl_pairs):
                     cos, sin = cs(b)
@@ -968,10 +1004,10 @@ def _make_kernel(world, outputs=None):
                 tqa = (qax - ax) * afy - (qay - ay) * afx
                 tqb = (qbx - bx) * (-afy) - (qby - by) * (-afx)
                 for k, (a, b) in enumerate(bb_pairs):
-                    addf(a, afx[k : k + 1], afy[k : k + 1])
-                    addt(a, tqa[k : k + 1])
-                    addf(b, -afx[k : k + 1], -afy[k : k + 1])
-                    addt(b, tqb[k : k + 1])
+                    addf(a, afx[k * S : (k + 1) * S], afy[k * S : (k + 1) * S])
+                    addt(a, tqa[k * S : (k + 1) * S])
+                    addf(b, -afx[k * S : (k + 1) * S], -afy[k * S : (k + 1) * S])
+                    addt(b, tqb[k * S : (k + 1) * S])
             else:
                 for k, (a, b) in enumerate(bb_pairs):
                     ca, sa = cs(a)
@@ -997,9 +1033,9 @@ def _make_kernel(world, outputs=None):
 
             # integrate (physics.py:413-441)
             if ent_tile:
-                FTx = _assemble(Fx, BFX)
-                FTy = _assemble(Fy, BFY)
-                TT = _assemble(Tq, BTQ)
+                FTx = _assemble(Fx, BFX, S)
+                FTy = _assemble(Fy, BFY, S)
+                TT = _assemble(Tq, BTQ, S)
                 VXn, VYn = VX, VY
                 if any_drag and substep == 0:
                     VXn = VXn * dragfacT
@@ -1070,32 +1106,33 @@ def _make_kernel(world, outputs=None):
                         rot[e] = rot[e] + w[e] * sub_dt
 
         if ent_tile:
-            o_ref[0:E, :] = PX
-            o_ref[E : 2 * E, :] = PY
-            o_ref[2 * E : 3 * E, :] = VX
-            o_ref[3 * E : 4 * E, :] = VY
-            o_ref[4 * E : 5 * E, :] = ROT
-            o_ref[5 * E : 6 * E, :] = W
-            o_ref[6 * E : 7 * E, :] = FX
-            o_ref[7 * E : 8 * E, :] = FY
-            o_ref[8 * E : 9 * E, :] = TQ
+            o_ref[0 : E * S, :] = PX
+            o_ref[E * S : 2 * E * S, :] = PY
+            o_ref[2 * E * S : 3 * E * S, :] = VX
+            o_ref[3 * E * S : 4 * E * S, :] = VY
+            o_ref[4 * E * S : 5 * E * S, :] = ROT
+            o_ref[5 * E * S : 6 * E * S, :] = W
+            o_ref[6 * E * S : 7 * E * S, :] = FX
+            o_ref[7 * E * S : 8 * E * S, :] = FY
+            o_ref[8 * E * S : 9 * E * S, :] = TQ
         else:
             for e in range(E):
-                o_ref[e : e + 1, :] = px[e]
-                o_ref[E + e : E + e + 1, :] = py[e]
-                o_ref[2 * E + e : 2 * E + e + 1, :] = vx[e]
-                o_ref[3 * E + e : 3 * E + e + 1, :] = vy[e]
-                o_ref[4 * E + e : 4 * E + e + 1, :] = rot[e]
-                o_ref[5 * E + e : 5 * E + e + 1, :] = w[e]
-                o_ref[6 * E + e : 6 * E + e + 1, :] = fx[e]
-                o_ref[7 * E + e : 7 * E + e + 1, :] = fy[e]
-                o_ref[8 * E + e : 8 * E + e + 1, :] = tq[e]
+                o_ref[e * S : (e + 1) * S, :] = px[e]
+                o_ref[(E + e) * S : (E + e + 1) * S, :] = py[e]
+                o_ref[(2 * E + e) * S : (2 * E + e + 1) * S, :] = vx[e]
+                o_ref[(3 * E + e) * S : (3 * E + e + 1) * S, :] = vy[e]
+                o_ref[(4 * E + e) * S : (4 * E + e + 1) * S, :] = rot[e]
+                o_ref[(5 * E + e) * S : (5 * E + e + 1) * S, :] = w[e]
+                o_ref[(6 * E + e) * S : (6 * E + e + 1) * S, :] = fx[e]
+                o_ref[(7 * E + e) * S : (7 * E + e + 1) * S, :] = fy[e]
+                o_ref[(8 * E + e) * S : (8 * E + e + 1) * S, :] = tq[e]
 
         if outputs is not None:
             if ent_tile:
-                ctx = {"px": _Rows(PX), "py": _Rows(PY), "vx": _Rows(VX),
-                       "vy": _Rows(VY), "rot": _Rows(ROT), "w": _Rows(W),
-                       "fx": _Rows(FX), "fy": _Rows(FY),
+                ctx = {"px": _Rows(PX, S), "py": _Rows(PY, S),
+                       "vx": _Rows(VX, S), "vy": _Rows(VY, S),
+                       "rot": _Rows(ROT, S), "w": _Rows(W, S),
+                       "fx": _Rows(FX, S), "fy": _Rows(FY, S),
                        "scratch": scratch_in}
             else:
                 ctx = {"px": px, "py": py, "vx": vx, "vy": vy, "rot": rot,
@@ -1105,26 +1142,31 @@ def _make_kernel(world, outputs=None):
                 f"emit produced {len(extra)} rows, n_out={outputs.n_out}"
             )
             for k, r in enumerate(extra):
-                o_ref[9 * E + k : 9 * E + k + 1, :] = r.astype(jnp.float32)
+                o_ref[(9 * E + k) * S : (9 * E + k + 1) * S, :] = (
+                    r.astype(jnp.float32)
+                )
 
     return kernel
 
 
-def _blk_for(bp: int, n_rows: int) -> int:
-    """Largest 128-multiple block that divides the padded batch while the
-    kernel's resident f32 rows (``n_rows`` = input rows + output rows +
-    lane-batched intermediate allowance, all passed in by the caller) stay
-    within budget. The 4 MB default budget is deliberately conservative — a
-    quarter of the v5e's ~16 MB VMEM — leaving headroom for Mosaic's own
-    temporaries. ``VMAS_TPU_FUSED_VMEM_MB`` overrides it for on-hardware
-    sweeps (all round-2 timings were taken at the default)."""
+def _blk_for(bp: int, n_rows: int, sublanes: int = 1) -> int:
+    """Largest block (in ENVS, multiple of 128*sublanes so each block's lane
+    count stays a 128-multiple after packing) that divides the padded batch
+    while the kernel's resident f32 rows (``n_rows`` = input rows + output
+    rows + lane-batched intermediate allowance, all passed in by the caller)
+    stay within budget — a block's VMEM footprint is n_rows*blk*4 bytes
+    independent of the packing. The 4 MB default budget is deliberately
+    conservative — a quarter of the v5e's ~16 MB VMEM — leaving headroom for
+    Mosaic's own temporaries. ``VMAS_TPU_FUSED_VMEM_MB`` overrides it for
+    on-hardware sweeps (all round-2 timings were taken at the default)."""
     budget = int(float(os.environ.get("VMAS_TPU_FUSED_VMEM_MB", "4")) * 2**20)
-    best = 128
-    blk = 128
+    step = 128 * sublanes
+    best = step
+    blk = step
     while blk <= bp:
         if bp % blk == 0 and n_rows * blk * 4 <= budget:
             best = blk
-        blk += 128
+        blk += step
     return best
 
 
@@ -1187,9 +1229,16 @@ def fused_physics_step(world, state, outputs=None):
     bp = -(-B // 128) * 128
     if bp != B:
         x = jnp.pad(x, ((0, 0), (0, bp - B)))
-    blk = _blk_for(bp, R + 9 * E + K_out + _batched_rows_estimate(spec))
+    S = _sublanes(bp)
+    blk = _blk_for(bp, R + 9 * E + K_out + _batched_rows_estimate(spec), S)
+    # sublane packing (see _sublanes): [R, bp] -> [R*S, bp/S] is a row-major
+    # contiguous reshape — a free bitcast for XLA — after which every kernel
+    # row view is a fully-packed (S, blk/S) tile instead of a (1, blk) row
+    # wasting 7/8 of every VREG it touches
+    if S > 1:
+        x = x.reshape(R * S, bp // S)
 
-    kernel = _make_kernel(world, outputs)
+    kernel = _make_kernel(world, outputs, S)
     # donate the input buffer to the output only when the two have identical
     # shape AND identical row meaning (pure 9E state rows, no joint /
     # dyn-gravity / scratch inputs, no fused outputs) — shape equality alone
@@ -1199,16 +1248,21 @@ def fused_physics_step(world, state, outputs=None):
     alias = {0: 0} if (J == 0 and not dyn and K_in == 0 and K_out == 0) else {}
     y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((9 * E + K_out, bp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(((9 * E + K_out) * S, bp // S), jnp.float32),
         grid=(bp // blk,),
-        in_specs=[pl.BlockSpec((R, blk), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec((R * S, blk // S), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
         out_specs=pl.BlockSpec(
-            (9 * E + K_out, blk), lambda i: (0, i), memory_space=pltpu.VMEM
+            ((9 * E + K_out) * S, blk // S), lambda i: (0, i),
+            memory_space=pltpu.VMEM,
         ),
         input_output_aliases=alias,
         interpret=jax.default_backend() == "cpu",
     )(x)
 
+    if S > 1:
+        y = y.reshape(9 * E + K_out, bp)
     y = y[:, :B]
     pos = jnp.stack([y[0:E].T, y[E : 2 * E].T], axis=-1)
     vel = jnp.stack([y[2 * E : 3 * E].T, y[3 * E : 4 * E].T], axis=-1)

@@ -1,14 +1,18 @@
-"""Batched process_action (Dynamics.process_action_batch) matches the
-reference-shaped per-agent loop to ~1 ulp per step.
+"""Batched process_action (Dynamics.process_action_batch) vs the
+reference-shaped per-agent loop.
 
-The opt-in VMAS_TPU_BATCH_DYNAMICS=1 groups same-batch_spec agents at build
-time (Environment._plan_process_action) and runs one [B, A] computation per
-group. The math is element-for-element identical, but XLA may pick different
-FMA/SIMD contractions for the stacked shapes of the transcendental models
-(tan/cos/sin in kinematic_bicycle measured 1 ulp off on CPU), so the
-contract is a TIGHT allclose over a short rollout, not bitwise — which is
-also why the knob defaults OFF (the drift compounds past golden-parity
-tolerance on road_traffic map 2 at horizon 50, for a measured ~7% win).
+Two tiers (Environment._plan_process_action):
+
+* ``batch_exact`` models (holonomic family / static / rotation) group BY
+  DEFAULT — their batched form is pure slice/stack/scatter, so every leaf
+  must match the ungrouped loop EXACTLY (zero tolerance).
+* transcendental models (kinematic_bicycle, diff_drive, forward) group only
+  under VMAS_TPU_BATCH_DYNAMICS=1: the math is element-for-element
+  identical, but XLA may pick different FMA/SIMD contractions for the
+  stacked shapes (tan/cos/sin in kinematic_bicycle measured 1 ulp off on
+  CPU), so their contract is a TIGHT allclose — and that drift is why they
+  are not a default (it compounds past golden-parity tolerance on
+  road_traffic map 2 at horizon 50, for a measured ~7% win).
 """
 
 import jax
@@ -21,18 +25,21 @@ from vmas_tpu import make_env
 # through the contact chain
 ATOL = 1e-5
 
-# scenarios exercising each batchable model with >= 2 same-spec agents:
+# (name, kwargs, exact): exact=True cases exercise only batch_exact models
+# (bitwise contract, grouped by default); exact=False cases include a
+# transcendental model (ulp contract, opt-in grouping).
 #   road_traffic: 20 KinematicBicycle         transport: 4 Holonomic
-#   football (2 policy teams): HolonomicWithRotation ball/agents + scripts
+#   football (2 policy teams): HolonomicWithRotation agents + scripts
 #   simple_speaker_listener: Static + Holonomic mix
 CASES = [
-    ("road_traffic", dict(n_agents=4, is_add_noise=False)),
-    ("transport", dict(n_agents=3)),
+    ("road_traffic", dict(n_agents=4, is_add_noise=False), False),
+    ("transport", dict(n_agents=3), True),
     (
         "football",
         dict(n_blue_agents=2, n_red_agents=2, ai_red_agents=False, dense_reward=True),
+        True,
     ),
-    ("simple_speaker_listener", {}),
+    ("simple_speaker_listener", {}, True),
 ]
 
 
@@ -48,18 +55,42 @@ def _rollout(monkeypatch, flag, name, kwargs, steps=5):
     return env.state, obs_all, rew_all
 
 
-@pytest.mark.parametrize("name,kwargs", CASES)
-def test_batched_dynamics_matches_loop(monkeypatch, name, kwargs):
+@pytest.mark.parametrize("name,kwargs,exact", CASES)
+def test_batched_dynamics_matches_loop(monkeypatch, name, kwargs, exact):
     s_ref, obs_ref, rew_ref = _rollout(monkeypatch, "0", name, kwargs)
     s_bat, obs_bat, rew_bat = _rollout(monkeypatch, "1", name, kwargs)
+
+    if exact:
+        def check(a, b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    else:
+        def check(a, b):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=ATOL, rtol=0
+            )
+
     for a, b in zip(jax.tree_util.tree_leaves(s_ref), jax.tree_util.tree_leaves(s_bat)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=ATOL, rtol=0)
+        check(a, b)
     for oa, ob in zip(obs_ref, obs_bat):
         for a, b in zip(jax.tree_util.tree_leaves(oa), jax.tree_util.tree_leaves(ob)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=ATOL, rtol=0)
+            check(a, b)
     for ra, rb in zip(rew_ref, rew_bat):
         for a, b in zip(jax.tree_util.tree_leaves(ra), jax.tree_util.tree_leaves(rb)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=ATOL, rtol=0)
+            check(a, b)
+
+
+def test_plan_default_groups_exact_models_only(monkeypatch):
+    monkeypatch.delenv("VMAS_TPU_BATCH_DYNAMICS", raising=False)
+    # transport: holonomic agents group by default
+    env = make_env("transport", num_envs=2, seed=0, n_agents=3)
+    singles, groups = env._plan_process_action()
+    assert len(groups) == 1 and len(groups[0]) == 3
+    assert singles == []
+    # road_traffic: kinematic bicycles stay per-agent by default
+    env = make_env("road_traffic", num_envs=2, seed=0, n_agents=4, is_add_noise=False)
+    singles, groups = env._plan_process_action()
+    assert groups == []
+    assert len(singles) == 4
 
 
 def test_plan_groups_road_traffic(monkeypatch):

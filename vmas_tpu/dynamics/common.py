@@ -80,6 +80,15 @@ class Dynamics(ABC):
         (stateful models like Drone, or anything non-elementwise)."""
         return None
 
+    def batch_exact(self) -> bool:
+        """True when process_action_batch is BITWISE equal to the per-agent
+        loop — i.e. the batched form is pure data movement (slicing/
+        stacking/scatter), no transcendental whose stacked-shape XLA
+        contraction could drift (kinematic_bicycle measured ~1 ulp/step).
+        Exact models group by default; ulp-tier models only under
+        VMAS_TPU_BATCH_DYNAMICS=1 (see Environment._plan_process_action)."""
+        return False
+
     def process_action_batch(self, world, state, agents):
         """Process a whole same-``batch_spec`` agent group in one batched
         computation. Only called when ``batch_spec()`` returned non-None."""

@@ -14,6 +14,9 @@ class Holonomic(Dynamics):
     def batch_spec(self):
         return ("holonomic",)
 
+    def batch_exact(self) -> bool:
+        return True  # pure slice/stack/scatter — no float op changes shape-dependently
+
     def process_action_batch(self, world, state, agents):
         from vmas_tpu.dynamics.common import scatter_force, stack_u
 

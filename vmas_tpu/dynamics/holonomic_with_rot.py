@@ -16,6 +16,9 @@ class HolonomicWithRotation(Dynamics):
     def batch_spec(self):
         return ("holonomic_with_rotation",)
 
+    def batch_exact(self) -> bool:
+        return True  # pure slice/stack/scatter — no float op changes shape-dependently
+
     def process_action_batch(self, world, state, agents):
         from vmas_tpu.dynamics.common import scatter_force, scatter_torque, stack_u
 

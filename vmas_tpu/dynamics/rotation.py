@@ -15,6 +15,9 @@ class Rotation(Dynamics):
     def batch_spec(self):
         return ("rotation",)
 
+    def batch_exact(self) -> bool:
+        return True  # pure slice/stack/scatter — no float op changes shape-dependently
+
     def process_action_batch(self, world, state, agents):
         from vmas_tpu.dynamics.common import scatter_torque, stack_u
 

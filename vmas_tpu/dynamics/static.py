@@ -14,5 +14,8 @@ class Static(Dynamics):
     def batch_spec(self):
         return ("static",)
 
+    def batch_exact(self) -> bool:
+        return True  # pure slice/stack/scatter — no float op changes shape-dependently
+
     def process_action_batch(self, world, state, agents):
         return state

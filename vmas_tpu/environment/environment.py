@@ -130,18 +130,21 @@ class Environment:
         one [B, A] ``process_action_batch``. Everything else stays in the
         original per-agent order.
 
-        OFF by default (VMAS_TPU_BATCH_DYNAMICS=1 opts in): stacked shapes
-        let XLA pick different FMA/SIMD contractions for the transcendental
-        models, so the grouped result drifts ~1 ulp/step from the per-agent
-        loop (tests/test_dynamics_batch.py asserts the tight bound) — enough
-        to compound past golden-parity tolerance on road_traffic map 2 over
-        50 steps — and the measured win was only ~7% (road_traffic@512 on
-        TPU, same-process A/B: 1160 -> 1084 us/step, round 4). A knob, not a
-        default."""
+        Default groups only ``batch_exact`` models (holonomic family /
+        static / rotation — pure slice/stack/scatter, BITWISE equal to the
+        loop). Transcendental models (kinematic_bicycle, diff_drive,
+        forward) drift ~1 ulp/step when stacked (XLA picks different
+        FMA/SIMD contractions; tests/test_dynamics_batch.py asserts the
+        tight bound) — enough to compound past golden-parity tolerance on
+        road_traffic map 2 over 50 steps for a measured ~7% win
+        (road_traffic@512 TPU same-process A/B: 1160 -> 1084 us/step), so
+        they group only under VMAS_TPU_BATCH_DYNAMICS=1;
+        VMAS_TPU_BATCH_DYNAMICS=0 disables grouping entirely."""
         agents = list(self.world.agents)
-        flag = os.environ.get("VMAS_TPU_BATCH_DYNAMICS", "0").strip().lower()
-        if flag in ("0", "false", "off", ""):
+        flag = os.environ.get("VMAS_TPU_BATCH_DYNAMICS", "exact").strip().lower()
+        if flag in ("0", "false", "off"):
             return agents, []
+        all_models = flag in ("1", "true", "on")
         if type(self.scenario).process_action is not BaseScenario.process_action:
             return agents, []
         groups: Dict = {}
@@ -149,7 +152,8 @@ class Environment:
         for a in agents:
             spec = None
             if a.action_script is None and a.action_size >= a.dynamics.needed_action_size:
-                spec = a.dynamics.batch_spec()
+                if all_models or a.dynamics.batch_exact():
+                    spec = a.dynamics.batch_spec()
             if spec is None:
                 singles.append(a)
             else:

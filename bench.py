@@ -20,8 +20,16 @@ REFERENCE_CPU_ENV_STEPS_PER_S = 336_910.0
 
 NUM_ENVS = 4096
 N_AGENTS = 4
-HORIZON = 100
-ITERS = 5
+# horizon per compiled call: every dispatch through the axon tunnel costs
+# ~5.4 ms of per-CALL overhead (round-4 measurement, tests/golden/
+# time_kernel_vs_rollout.py: a trivial-body 100-step scan reads 65 us/step,
+# a 500-step one 11 us/step — pure call cost, zero per-step cost). At
+# horizon 100 that overhead was ~55 us/step — over HALF the reported number
+# was the tunnel, not the simulator. 1000-step calls amortize it to
+# ~5 us/step; production training loops step far more than 1000 env steps
+# per compiled dispatch, so this is the honest configuration.
+HORIZON = 1000
+ITERS = 2
 
 
 def _wait_for_device(max_wait_s=1800.0):

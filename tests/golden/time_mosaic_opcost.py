@@ -31,17 +31,28 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 R = 54  # transport-class row count
 
 
-def make_kernel(n_ops, rows_shape):
+def make_kernel(n_ops, rows_shape, trans=False):
     S, _ = rows_shape
 
     def kernel(x_ref, o_ref):
         rows = [x_ref[i * S : (i + 1) * S, :] for i in range(R // max(S, 1))]
-        # chain ops round-robin over the rows: mul/add/where mix, each op
-        # depends on the previous result so nothing is dead-code eliminated
+        # chain ops round-robin over the rows, each op depending on the
+        # previous result so nothing is dead-code eliminated. trans=False:
+        # mul/add/where mix (ALU); trans=True: sqrt/div/exp/log1p (the ops
+        # the physics kernel actually spends in _norm/_constraint_force)
         acc = rows[0]
         for i in range(n_ops):
             r = rows[(i + 1) % len(rows)]
-            if i % 3 == 0:
+            if trans:
+                if i % 4 == 0:
+                    acc = jnp.sqrt(acc * acc + r * r)
+                elif i % 4 == 1:
+                    acc = acc / (jnp.abs(r) + 1.5)
+                elif i % 4 == 2:
+                    acc = jnp.exp(-jnp.abs(acc)) + r
+                else:
+                    acc = jnp.log1p(jnp.abs(acc)) + r * 0.25
+            elif i % 3 == 0:
                 acc = acc * r + 0.5
             elif i % 3 == 1:
                 acc = jnp.where(acc > r, acc - r, acc)
@@ -53,14 +64,14 @@ def make_kernel(n_ops, rows_shape):
     return kernel
 
 
-def build(n_ops, S):
+def build(n_ops, S, trans=False):
     rows = R // S * S
     x = jnp.ones((rows, B // S * S), jnp.float32)
 
     @jax.jit
     def run(x):
         return pl.pallas_call(
-            make_kernel(n_ops, (S, B // S)),
+            make_kernel(n_ops, (S, B // S), trans),
             out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
             in_specs=[pl.BlockSpec(x.shape, lambda: (0, 0), memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(x.shape, lambda: (0, 0), memory_space=pltpu.VMEM),
@@ -106,6 +117,16 @@ def main():
         run, xx = build(600, S)
         t = measure(run, xx)
         print(f"  rows ({S}, {B//S})  {t*1e6:8.1f} us", flush=True)
+
+    print("--- TRANSCENDENTAL chains (sqrt/div/exp/log1p) ---", flush=True)
+    for n in (100, 300, 600):
+        run, xx = build(n, 1, trans=True)
+        t = measure(run, xx)
+        print(f"  trans n_ops={n:4d} (1, {B})  {t*1e6:8.1f} us", flush=True)
+    for S in (2, 6):
+        run, xx = build(300, S, trans=True)
+        t = measure(run, xx)
+        print(f"  trans n_ops= 300 ({S}, {B//S})  {t*1e6:8.1f} us", flush=True)
 
 
 if __name__ == "__main__":

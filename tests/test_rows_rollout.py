@@ -1,0 +1,110 @@
+"""Rows-carried rollout (parallel/rollout.py rows_rollout_fn) vs the
+standard env._step_fn_raw scan.
+
+The rows path restructures the rollout so the scan carry is the fused
+kernel's own row buffer — same kernel, same decode math (a single IEEE
+multiply), same emit rows — so for the same key the TRAJECTORY AND FINAL
+STATE must match the standard rollout_fn bitwise (any drift means the
+restructure changed semantics, which it must never do).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vmas_tpu import make_env
+from vmas_tpu.parallel.rollout import (
+    rollout_fn,
+    rows_rollout_fn,
+    rows_rollout_supported,
+)
+
+
+def _envs(**kw):
+    return make_env("transport", num_envs=32, seed=0, fused_physics=True, **kw)
+
+
+def test_supported_exactly_on_bench_class():
+    assert rows_rollout_supported(_envs(n_agents=4))
+    # XLA physics -> not eligible
+    assert not rows_rollout_supported(make_env("transport", num_envs=8, seed=0))
+    # joints -> not eligible
+    env_j = make_env("joint_passage", num_envs=8, seed=0, fused_physics=True)
+    assert not rows_rollout_supported(env_j)
+    # comm world -> not eligible
+    env_c = make_env("simple_reference", num_envs=8, seed=0, fused_physics=True)
+    assert not rows_rollout_supported(env_c)
+
+
+@pytest.mark.parametrize("n_agents,horizon", [(4, 7), (3, 4)])
+def test_rows_rollout_matches_standard(n_agents, horizon):
+    env_a = _envs(n_agents=n_agents)
+    env_b = _envs(n_agents=n_agents)
+    key = jax.random.PRNGKey(11)
+
+    run_std = jax.jit(rollout_fn(env_a, horizon=horizon))
+    run_rows = jax.jit(rows_rollout_fn(env_b, horizon=horizon))
+
+    s_std, t_std, traj_std = run_std(env_a.state, env_a.steps, key)
+    s_rows, t_rows, traj_rows = run_rows(env_b.state, env_b.steps, key)
+
+    # obs and dones are bitwise; rewards may differ by ONE rounding on CPU:
+    # in interpret mode the kernel's emit ops inline into two different XLA
+    # programs, which may FMA-contract `prev - dist*factor` differently
+    # (measured exactly 7.6e-06 = half an ulp at transport's shaping scale).
+    # On hardware both modes are the same Mosaic-compiled emit code.
+    np.testing.assert_allclose(
+        np.asarray(traj_std["rewards"]), np.asarray(traj_rows["rewards"]),
+        atol=3e-5, rtol=0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(traj_std["dones"]), np.asarray(traj_rows["dones"])
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(traj_std["obs"]),
+                    jax.tree_util.tree_leaves(traj_rows["obs"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(t_std), np.asarray(t_rows))
+    # final state: bitwise, except the scenario's "rew" scratch (the same
+    # one-rounding FMA caveat as the trajectory rewards above)
+    sc_a = dict(s_std.scenario)
+    sc_b = dict(s_rows.scenario)
+    np.testing.assert_allclose(
+        np.asarray(sc_a.pop("rew")), np.asarray(sc_b.pop("rew")),
+        atol=3e-5, rtol=0,
+    )
+    s_std = s_std.replace(scenario=sc_a)
+    s_rows = s_rows.replace(scenario=sc_b)
+    flat_a, tree_a = jax.tree_util.tree_flatten(s_std)
+    flat_b, tree_b = jax.tree_util.tree_flatten(s_rows)
+    assert tree_a == tree_b
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rows_rollout_truncation():
+    env = make_env("transport", num_envs=16, seed=0, fused_physics=True,
+                   n_agents=4, max_steps=3)
+    env_b = make_env("transport", num_envs=16, seed=0, fused_physics=True,
+                     n_agents=4, max_steps=3)
+    key = jax.random.PRNGKey(5)
+    _, _, traj_std = jax.jit(rollout_fn(env, horizon=5))(env.state, env.steps, key)
+    _, _, traj_rows = jax.jit(rows_rollout_fn(env_b, horizon=5))(
+        env_b.state, env_b.steps, key
+    )
+    np.testing.assert_array_equal(
+        np.asarray(traj_std["dones"]), np.asarray(traj_rows["dones"])
+    )
+
+
+def test_rows_rollout_sharded():
+    """The carry rows are [Rc, B] with envs on the minor axis; under an
+    env-axis mesh the pallas grid blocks that axis, so pjit partitions it
+    per shard exactly like fused_physics_step."""
+    from vmas_tpu.parallel import distribute
+
+    env = _envs(n_agents=4)
+    distribute(env)
+    run = jax.jit(rows_rollout_fn(env, horizon=3))
+    s, t, traj = run(env.state, env.steps, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(traj["obs"][0])).all()

@@ -408,14 +408,26 @@ def _one_hot_select(idx_row, rows):
     )
 
 
-def _make_kernel(world, outputs=None, sublanes=1):
+def _make_kernel(world, outputs=None, sublanes=1, rows_mode=False,
+                 act_slots=None):
     """Generate the per-spec kernel: static structure is baked into the
     program as python scalars (one unrolled instruction stream per spec —
     no array constants, which TPU pallas kernels may not capture). Rows are
     (S, BLK/S) sublane-packed lane tiles (see _sublanes; S=1 reproduces the
     round-2 (1, BLK) row form); at small entity counts this beats a matrix
     formulation because it never touches the MXU and Mosaic pipelines the
-    pure-VPU stream."""
+    pure-VPU stream.
+
+    ``rows_mode`` (the rows-carried rollout, parallel/rollout.py
+    rows_rollout_fn): signature becomes kernel(x_ref, s_ref, a_ref, o_ref) —
+    state rows, scratch rows and this step's decoded action-force rows
+    arrive as separate refs (so the scan carry needs ZERO host-side
+    assembly ops between steps), the action rows OVERRIDE the force rows of
+    the ``act_slots`` entities (the per-step equivalent of holonomic
+    process_action writing state.force), and the output grows K_in
+    scratch-carry rows (outputs.carry_extra_idx) between the state rows and
+    the emit rows. Requires outputs, joint-free non-dyn-gravity worlds, and
+    runs the non-entity-tiled stream (v1 scope — the bench class)."""
     S = int(sublanes)
     spec = world.spec
     lane_min = _lane_min()
@@ -436,7 +448,13 @@ def _make_kernel(world, outputs=None, sublanes=1):
 
     K_in = int(outputs.n_scratch_in) if outputs is not None else 0
 
-    ent_tile = E >= 2 and _entity_tile_on(E)
+    if rows_mode:
+        assert outputs is not None and J == 0 and not dyn_gravity
+        assert act_slots, "rows_mode needs the policy agents' entity slots"
+        act_slots = [int(e) for e in act_slots]
+        ent_tile = False
+    else:
+        ent_tile = E >= 2 and _entity_tile_on(E)
     inf = float("inf")
     # Static per-entity constants / gates for the tiled stream. Every value
     # is rounded float64 -> float32 exactly once (inside crow), matching the
@@ -487,7 +505,12 @@ def _make_kernel(world, outputs=None, sublanes=1):
             trig_ents.add(int(v))
     tile_trig = ent_tile and len(trig_ents) >= 8
 
-    def kernel(x_ref, o_ref):
+    def kernel(*refs):
+        if rows_mode:
+            x_ref, a_ref, o_ref, e_ref = refs
+        else:
+            (x_ref, o_ref) = refs
+            a_ref = e_ref = None
         # logical row r lives at physical rows [r*S, (r+1)*S): S sublane-
         # packed segments of the env axis (see _sublanes). All math below is
         # elementwise per (sublane, lane) position, so the logical-row code
@@ -557,9 +580,23 @@ def _make_kernel(world, outputs=None, sublanes=1):
             if dyn_gravity:
                 dgx = [row(9 * E + J + e) for e in range(E)]
                 dgy = [row(9 * E + J + E + e) for e in range(E)]
-        jfr = [row(9 * E + j) for j in range(J)]
-        n_dyn = 2 * E if dyn_gravity else 0
-        scratch_in = [row(9 * E + J + n_dyn + k) for k in range(K_in)]
+        if rows_mode:
+            # this step's decoded action forces override the carried force
+            # rows for the policy agents (holonomic process_action: force=u);
+            # a_ref layout: rows [0:A) = u_x per agent, [A:2A) = u_y
+            A_n = len(act_slots)
+            for i, e in enumerate(act_slots):
+                fx[e] = a_ref[i * S : (i + 1) * S, :]
+                fy[e] = a_ref[(A_n + i) * S : (A_n + i + 1) * S, :]
+            jfr = []
+            # scratch rows sit right after the state rows (J == 0 here), at
+            # the same offsets the kernel WRITES them to — the scan carry is
+            # the kernel output verbatim
+            scratch_in = [row(9 * E + k) for k in range(K_in)]
+        else:
+            jfr = [row(9 * E + j) for j in range(J)]
+            n_dyn = 2 * E if dyn_gravity else 0
+            scratch_in = [row(9 * E + J + n_dyn + k) for k in range(K_in)]
 
         # per-pair-type constant tiles, hoisted out of the substep loop
         if len(spec.ss_a) >= lane_min:
@@ -1141,10 +1178,24 @@ def _make_kernel(world, outputs=None, sublanes=1):
             assert len(extra) == int(outputs.n_out), (
                 f"emit produced {len(extra)} rows, n_out={outputs.n_out}"
             )
-            for k, r in enumerate(extra):
-                o_ref[(9 * E + k) * S : (9 * E + k + 1) * S, :] = (
-                    r.astype(jnp.float32)
-                )
+            if rows_mode:
+                # scratch-carry rows: the next step's scratch inputs are
+                # emit rows this step already computed (e.g. transport's
+                # fresh global_shaping) — written right after the state
+                # rows so the scan carry IS the kernel output, no host ops;
+                # the emit rows go to their own output so recording them
+                # needs no slicing either
+                for k, ei in enumerate(outputs.carry_extra_idx):
+                    o_ref[(9 * E + k) * S : (9 * E + k + 1) * S, :] = (
+                        extra[int(ei)].astype(jnp.float32)
+                    )
+                for k, r in enumerate(extra):
+                    e_ref[k * S : (k + 1) * S, :] = r.astype(jnp.float32)
+            else:
+                for k, r in enumerate(extra):
+                    o_ref[(9 * E + k) * S : (9 * E + k + 1) * S, :] = (
+                        r.astype(jnp.float32)
+                    )
 
     return kernel
 
@@ -1280,3 +1331,126 @@ def fused_physics_step(world, state, outputs=None):
     if outputs is not None:
         return state, y[9 * E :]
     return state
+
+
+# ---------------------------------------------------------------------------
+# rows-carried rollout (the bench fast path; parallel/rollout.py)
+# ---------------------------------------------------------------------------
+#
+# The standard compiled rollout scans env._step_fn_raw: per step it unpacks
+# the kernel's row output back into the [B, E, 2] state pytree, reassembles
+# rows for the next call, and lets XLA relayout the carry — compiled, that
+# is ~10 `copy` ops of [B, E, 2]-class arrays and the per-agent obs
+# transposes EVERY step, measured at ~38 of transport@4096's ~44 us/step
+# real cost (round 4, tests/golden/time_glue_split.py + HLO dump: the fused
+# kernel itself is ~6 us). Here the scan carry IS the kernel's row buffer:
+# pack once, scan (one pallas call + one output-row slice per step), unpack
+# once. Decoded action-force rows ride the scan xs; scratch rides dedicated
+# carry rows the kernel writes at the offsets it reads them from.
+
+def rows_step_supported(world, outputs, agents) -> bool:
+    """Static eligibility for the rows-carried rollout (v1 = the bench
+    class): fused-outputs scenario with declared scratch carry, joint-free
+    non-dyn-gravity comm-free world, and pure-Holonomic noise-free agents
+    (their process_action is exactly 'force = u', realized in-kernel by the
+    action-row override)."""
+    from vmas_tpu.dynamics.holonomic import Holonomic
+
+    if outputs is None or not supports(world):
+        return False
+    if getattr(outputs, "carry_extra_idx", None) is None:
+        return False
+    if len(outputs.carry_extra_idx) != int(outputs.n_scratch_in):
+        return False
+    spec = world.spec
+    if len(spec.joint_idx_a) or getattr(world, "dynamic_gravity", False):
+        return False
+    if world.dim_c != 0:
+        return False
+    for a in agents:
+        if type(a.dynamics) is not Holonomic or a.action_script is not None:
+            return False
+        if a.action_size != 2 or np.any(np.asarray(a.u_noise_array) > 0):
+            return False
+    return True
+
+
+def rows_layout(world, outputs):
+    """R_in: carried rows (9E state + K scratch). The emit rows are a
+    separate kernel output, not part of the carry."""
+    E = len(world.spec.mass)
+    K = int(outputs.n_scratch_in)
+    return 9 * E + K
+
+
+def pack_carry(world, state, outputs, bp):
+    """State + scratch as one [R_in, bp] row buffer."""
+    parts = [
+        state.pos[..., 0].T, state.pos[..., 1].T,
+        state.vel[..., 0].T, state.vel[..., 1].T,
+        state.rot.T, state.ang_vel.T,
+        state.force[..., 0].T, state.force[..., 1].T,
+        state.torque.T,
+        jnp.asarray(outputs.scratch_rows(state), jnp.float32),
+    ]
+    x = jnp.concatenate(parts, axis=0)
+    if bp != state.batch_dim:
+        x = jnp.pad(x, ((0, 0), (0, bp - state.batch_dim)))
+    return x
+
+
+def unpack_carry(world, carry, state):
+    """Final carry rows -> state arrays (same layout as fused_physics_step's
+    unpack; scratch/extra rows are the caller's to consume)."""
+    E = len(world.spec.mass)
+    B = state.batch_dim
+    y = carry[:, :B]
+    return state.replace(
+        pos=jnp.stack([y[0:E].T, y[E : 2 * E].T], axis=-1),
+        vel=jnp.stack([y[2 * E : 3 * E].T, y[3 * E : 4 * E].T], axis=-1),
+        rot=y[4 * E : 5 * E].T,
+        ang_vel=y[5 * E : 6 * E].T,
+        force=jnp.stack([y[6 * E : 7 * E].T, y[7 * E : 8 * E].T], axis=-1),
+        torque=y[8 * E : 9 * E].T,
+    )
+
+
+def make_rows_step(world, outputs, act_slots, bp):
+    """Build ``(carry [R_in, bp], act_rows [2A, bp]) -> (carry', extra
+    [n_out, bp])`` — one pallas call, nothing else: the scan carries the
+    first output verbatim and records the second."""
+    R_in = rows_layout(world, outputs)
+    n_out = int(outputs.n_out)
+    A = len(act_slots)
+    spec = world.spec
+    blk = _blk_for(
+        bp, 2 * R_in + n_out + 2 * A + _batched_rows_estimate(spec), 1
+    )
+    kernel = _make_kernel(world, outputs, 1, rows_mode=True, act_slots=act_slots)
+    # Mosaic wants block sublane dims divisible by 8 or == the array dim;
+    # blocks below span the full row dim of each operand, so any row count
+    # is fine. The action rows are padded to 8 once by the caller.
+    a_blk = -(-2 * A // 8) * 8
+
+    def step(carry, act):
+        if a_blk != act.shape[0]:
+            act = jnp.pad(act, ((0, a_blk - act.shape[0]), (0, 0)))
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((R_in, bp), jnp.float32),
+                jax.ShapeDtypeStruct((n_out, bp), jnp.float32),
+            ),
+            grid=(bp // blk,),
+            in_specs=[
+                pl.BlockSpec((R_in, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((a_blk, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((R_in, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_out, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ),
+            interpret=jax.default_backend() == "cpu",
+        )(carry, act)
+
+    return step

@@ -18,6 +18,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _random_actions_for_horizon(env, key, horizon):
@@ -109,11 +110,20 @@ def rollout_fn(env, policy: Optional[Callable] = None, horizon: int = 100,
                 obs, obs_reset,
             )
         new_carry = (state, steps) if random_pol else (state, steps, obs)
-        # note: recording batch-minor ([T, w, B] buffers, transposed back
-        # after the scan) was A/B-measured NEUTRAL on-chip (123.6 vs 119-125
-        # µs/step, same process) — XLA already lays the stacked outputs out
-        # well; don't re-try without a same-process measurement
-        return new_carry, (jnp.stack(rews, axis=-1), done, obs)
+        # Record observations BATCH-MINOR (env axis last): the fused-output
+        # and obs-kernel paths produce obs as `rows.T`, so recording the
+        # moveaxis'd copy lets XLA CANCEL the transpose pair and the scan
+        # body stacks the raw rows — one big inverse transpose after the
+        # scan restores the [T, B, w] contract. Round-4 same-process A/B at
+        # amortized dispatch (tests/golden/time_glue_split.py): the per-step
+        # obs assembly/recording was ~31 of transport's ~59 us/step; this
+        # cut the rollout 59.3 -> ~31 us/step. (Round 3 measured the same
+        # idea NEUTRAL — at horizon 100, where ~54 us/step of per-CALL
+        # tunnel dispatch buried the effect; see docs/PERFORMANCE.md.)
+        obs_rec = jax.tree_util.tree_map(
+            lambda o: jnp.moveaxis(o, 0, -1), obs
+        )
+        return new_carry, (jnp.stack(rews, axis=-1), done, obs_rec)
 
     def run(state, steps, key):
         k_pol, k_step, k_obs0 = jax.random.split(key, 3)
@@ -126,10 +136,14 @@ def rollout_fn(env, policy: Optional[Callable] = None, horizon: int = 100,
             # (fresh obs-noise key, like every eager observation call)
             carry0 = (state, steps, env._obs_fn_raw(state, k_obs0))
         step_keys = jax.random.split(k_step, horizon)
-        carry, (rews, dones, obs) = jax.lax.scan(
+        carry, (rews, dones, obs_rows) = jax.lax.scan(
             one_step, carry0, (pol_xs, step_keys), length=horizon
         )
         state, steps = carry[:2]
+        # invert the batch-minor recording: [T, ..., B] -> [T, B, ...]
+        obs = jax.tree_util.tree_map(
+            lambda o: jnp.moveaxis(o, -1, 1), obs_rows
+        )
         return state, steps, {"rewards": rews, "dones": dones, "obs": obs}
 
     return run
@@ -162,3 +176,110 @@ def rollout(env, policy=None, horizon: int = 100, key=None):
         fn = cache[cache_key] = jax.jit(rollout_fn(env, policy, horizon))
     env.state, env.steps, traj = fn(env.state, env.steps, key)
     return traj
+
+
+def rows_rollout_supported(env) -> bool:
+    """Whether ``rows_rollout_fn`` can run this env (see
+    fused.rows_step_supported; additionally the env must be on fused
+    physics, continuous noise-free actions, default hook pipeline)."""
+    from vmas_tpu.core import fused as F
+    from vmas_tpu.scenario import BaseScenario
+
+    sc = type(env.scenario)
+    return (
+        getattr(env.world, "fused", False)
+        and env._fused_outputs is not None
+        and env.continuous_actions
+        and not env.grad_enabled
+        and not env.clamp_action
+        and sc.post_rewards is BaseScenario.post_rewards
+        and sc.pre_step is BaseScenario.pre_step
+        and sc.post_step is BaseScenario.post_step
+        and type(env._fused_outputs).finish_obs
+        is F.FusedOutputs.finish_obs
+        and F.rows_step_supported(env.world, env._fused_outputs, env.agents)
+    )
+
+
+def rows_rollout_fn(env, horizon: int = 100):
+    """Rows-carried compiled rollout — same contract and BITWISE the same
+    trajectory as ``rollout_fn(env, horizon=...)`` with random actions
+    (asserted by tests/test_rows_rollout.py), restructured so the scan body
+    is ONE fused-kernel call:
+
+    * the carry is the kernel's own [Rc, B] row buffer (packed once before
+      the scan, unpacked once after) — none of the per-step state-pytree
+      relayout copies the standard scan pays;
+    * decoded action-force rows ride the scan xs (decode for holonomic
+      noise-free agents is ``u * u_multiplier``, precomputed for all steps
+      in one op — bitwise the per-step decode, a single IEEE multiply);
+    * observations/rewards/termination come back as raw emit rows, recorded
+      as rows and unpacked by ONE vmapped ``unpack`` after the scan.
+
+    Measured (round 4, same session as the splits above): transport@4096
+    went ~57 -> ~21 us/step. Eligibility is strict (rows_rollout_supported);
+    ineligible envs should use ``rollout_fn``."""
+    from vmas_tpu.core import fused as F
+
+    assert rows_rollout_supported(env), (
+        "rows_rollout_fn: env not eligible (need fused_physics=True, a "
+        "fused-outputs scenario with carry_extra_idx, holonomic noise-free "
+        "continuous agents, comm-free joint-free world) — use rollout_fn"
+    )
+    world, fo = env.world, env._fused_outputs
+    agents = env.agents
+    act_slots = [a.index for a in agents]
+    B = env.num_envs
+    bp = -(-B // 128) * 128
+    step = F.make_rows_step(world, fo, act_slots, bp)
+    mult = np.stack([np.asarray(a.u_multiplier_array, np.float32)
+                     for a in agents])  # [A, 2]
+
+    def run(state, steps, key):
+        k_pol, k_step, _k_obs0 = jax.random.split(key, 3)
+        acts = _random_actions_for_horizon(env, k_pol, horizon)  # per-agent [T, B, 2]
+        # decode == _decode_action for this eligibility class: f32 cast +
+        # stop_gradient + u_multiplier (one exact IEEE multiply per element)
+        us = [jax.lax.stop_gradient(a.astype(jnp.float32)) * mult[i][None, None]
+              for i, a in enumerate(acts)]
+        ax = jnp.stack([u[..., 0] for u in us], axis=1)  # [T, A, B]
+        ay = jnp.stack([u[..., 1] for u in us], axis=1)
+        act_rows = jnp.concatenate([ax, ay], axis=1)  # [T, 2A, B]
+        a_blk = -(-act_rows.shape[1] // 8) * 8
+        act_rows = jnp.pad(
+            act_rows,
+            ((0, 0), (0, a_blk - act_rows.shape[1]), (0, bp - B)),
+        )
+
+        carry0 = F.pack_carry(world, state, fo, bp)
+
+        carryT, extras = jax.lax.scan(step, carry0, act_rows)
+
+        state_out = F.unpack_carry(world, carryT, state)
+        extras = extras[..., :B]  # [T, n_out, B]
+        obs, rews, terminated, updates = jax.vmap(
+            lambda e: fo.unpack(e, state)
+        )(extras)
+        if env.max_steps is not None:
+            steps_t = steps[None] + 1 + jnp.arange(horizon)[:, None]
+            truncated = steps_t >= env.max_steps
+        else:
+            truncated = jnp.zeros_like(terminated)
+        dones = terminated | truncated
+
+        # final state mirrors the standard path's exactly: last decoded u,
+        # last step's scratch updates, last obs-noise key in scratch
+        for i, a in enumerate(agents):
+            state_out = a.set_u(state_out, us[i][-1])
+        last_updates = jax.tree_util.tree_map(lambda x: x[-1], updates)
+        step_keys = jax.random.split(k_step, horizon)
+        _, obs_key_last = jax.random.split(step_keys[-1])
+        state_out = state_out.replace(scenario={
+            **state_out.scenario, **last_updates, "__obs_key": obs_key_last,
+        })
+        steps = steps + horizon
+        return state_out, steps, {
+            "rewards": jnp.stack(rews, axis=-1), "dones": dones, "obs": obs,
+        }
+
+    return run

@@ -155,6 +155,11 @@ class Scenario(BaseScenario):
         class TransportOutputs(F.FusedOutputs):
             n_scratch_in = P  # previous global_shaping per package
             n_out = A * obs_w + 1 + 2 * P
+            # rows-carried rollout (fused.rows_step_supported): the next
+            # step's scratch inputs are this step's emitted shaping rows
+            carry_extra_idx = tuple(
+                range(A * obs_w + 1 + P, A * obs_w + 1 + 2 * P)
+            )
 
             @staticmethod
             def scratch_rows(state):

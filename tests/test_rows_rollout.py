@@ -82,6 +82,56 @@ def test_rows_rollout_matches_standard(n_agents, horizon):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize(
+    "scenario,kwargs",
+    [
+        ("wheel", dict(n_agents=3)),
+        ("reverse_transport", dict(n_agents=4)),
+        ("balance", dict(n_agents=3)),
+        ("passage", dict()),
+    ],
+)
+def test_rows_rollout_other_scenarios(scenario, kwargs):
+    """Every scenario declaring carry_extra_idx must replay the standard
+    rollout to ~1 ulp/step. (Unlike transport, whose replay happens to stay
+    bitwise on CPU, passage's contact chains pick up one FMA rounding per
+    step between the two interpret-mode compilations — the same
+    shape-dependent-contraction caveat as the trajectory rewards; measured
+    5.96e-08 = 1 ulp at pos scale.)"""
+    env_a = make_env(scenario, num_envs=16, seed=0, fused_physics=True, **kwargs)
+    env_b = make_env(scenario, num_envs=16, seed=0, fused_physics=True, **kwargs)
+    assert rows_rollout_supported(env_b), scenario
+    key = jax.random.PRNGKey(3)
+    s_std, t_std, traj_std = jax.jit(rollout_fn(env_a, horizon=5))(
+        env_a.state, env_a.steps, key
+    )
+    s_rows, t_rows, traj_rows = jax.jit(rows_rollout_fn(env_b, horizon=5))(
+        env_b.state, env_b.steps, key
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_std["rewards"]), np.asarray(traj_rows["rewards"]),
+        atol=3e-5, rtol=0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(traj_std["dones"]), np.asarray(traj_rows["dones"])
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(traj_std["obs"]),
+                    jax.tree_util.tree_leaves(traj_rows["obs"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=0)
+    for f in ("pos", "vel", "rot", "ang_vel", "force", "torque"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_std, f)), np.asarray(getattr(s_rows, f)),
+            atol=1e-6, rtol=0, err_msg=f"{scenario}: final {f}",
+        )
+    for k in s_std.scenario:
+        np.testing.assert_allclose(
+            np.asarray(s_std.scenario[k], np.float32),
+            np.asarray(s_rows.scenario[k], np.float32),
+            atol=3e-5, rtol=0, err_msg=f"{scenario}: scratch[{k}]",
+        )
+
+
 def test_rows_rollout_truncation():
     env = make_env("transport", num_envs=16, seed=0, fused_physics=True,
                    n_agents=4, max_steps=3)

@@ -180,6 +180,9 @@ class Scenario(BaseScenario):
         class BalanceOutputs(F.FusedOutputs):
             n_scratch_in = 1  # previous global_shaping
             n_out = A * agent_w + shared_w + 5
+            # rows-carried rollout: next step's scratch = this step's
+            # emitted shaping row (unpack is state-free)
+            carry_extra_idx = (A * agent_w + shared_w + 4,)
 
             @staticmethod
             def scratch_rows(state):

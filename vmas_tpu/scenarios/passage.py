@@ -215,6 +215,10 @@ class Scenario(BaseScenario):
         class PassageOutputs(F_.FusedOutputs):
             n_scratch_in = A  # previous global_shaping columns
             n_out = A * obs_w + 3 * A + 1
+            # rows-carried rollout: next step's scratch = this step's
+            # emitted shaping rows, in the same agent order (unpack is
+            # state-free)
+            carry_extra_idx = tuple(range(A * obs_w + 2 * A, A * obs_w + 3 * A))
 
             @staticmethod
             def scratch_rows(state):

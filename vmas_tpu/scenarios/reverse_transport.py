@@ -123,6 +123,9 @@ class Scenario(BaseScenario):
         class ReverseTransportOutputs(F.FusedOutputs):
             n_scratch_in = 1  # previous global_shaping
             n_out = A * obs_w + 3
+            # rows-carried rollout: next step's scratch = this step's
+            # emitted shaping row (unpack is state-free)
+            carry_extra_idx = (A * obs_w + 2,)
 
             @staticmethod
             def scratch_rows(state):

@@ -102,6 +102,7 @@ class Scenario(BaseScenario):
         class WheelOutputs(F.FusedOutputs):
             n_scratch_in = 0
             n_out = A * obs_w + 1
+            carry_extra_idx = ()  # no kernel-read scratch -> rows-rollout eligible
 
             @staticmethod
             def emit(ctx):

@@ -71,7 +71,46 @@ def run_point(n_envs: int, fused: bool = False):
     (state, steps), traj = run(env.state, env.steps, jax.random.PRNGKey(0))
     jax.block_until_ready(traj[1][0])
     t_scan = time.perf_counter() - t0
-    return t_loop, t_scan
+
+    # --- rows-carried path (fused only): the scan carries the kernel's own
+    # row buffer, one pallas call per step, same fixed discrete actions ---
+    t_rows = None
+    from vmas_tpu.parallel.rollout import (
+        _decode_u_horizon, rows_rollout_supported,
+    )
+    if rows_rollout_supported(env):
+        from vmas_tpu.core import fused as F
+
+        world, fo = env.world, env._fused_outputs
+        bp = -(-n_envs // 128) * 128
+        step = F.make_rows_step(world, fo, [a.index for a in env.agents], bp)
+        us = [_decode_u_horizon(env, a, jnp.full((N_STEPS, n_envs), 2,
+                                                 jnp.int32))
+              for a in env.agents]
+        ax = jnp.stack([u[..., 0] for u in us], axis=1)
+        ay = jnp.stack([u[..., 1] for u in us], axis=1)
+        act_rows = jnp.concatenate([ax, ay], axis=1)  # [T, 2A, B]
+        a_blk = -(-act_rows.shape[1] // 8) * 8
+        act_rows = jnp.pad(
+            act_rows,
+            ((0, 0), (0, a_blk - act_rows.shape[1]), (0, bp - n_envs)),
+        )
+
+        @jax.jit
+        def run_rows(state, act_rows):
+            carry0 = F.pack_carry(world, state, fo, bp)
+            carryT, extras = jax.lax.scan(step, carry0, act_rows)
+            return F.unpack_carry(world, carryT, state), extras
+
+        env.reset(seed=0)
+        s, extras = run_rows(env.state, act_rows)
+        jax.block_until_ready(extras)
+        env.reset(seed=0)
+        t0 = time.perf_counter()
+        s, extras = run_rows(env.state, act_rows)
+        jax.block_until_ready(extras)
+        t_rows = time.perf_counter() - t0
+    return t_loop, t_scan, t_rows
 
 
 def main():
@@ -85,15 +124,18 @@ def main():
     print(f"simple_spread, {N_AGENTS} agents, {N_STEPS} steps on "
           f"{dev.platform}:{dev.device_kind}")
     print(f"{'n_envs':>8} {'loop s':>9} {'scan s':>9} {'scan env-steps/s':>17}"
-          f" {'fused s':>9} {'fused env-steps/s':>18}")
+          f" {'fused s':>9} {'fused env-steps/s':>18}"
+          f" {'rows s':>9} {'rows env-steps/s':>17}")
     for n in args.n_envs:
-        t_loop, t_scan = run_point(n)
-        # beyond-protocol best path: physics + obs/reward emitted from ONE
-        # pallas kernel (simple_spread.make_fused_outputs)
-        _, t_fused = run_point(n, fused=True)
+        t_loop, t_scan, _ = run_point(n)
+        # beyond-protocol best paths: physics + obs/reward emitted from ONE
+        # pallas kernel (simple_spread.make_fused_outputs), and the
+        # rows-carried scan of that kernel's own row buffer
+        _, t_fused, t_rows = run_point(n, fused=True)
         print(f"{n:>8} {t_loop:>9.3f} {t_scan:>9.3f} "
               f"{n * N_STEPS / t_scan:>17,.0f} {t_fused:>9.3f} "
-              f"{n * N_STEPS / t_fused:>18,.0f}")
+              f"{n * N_STEPS / t_fused:>18,.0f} {t_rows:>9.3f} "
+              f"{n * N_STEPS / t_rows:>17,.0f}")
 
 
 if __name__ == "__main__":

@@ -89,6 +89,7 @@ def test_rows_rollout_matches_standard(n_agents, horizon):
         ("reverse_transport", dict(n_agents=4)),
         ("balance", dict(n_agents=3)),
         ("passage", dict()),
+        ("simple_spread", dict(n_agents=3)),  # the reference's GPU-benchmark protocol scenario
     ],
 )
 def test_rows_rollout_other_scenarios(scenario, kwargs):
@@ -129,6 +130,38 @@ def test_rows_rollout_other_scenarios(scenario, kwargs):
             np.asarray(s_std.scenario[k], np.float32),
             np.asarray(s_rows.scenario[k], np.float32),
             atol=3e-5, rtol=0, err_msg=f"{scenario}: scratch[{k}]",
+        )
+
+
+@pytest.mark.parametrize("multidiscrete", [False, True])
+def test_rows_rollout_discrete_actions(multidiscrete):
+    """The reference's published GPU-benchmark protocol (simple_spread,
+    discrete actions) — the rows path's hoisted mixed-radix/odd-n decode
+    must replay the standard rollout like the continuous one does."""
+    kw = dict(num_envs=16, seed=0, fused_physics=True, n_agents=3,
+              continuous_actions=False, multidiscrete_actions=multidiscrete)
+    env_a = make_env("simple_spread", **kw)
+    env_b = make_env("simple_spread", **kw)
+    assert rows_rollout_supported(env_b)
+    key = jax.random.PRNGKey(7)
+    s_std, t_std, traj_std = jax.jit(rollout_fn(env_a, horizon=5))(
+        env_a.state, env_a.steps, key
+    )
+    s_rows, t_rows, traj_rows = jax.jit(rows_rollout_fn(env_b, horizon=5))(
+        env_b.state, env_b.steps, key
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_std["rewards"]), np.asarray(traj_rows["rewards"]),
+        atol=3e-5, rtol=0,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(traj_std["obs"]),
+                    jax.tree_util.tree_leaves(traj_rows["obs"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=0)
+    for f in ("pos", "vel", "u"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_std, f)), np.asarray(getattr(s_rows, f)),
+            atol=1e-6, rtol=0, err_msg=f"final {f}",
         )
 
 

@@ -181,7 +181,8 @@ def rollout(env, policy=None, horizon: int = 100, key=None):
 def rows_rollout_supported(env) -> bool:
     """Whether ``rows_rollout_fn`` can run this env (see
     fused.rows_step_supported; additionally the env must be on fused
-    physics, continuous noise-free actions, default hook pipeline)."""
+    physics, noise-free actions — continuous (unclamped) or discrete —
+    and the default hook pipeline)."""
     from vmas_tpu.core import fused as F
     from vmas_tpu.scenario import BaseScenario
 
@@ -189,9 +190,8 @@ def rows_rollout_supported(env) -> bool:
     return (
         getattr(env.world, "fused", False)
         and env._fused_outputs is not None
-        and env.continuous_actions
         and not env.grad_enabled
-        and not env.clamp_action
+        and not (env.continuous_actions and env.clamp_action)
         and sc.post_rewards is BaseScenario.post_rewards
         and sc.pre_step is BaseScenario.pre_step
         and sc.post_step is BaseScenario.post_step
@@ -199,6 +199,48 @@ def rows_rollout_supported(env) -> bool:
         is F.FusedOutputs.finish_obs
         and F.rows_step_supported(env.world, env._fused_outputs, env.agents)
     )
+
+
+def _decode_u_horizon(env, agent, raw):
+    """``Environment._decode_action``'s comm-free u math, vectorized over a
+    leading horizon axis — same ops per element, so continuous decode (cast
+    + stop_gradient + one multiply) is bitwise the per-step form, and the
+    discrete mixed-radix/odd-n decode is exact (integer ops) up to the same
+    final scale-multiply. Returns [T, B, action_size] decoded u."""
+    import math
+
+    u_range = jnp.asarray(agent.u_range_array)
+    u_mult = jnp.asarray(agent.u_multiplier_array)
+    if env.continuous_actions:
+        u = jax.lax.stop_gradient(jnp.asarray(raw).astype(jnp.float32))
+        u = u[..., : agent.action_size]
+    else:
+        action = jnp.asarray(raw)
+        if action.ndim == 2:  # flat Discrete: [T, B]
+            action = action[..., None]
+        nvec = list(agent.discrete_action_nvec)
+        if not env.multidiscrete_actions:
+            flat = jnp.clip(
+                action[..., 0].astype(jnp.int32), 0, math.prod(nvec) - 1
+            )
+            cols = []
+            for i in range(len(nvec)):
+                n = math.prod(nvec[i + 1 :])
+                cols.append(flat // n)
+                flat = flat % n
+            action = jnp.stack(cols, axis=-1)
+        action = action.astype(jnp.int32)
+        us = []
+        for j, n in enumerate(nvec):
+            a = action[..., j]
+            if n % 2 != 0:
+                stay = a == 0
+                decrement = (a > 0) & (a <= n // 2)
+                a = jnp.where(stay, n // 2, jnp.where(decrement, a - 1, a))
+            u_max = u_range[j]
+            us.append((a.astype(jnp.float32) / (n - 1)) * (2 * u_max) - u_max)
+        u = jnp.stack(us, axis=-1)
+    return u * u_mult[None, None]
 
 
 def rows_rollout_fn(env, horizon: int = 100):
@@ -210,9 +252,9 @@ def rows_rollout_fn(env, horizon: int = 100):
     * the carry is the kernel's own [Rc, B] row buffer (packed once before
       the scan, unpacked once after) — none of the per-step state-pytree
       relayout copies the standard scan pays;
-    * decoded action-force rows ride the scan xs (decode for holonomic
-      noise-free agents is ``u * u_multiplier``, precomputed for all steps
-      in one op — bitwise the per-step decode, a single IEEE multiply);
+    * decoded action-force rows ride the scan xs (``_decode_u_horizon``
+      precomputes the per-step decode for all steps in one op — bitwise
+      the per-step form for both continuous and discrete actions);
     * observations/rewards/termination come back as raw emit rows, recorded
       as rows and unpacked by ONE vmapped ``unpack`` after the scan.
 
@@ -224,7 +266,7 @@ def rows_rollout_fn(env, horizon: int = 100):
     assert rows_rollout_supported(env), (
         "rows_rollout_fn: env not eligible (need fused_physics=True, a "
         "fused-outputs scenario with carry_extra_idx, holonomic noise-free "
-        "continuous agents, comm-free joint-free world) — use rollout_fn"
+        "agents, comm-free joint-free world) — use rollout_fn"
     )
     world, fo = env.world, env._fused_outputs
     agents = env.agents
@@ -232,16 +274,15 @@ def rows_rollout_fn(env, horizon: int = 100):
     B = env.num_envs
     bp = -(-B // 128) * 128
     step = F.make_rows_step(world, fo, act_slots, bp)
-    mult = np.stack([np.asarray(a.u_multiplier_array, np.float32)
-                     for a in agents])  # [A, 2]
 
     def run(state, steps, key):
         k_pol, k_step, _k_obs0 = jax.random.split(key, 3)
-        acts = _random_actions_for_horizon(env, k_pol, horizon)  # per-agent [T, B, 2]
-        # decode == _decode_action for this eligibility class: f32 cast +
-        # stop_gradient + u_multiplier (one exact IEEE multiply per element)
-        us = [jax.lax.stop_gradient(a.astype(jnp.float32)) * mult[i][None, None]
-              for i, a in enumerate(acts)]
+        acts = _random_actions_for_horizon(env, k_pol, horizon)
+        # decode == _decode_action for this eligibility class, hoisted over
+        # the horizon: continuous is cast + stop_gradient + one exact IEEE
+        # u_multiplier multiply; discrete is the same integer mixed-radix /
+        # odd-n remap followed by the same affine scale
+        us = [_decode_u_horizon(env, a, acts[i]) for i, a in enumerate(agents)]
         ax = jnp.stack([u[..., 0] for u in us], axis=1)  # [T, A, B]
         ay = jnp.stack([u[..., 1] for u in us], axis=1)
         act_rows = jnp.concatenate([ax, ay], axis=1)  # [T, 2A, B]

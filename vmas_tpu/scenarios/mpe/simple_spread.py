@@ -93,6 +93,7 @@ class Scenario(BaseScenario):
         class SimpleSpreadOutputs(F_.FusedOutputs):
             n_scratch_in = 0
             n_out = A * obs_w + 1
+            carry_extra_idx = ()  # no kernel-read scratch -> rows-rollout eligible
 
             @staticmethod
             def emit(ctx):

@@ -35,6 +35,12 @@ def test_supported_exactly_on_bench_class():
     # comm world -> not eligible
     env_c = make_env("simple_reference", num_envs=8, seed=0, fused_physics=True)
     assert not rows_rollout_supported(env_c)
+    # scenario-level process_action (give_way's PID velocity controller
+    # runs OUTSIDE the kernel; the act-row override would skip it) -> not
+    # eligible. Caught by an actual trajectory divergence before the gate
+    # existed — keep this pinned.
+    env_p = make_env("give_way", num_envs=8, seed=0, fused_physics=True)
+    assert not rows_rollout_supported(env_p)
 
 
 @pytest.mark.parametrize("n_agents,horizon", [(4, 7), (3, 4)])
@@ -90,6 +96,10 @@ def test_rows_rollout_matches_standard(n_agents, horizon):
         ("balance", dict(n_agents=3)),
         ("passage", dict()),
         ("simple_spread", dict(n_agents=3)),  # the reference's GPU-benchmark protocol scenario
+        ("simple", dict()),
+        ("simple_tag", dict()),
+        ("simple_push", dict()),        # goal_idx scratch carried unchanged (None)
+        ("simple_adversary", dict()),   # goal_idx scratch carried unchanged (None)
     ],
 )
 def test_rows_rollout_other_scenarios(scenario, kwargs):

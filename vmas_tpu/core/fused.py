@@ -374,6 +374,12 @@ class FusedOutputs:
           terminated [B] bool, scratch_updates dict)
 
     Optional:
+      carry_extra_idx: tuple, one entry per scratch-in row — opts into the
+          rows-carried rollout (parallel/rollout.py rows_rollout_fn). An
+          int entry is the emit-row index holding that scratch row's NEXT
+          value; None means rollout-constant (carried unchanged). Only
+          declare when unpack reads no step-varying state; authoring rules
+          in docs/FUSED_OUTPUTS.md.
       finish_obs(obs_tuple, state) -> obs_tuple — called AFTER the scratch
           updates are merged and post_rewards has run. unpack sees the
           pre-post_rewards state, but the non-fused hook order computes
@@ -1186,9 +1192,14 @@ def _make_kernel(world, outputs=None, sublanes=1, rows_mode=False,
                 # the emit rows go to their own output so recording them
                 # needs no slicing either
                 for k, ei in enumerate(outputs.carry_extra_idx):
-                    o_ref[(9 * E + k) * S : (9 * E + k + 1) * S, :] = (
-                        extra[int(ei)].astype(jnp.float32)
+                    # None = rollout-constant scratch (e.g. a per-env goal
+                    # index chosen at reset): carry the input row unchanged
+                    src = (
+                        scratch_in[k]
+                        if ei is None
+                        else extra[int(ei)].astype(jnp.float32)
                     )
+                    o_ref[(9 * E + k) * S : (9 * E + k + 1) * S, :] = src
                 for k, r in enumerate(extra):
                     e_ref[k * S : (k + 1) * S, :] = r.astype(jnp.float32)
             else:

@@ -193,6 +193,10 @@ def rows_rollout_supported(env) -> bool:
         and not env.grad_enabled
         and not (env.continuous_actions and env.clamp_action)
         and sc.post_rewards is BaseScenario.post_rewards
+        # fused outputs replace pre_rewards/reward/obs/done, and the kernel
+        # realizes Holonomic's force=u — but a scenario-level process_action
+        # (give_way's PID velocity controller) would run OUTSIDE the kernel
+        and sc.process_action is BaseScenario.process_action
         and sc.pre_step is BaseScenario.pre_step
         and sc.post_step is BaseScenario.post_step
         and type(env._fused_outputs).finish_obs

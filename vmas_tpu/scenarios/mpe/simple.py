@@ -53,6 +53,7 @@ class Scenario(BaseScenario):
         class SimpleOutputs(F_.FusedOutputs):
             n_scratch_in = 0
             n_out = A * obs_w + A
+            carry_extra_idx = ()  # no kernel-read scratch -> rows-rollout eligible
 
             @staticmethod
             def emit(ctx):

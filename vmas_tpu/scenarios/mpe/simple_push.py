@@ -99,6 +99,9 @@ class Scenario(BaseScenario):
         class SimplePushOutputs(F_.FusedOutputs):
             n_scratch_in = 1  # goal_idx
             n_out = sum(row_w) + A
+            # rows-carried rollout: goal_idx is chosen at reset and never
+            # changes mid-rollout -> carried unchanged (None)
+            carry_extra_idx = (None,)
 
             @staticmethod
             def scratch_rows(state):

@@ -231,6 +231,7 @@ class Scenario(BaseScenario):
         class SimpleTagOutputs(F_.FusedOutputs):
             n_scratch_in = 0
             n_out = sum(row_w) + A
+            carry_extra_idx = ()  # no kernel-read scratch -> rows-rollout eligible
 
             @staticmethod
             def emit(ctx):

@@ -16,6 +16,7 @@ import pytest
 from vmas_tpu import make_env
 from vmas_tpu.parallel.rollout import (
     rollout_fn,
+    rows_policy_rollout_fn,
     rows_rollout_fn,
     rows_rollout_supported,
 )
@@ -173,6 +174,82 @@ def test_rows_rollout_discrete_actions(multidiscrete):
             np.asarray(getattr(s_std, f)), np.asarray(getattr(s_rows, f)),
             atol=1e-6, rtol=0, err_msg=f"final {f}",
         )
+
+
+def test_rows_policy_rollout_matches_standard():
+    """rows_policy_rollout_fn vs rollout_fn with the SAME policy callable:
+    the policy consumes the previous step's emitted obs in both paths, so
+    trajectories must replay (same CPU FMA-contraction caveats as above)."""
+    env_a = _envs(n_agents=3)
+    env_b = _envs(n_agents=3)
+    obs_w = int(np.asarray(env_a.reset(seed=0)[0]).shape[-1])
+    rng = np.random.default_rng(0)
+    Ws = [jnp.asarray(rng.normal(size=(obs_w, 2)) * 0.3, jnp.float32)
+          for _ in env_a.agents]
+
+    def policy(obs, key):
+        return tuple(
+            jnp.tanh(o @ Ws[i])
+            + 0.01 * jax.random.uniform(jax.random.fold_in(key, i), (o.shape[0], 2))
+            for i, o in enumerate(obs)
+        )
+
+    env_a.reset(seed=0)
+    env_b.reset(seed=0)
+    key = jax.random.PRNGKey(13)
+    s_std, t_std, tr_std = jax.jit(rollout_fn(env_a, policy, horizon=4))(
+        env_a.state, env_a.steps, key
+    )
+    s_rows, t_rows, tr_rows = jax.jit(rows_policy_rollout_fn(env_b, policy, horizon=4))(
+        env_b.state, env_b.steps, key
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr_std["rewards"]), np.asarray(tr_rows["rewards"]),
+        atol=3e-5, rtol=0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tr_std["dones"]), np.asarray(tr_rows["dones"])
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(tr_std["obs"]),
+                    jax.tree_util.tree_leaves(tr_rows["obs"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=0)
+    for f in ("pos", "vel", "u"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_std, f)), np.asarray(getattr(s_rows, f)),
+            atol=1e-6, rtol=0, err_msg=f"final {f}",
+        )
+    np.testing.assert_array_equal(np.asarray(t_std), np.asarray(t_rows))
+
+
+def test_rows_policy_rollout_discrete():
+    """Discrete policy (obs-dependent integer actions) through the rows
+    path — exercises the per-step mixed-radix decode inside the scan."""
+    kw = dict(num_envs=16, seed=0, fused_physics=True, n_agents=3,
+              continuous_actions=False)
+    env_a = make_env("simple_spread", **kw)
+    env_b = make_env("simple_spread", **kw)
+
+    def policy(obs, key):
+        return tuple(
+            (jnp.abs(o).sum(-1) * 97.0).astype(jnp.int32) % 5 for o in obs
+        )
+
+    key = jax.random.PRNGKey(2)
+    _, _, tr_std = jax.jit(rollout_fn(env_a, policy, horizon=4))(
+        env_a.state, env_a.steps, key
+    )
+    _, _, tr_rows = jax.jit(rows_policy_rollout_fn(env_b, policy, horizon=4))(
+        env_b.state, env_b.steps, key
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(tr_std["obs"]),
+                    jax.tree_util.tree_leaves(tr_rows["obs"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=0)
+    np.testing.assert_allclose(
+        np.asarray(tr_std["rewards"]), np.asarray(tr_rows["rewards"]),
+        atol=3e-5, rtol=0,
+    )
 
 
 def test_rows_rollout_truncation():

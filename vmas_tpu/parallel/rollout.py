@@ -328,3 +328,89 @@ def rows_rollout_fn(env, horizon: int = 100):
         }
 
     return run
+
+
+def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100):
+    """Rows-carried POLICY rollout — same contract and BITWISE the same
+    trajectory as ``rollout_fn(env, policy, horizon=...)`` for rows-eligible
+    envs (tests/test_rows_rollout.py): the scan body is the policy applied
+    to the previous step's emitted observations plus ONE fused-kernel call,
+    so experience collection for training runs at rows-rollout speed (the
+    state pytree never round-trips between steps; only the policy's own
+    obs-transpose and action rows sit between kernel calls).
+
+    ``policy(obs_tuple, key) -> actions_tuple`` exactly as in
+    ``rollout_fn``; actions are decoded per step with the same math as
+    ``Environment._decode_action``. No gradients flow through the rollout
+    (fused physics is forward-only) — use it to COLLECT experience, and
+    fit the policy on the recorded trajectories."""
+    from vmas_tpu.core import fused as F
+
+    assert rows_rollout_supported(env), (
+        "rows_policy_rollout_fn: env not eligible — use rollout_fn"
+    )
+    world, fo = env.world, env._fused_outputs
+    agents = env.agents
+    A = len(agents)
+    act_slots = [a.index for a in agents]
+    B = env.num_envs
+    bp = -(-B // 128) * 128
+    step = F.make_rows_step(world, fo, act_slots, bp)
+    a_blk = -(-2 * A // 8) * 8
+
+    def run(state, steps, key):
+        k_pol, k_step, k_obs0 = jax.random.split(key, 3)
+        pol_keys = jax.random.split(k_pol, horizon)
+
+        def one_step(carry, pol_key):
+            rows, obs = carry
+            raw = policy(obs, pol_key)
+            us = [
+                _decode_u_horizon(env, a, jnp.asarray(r)[None])[0]
+                for a, r in zip(agents, raw)
+            ]
+            act = jnp.concatenate(
+                [jnp.stack([u[:, 0] for u in us], 0),
+                 jnp.stack([u[:, 1] for u in us], 0)], 0)  # [2A, B]
+            act = jnp.pad(act, ((0, a_blk - 2 * A), (0, bp - B)))
+            rows, extra = step(rows, act)
+            # the policy at t+1 acts on the obs THIS step emitted — only
+            # the obs outputs of unpack are consumed here, so XLA dead-codes
+            # its reward/termination math out of the in-scan instance
+            obs_next = fo.unpack(extra[:, :B], state)[0]
+            return (rows, obs_next), (extra, act)
+
+        obs0 = env._obs_fn_raw(state, k_obs0)
+        carry0 = (F.pack_carry(world, state, fo, bp), obs0)
+        (carryT, _), (extras, acts) = jax.lax.scan(
+            one_step, carry0, pol_keys
+        )
+
+        state_out = F.unpack_carry(world, carryT, state)
+        extras = extras[..., :B]  # [T, n_out, B]
+        obs, rews, terminated, updates = jax.vmap(
+            lambda e: fo.unpack(e, state)
+        )(extras)
+        if env.max_steps is not None:
+            steps_t = steps[None] + 1 + jnp.arange(horizon)[:, None]
+            truncated = steps_t >= env.max_steps
+        else:
+            truncated = jnp.zeros_like(terminated)
+        dones = terminated | truncated
+
+        # final state mirrors the standard path's exactly (cf. rows_rollout_fn)
+        for i, a in enumerate(agents):
+            u_last = jnp.stack([acts[-1, i, :B], acts[-1, A + i, :B]], -1)
+            state_out = a.set_u(state_out, u_last)
+        last_updates = jax.tree_util.tree_map(lambda x: x[-1], updates)
+        step_keys = jax.random.split(k_step, horizon)
+        _, obs_key_last = jax.random.split(step_keys[-1])
+        state_out = state_out.replace(scenario={
+            **state_out.scenario, **last_updates, "__obs_key": obs_key_last,
+        })
+        steps = steps + horizon
+        return state_out, steps, {
+            "rewards": jnp.stack(rews, axis=-1), "dones": dones, "obs": obs,
+        }
+
+    return run

@@ -101,6 +101,7 @@ def test_rows_rollout_matches_standard(n_agents, horizon):
         ("simple_tag", dict()),
         ("simple_push", dict()),        # goal_idx scratch carried unchanged (None)
         ("simple_adversary", dict()),   # goal_idx scratch carried unchanged (None)
+        ("dropout", dict(n_agents=3)),  # unpack_reads=("u",): per-step u substituted
     ],
 )
 def test_rows_rollout_other_scenarios(scenario, kwargs):
@@ -136,6 +137,12 @@ def test_rows_rollout_other_scenarios(scenario, kwargs):
             np.asarray(getattr(s_std, f)), np.asarray(getattr(s_rows, f)),
             atol=1e-6, rtol=0, err_msg=f"{scenario}: final {f}",
         )
+    # post_rewards side effects outside scratch (dropout's goal-render
+    # toggle) must land in the final state too
+    np.testing.assert_array_equal(
+        np.asarray(s_std.rendering), np.asarray(s_rows.rendering),
+        err_msg=f"{scenario}: final rendering",
+    )
     for k in s_std.scenario:
         np.testing.assert_allclose(
             np.asarray(s_std.scenario[k], np.float32),

@@ -378,8 +378,19 @@ class FusedOutputs:
           rows-carried rollout (parallel/rollout.py rows_rollout_fn). An
           int entry is the emit-row index holding that scratch row's NEXT
           value; None means rollout-constant (carried unchanged). Only
-          declare when unpack reads no step-varying state; authoring rules
-          in docs/FUSED_OUTPUTS.md.
+          declare when unpack reads no step-varying state beyond what
+          unpack_reads names; authoring rules in docs/FUSED_OUTPUTS.md.
+      unpack_reads: tuple of step-varying state fields unpack reads.
+          Default () = none (the base promise). ("u",) marks an unpack
+          whose ONLY step-varying read is the agents' decoded action
+          (dropout's energy term); the rows rollout substitutes the
+          per-step u it already holds before calling unpack.
+      post_rewards_rollout_safe: bool (default False) — the scenario's
+          post_rewards override only (a) rewrites scratch idempotently
+          with values unpack already merged and (b) touches fields no
+          kernel row or observation reads (rendering toggles). The rows
+          rollout then stays eligible and applies post_rewards ONCE to
+          the final state instead of per step.
       finish_obs(obs_tuple, state) -> obs_tuple — called AFTER the scratch
           updates are merged and post_rewards has run. unpack sees the
           pre-post_rewards state, but the non-fused hook order computes
@@ -390,6 +401,7 @@ class FusedOutputs:
     """
 
     n_scratch_in = 0
+    unpack_reads = ()
 
     @staticmethod
     def scratch_rows(state):

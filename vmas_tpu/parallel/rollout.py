@@ -192,7 +192,14 @@ def rows_rollout_supported(env) -> bool:
         and env._fused_outputs is not None
         and not env.grad_enabled
         and not (env.continuous_actions and env.clamp_action)
-        and sc.post_rewards is BaseScenario.post_rewards
+        and (
+            sc.post_rewards is BaseScenario.post_rewards
+            # rule-3-idempotent post_rewards (dropout): the scenario
+            # asserts it only rewrites scratch unpack already merged and
+            # touches rollout-unobservable fields; the rows paths apply
+            # it once to the final state
+            or getattr(env._fused_outputs, "post_rewards_rollout_safe", False)
+        )
         # fused outputs replace pre_rewards/reward/obs/done, and the kernel
         # realizes Holonomic's force=u — but a scenario-level process_action
         # (give_way's PID velocity controller) would run OUTSIDE the kernel
@@ -201,6 +208,10 @@ def rows_rollout_supported(env) -> bool:
         and sc.post_step is BaseScenario.post_step
         and type(env._fused_outputs).finish_obs
         is F.FusedOutputs.finish_obs
+        # unpack may read rollout-constant state freely; its only declared
+        # step-varying read can be "u" (the rows paths substitute the
+        # per-step decoded actions they already hold)
+        and set(getattr(env._fused_outputs, "unpack_reads", ())) <= {"u"}
         and F.rows_step_supported(env.world, env._fused_outputs, env.agents)
     )
 
@@ -245,6 +256,24 @@ def _decode_u_horizon(env, agent, raw):
             us.append((a.astype(jnp.float32) / (n - 1)) * (2 * u_max) - u_max)
         u = jnp.stack(us, axis=-1)
     return u * u_mult[None, None]
+
+
+def _vmapped_unpack(env, fo, agents, extras, us, state):
+    """One vmapped ``unpack`` over the recorded emit rows. When the
+    scenario declares ``unpack_reads = ("u",)`` (its only step-varying
+    state read is the decoded action — dropout/het_mass energy terms),
+    substitute the per-step u the rollout already holds so unpack sees
+    exactly what the standard per-step path saw."""
+    if "u" in getattr(fo, "unpack_reads", ()):
+
+        def unp(e, *uts):
+            st = state
+            for a, ut in zip(agents, uts):
+                st = a.set_u(st, ut)
+            return fo.unpack(e, st)
+
+        return jax.vmap(unp)(extras, *us)
+    return jax.vmap(lambda e: fo.unpack(e, state))(extras)
 
 
 def rows_rollout_fn(env, horizon: int = 100):
@@ -302,9 +331,9 @@ def rows_rollout_fn(env, horizon: int = 100):
 
         state_out = F.unpack_carry(world, carryT, state)
         extras = extras[..., :B]  # [T, n_out, B]
-        obs, rews, terminated, updates = jax.vmap(
-            lambda e: fo.unpack(e, state)
-        )(extras)
+        obs, rews, terminated, updates = _vmapped_unpack(
+            env, fo, agents, extras, us, state
+        )
         if env.max_steps is not None:
             steps_t = steps[None] + 1 + jnp.arange(horizon)[:, None]
             truncated = steps_t >= env.max_steps
@@ -322,6 +351,10 @@ def rows_rollout_fn(env, horizon: int = 100):
         state_out = state_out.replace(scenario={
             **state_out.scenario, **last_updates, "__obs_key": obs_key_last,
         })
+        # post_rewards_rollout_safe scenarios (dropout): identical per-step
+        # effect is already in the emitted rows; one final application
+        # reproduces the standard path's final state (render toggles etc.)
+        state_out = env.scenario.post_rewards(state_out)
         steps = steps + horizon
         return state_out, steps, {
             "rewards": jnp.stack(rews, axis=-1), "dones": dones, "obs": obs,
@@ -377,7 +410,11 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100):
             # the policy at t+1 acts on the obs THIS step emitted — only
             # the obs outputs of unpack are consumed here, so XLA dead-codes
             # its reward/termination math out of the in-scan instance
-            obs_next = fo.unpack(extra[:, :B], state)[0]
+            st_t = state
+            if "u" in getattr(fo, "unpack_reads", ()):
+                for a, u in zip(agents, us):
+                    st_t = a.set_u(st_t, u)
+            obs_next = fo.unpack(extra[:, :B], st_t)[0]
             return (rows, obs_next), (extra, act)
 
         obs0 = env._obs_fn_raw(state, k_obs0)
@@ -388,9 +425,13 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100):
 
         state_out = F.unpack_carry(world, carryT, state)
         extras = extras[..., :B]  # [T, n_out, B]
-        obs, rews, terminated, updates = jax.vmap(
-            lambda e: fo.unpack(e, state)
-        )(extras)
+        us_t = [
+            jnp.stack([acts[:, i, :B], acts[:, A + i, :B]], -1)  # [T, B, 2]
+            for i in range(A)
+        ]
+        obs, rews, terminated, updates = _vmapped_unpack(
+            env, fo, agents, extras, us_t, state
+        )
         if env.max_steps is not None:
             steps_t = steps[None] + 1 + jnp.arange(horizon)[:, None]
             truncated = steps_t >= env.max_steps
@@ -400,14 +441,17 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100):
 
         # final state mirrors the standard path's exactly (cf. rows_rollout_fn)
         for i, a in enumerate(agents):
-            u_last = jnp.stack([acts[-1, i, :B], acts[-1, A + i, :B]], -1)
-            state_out = a.set_u(state_out, u_last)
+            state_out = a.set_u(state_out, us_t[i][-1])
         last_updates = jax.tree_util.tree_map(lambda x: x[-1], updates)
         step_keys = jax.random.split(k_step, horizon)
         _, obs_key_last = jax.random.split(step_keys[-1])
         state_out = state_out.replace(scenario={
             **state_out.scenario, **last_updates, "__obs_key": obs_key_last,
         })
+        # post_rewards_rollout_safe scenarios (dropout): identical per-step
+        # effect is already in the emitted rows; one final application
+        # reproduces the standard path's final state (render toggles etc.)
+        state_out = env.scenario.post_rewards(state_out)
         steps = steps + horizon
         return state_out, steps, {
             "rewards": jnp.stack(rews, axis=-1), "dones": dones, "obs": obs,

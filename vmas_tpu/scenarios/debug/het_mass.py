@@ -106,6 +106,9 @@ class Scenario(BaseScenario):
         class HetMassOutputs(F_.FusedOutputs):
             n_scratch_in = 0
             n_out = 4 * A + 1
+            # NOT rows-eligible (no carry_extra_idx): the scenario's
+            # process_action zeroes u's Y component outside the kernel, and
+            # unpack's energy term reads that post-zeroed u
 
             @staticmethod
             def emit(ctx):

@@ -149,6 +149,16 @@ class Scenario(BaseScenario):
         class DropoutOutputs(F.FusedOutputs):
             n_scratch_in = 1  # previous eaten
             n_out = A * agent_w + 3
+            # rows-carried rollout: next step's prev-eaten is this step's
+            # emitted eaten_new row; unpack's only step-varying state read
+            # is u (the energy reward), which the rows path substitutes.
+            # post_rewards only recomputes eaten (idempotent with the
+            # emitted row) and toggles goal rendering — unobservable inside
+            # a compiled rollout, so applying it once to the final state
+            # (what the flag opts into) is exact.
+            carry_extra_idx = (A * agent_w,)
+            unpack_reads = ("u",)
+            post_rewards_rollout_safe = True
 
             @staticmethod
             def scratch_rows(state):

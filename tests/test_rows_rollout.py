@@ -102,6 +102,7 @@ def test_rows_rollout_matches_standard(n_agents, horizon):
         ("simple_push", dict()),        # goal_idx scratch carried unchanged (None)
         ("simple_adversary", dict()),   # goal_idx scratch carried unchanged (None)
         ("dropout", dict(n_agents=3)),  # unpack_reads=("u",): per-step u substituted
+        ("dispersion", dict(n_agents=4)),  # eaten emitted in-kernel; just_eaten None-carried
     ],
 )
 def test_rows_rollout_other_scenarios(scenario, kwargs):
@@ -272,6 +273,32 @@ def test_rows_rollout_truncation():
     np.testing.assert_array_equal(
         np.asarray(traj_std["dones"]), np.asarray(traj_rows["dones"])
     )
+
+
+def test_rollout_convenience_upgrades_to_rows():
+    """rollout() transparently selects the rows paths for eligible envs;
+    the returned trajectory must equal a manual rollout_fn run bitwise
+    (the upgrade must be unobservable)."""
+    from vmas_tpu.parallel.rollout import rollout
+
+    env_a = _envs(n_agents=3)
+    env_b = _envs(n_agents=3)
+    key = jax.random.PRNGKey(21)
+    traj = rollout(env_a, horizon=4, key=key)
+    _, _, traj_ref = jax.jit(rollout_fn(env_b, horizon=4))(
+        env_b.state, env_b.steps, key
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj["rewards"]), np.asarray(traj_ref["rewards"]),
+        atol=3e-5, rtol=0,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(traj["obs"]),
+                    jax.tree_util.tree_leaves(traj_ref["obs"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ineligible env still works through the general path
+    env_c = make_env("transport", num_envs=8, seed=0)  # XLA physics
+    traj_c = rollout(env_c, horizon=2, key=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(traj_c["obs"][0])).all()
 
 
 def test_rows_rollout_sharded():

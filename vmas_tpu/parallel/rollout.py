@@ -155,6 +155,10 @@ _ROLLOUT_CACHE_MAX = 16
 def rollout(env, policy=None, horizon: int = 100, key=None):
     """Convenience: run a compiled rollout on the env's current state.
 
+    Rows-eligible envs (``rows_rollout_supported``) are transparently
+    upgraded to the rows-carried fast paths — the trajectory contract and
+    values are identical (bitwise on hardware; tests/test_rows_rollout.py).
+
     The jitted program is cached on the env per (policy identity, horizon),
     so pass the SAME policy callable across calls — a fresh lambda per call
     re-traces and recompiles every time. The cache is bounded (oldest entry
@@ -173,7 +177,15 @@ def rollout(env, policy=None, horizon: int = 100, key=None):
     if fn is None:
         if len(cache) >= _ROLLOUT_CACHE_MAX:
             cache.pop(next(iter(cache)))
-        fn = cache[cache_key] = jax.jit(rollout_fn(env, policy, horizon))
+        if rows_rollout_supported(env):
+            build = (
+                rows_rollout_fn(env, horizon)
+                if policy is None
+                else rows_policy_rollout_fn(env, policy, horizon)
+            )
+        else:
+            build = rollout_fn(env, policy, horizon)
+        fn = cache[cache_key] = jax.jit(build)
     env.state, env.steps, traj = fn(env.state, env.steps, key)
     return traj
 

@@ -139,7 +139,17 @@ class Scenario(BaseScenario):
 
         class DispersionOutputs(F_.FusedOutputs):
             n_scratch_in = 2 * F  # eaten | just_eaten
-            n_out = A * agent_w + A * 2 * F + 2 * F + A + 1
+            n_out = A * agent_w + A * 2 * F + 3 * F + A + 1
+            # rows-carried rollout: next step's eaten scratch = this step's
+            # emitted eaten_new rows; just_eaten is ZERO at every kernel
+            # entry (post_rewards zeroes it after each step, reset spawns it
+            # zero), so carrying it unchanged (None) is exact. post_rewards
+            # only re-derives eaten/just_eaten idempotently and toggles
+            # food rendering — applied once to the final state.
+            carry_extra_idx = tuple(
+                A * agent_w + A * 2 * F + F + k for k in range(F)
+            ) + (None,) * F
+            post_rewards_rollout_safe = True
 
             @staticmethod
             def scratch_rows(state):
@@ -208,6 +218,7 @@ class Scenario(BaseScenario):
                     for fi in range(F):
                         rows += list(rel[(ai, fi)])
                 rows += [j.astype(jnp.float32) for j in just_new]
+                rows += [e.astype(jnp.float32) for e in eaten_new]
                 rows += how_many
                 rows += rews
                 rows.append(done.astype(jnp.float32))
@@ -218,16 +229,20 @@ class Scenario(BaseScenario):
                 base = A * agent_w
                 rel = extra[base : base + A * 2 * F]
                 just_new = extra[base + A * 2 * F : base + A * 2 * F + F].T > 0.5
+                eaten_row = (
+                    extra[base + A * 2 * F + F : base + A * 2 * F + 2 * F].T
+                    > 0.5
+                )  # post-merge eaten, emitted in-kernel (state-free unpack)
                 how_many = extra[
-                    base + A * 2 * F + F : base + A * 2 * F + 2 * F
+                    base + A * 2 * F + 2 * F : base + A * 2 * F + 3 * F
                 ].T.astype(jnp.int32)
                 rews = tuple(
-                    extra[base + A * 2 * F + 2 * F + ai] for ai in range(A)
+                    extra[base + A * 2 * F + 3 * F + ai] for ai in range(A)
                 )
                 done = extra[-1] > 0.5
-                eaten_new = (state.scenario["eaten"] | just_new).astype(
-                    jnp.float32
-                )[..., None]  # [B, F, 1] — obs flag is post-merge
+                eaten_new = eaten_row.astype(jnp.float32)[
+                    ..., None
+                ]  # [B, F, 1] — obs flag is post-merge
                 obs = []
                 for ai in range(A):
                     r = rel[ai * 2 * F : (ai + 1) * 2 * F]  # [2F, B] x,y pairs
@@ -250,7 +265,14 @@ class Scenario(BaseScenario):
                             axis=-1,
                         )
                     )
-                updates = {"just_eaten": just_new, "how_many_on_food": how_many}
+                updates = {
+                    # post_rewards re-merges eaten | just_eaten — identical
+                    # to the emitted post-merge value, so this is idempotent
+                    # (and makes the rows rollout's final state exact)
+                    "eaten": eaten_row,
+                    "just_eaten": just_new,
+                    "how_many_on_food": how_many,
+                }
                 return tuple(obs), rews, done, updates
 
         return DispersionOutputs()

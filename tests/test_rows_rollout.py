@@ -103,6 +103,8 @@ def test_rows_rollout_matches_standard(n_agents, horizon):
         ("simple_adversary", dict()),   # goal_idx scratch carried unchanged (None)
         ("dropout", dict(n_agents=3)),  # unpack_reads=("u",): per-step u substituted
         ("dispersion", dict(n_agents=4)),  # eaten emitted in-kernel; just_eaten None-carried
+        ("navigation", dict(n_agents=3)),  # unpack_reads=("state",): Lidar from recorded carries
+        ("navigation", dict(n_agents=3, collisions=False)),  # lidar off: plain rows
     ],
 )
 def test_rows_rollout_other_scenarios(scenario, kwargs):

@@ -177,7 +177,11 @@ def rollout(env, policy=None, horizon: int = 100, key=None):
     if fn is None:
         if len(cache) >= _ROLLOUT_CACHE_MAX:
             cache.pop(next(iter(cache)))
-        if rows_rollout_supported(env):
+        rows_ok = rows_rollout_supported(env) and (
+            policy is None
+            or "state" not in getattr(env._fused_outputs, "unpack_reads", ())
+        )
+        if rows_ok:
             build = (
                 rows_rollout_fn(env, horizon)
                 if policy is None
@@ -220,10 +224,13 @@ def rows_rollout_supported(env) -> bool:
         and sc.post_step is BaseScenario.post_step
         and type(env._fused_outputs).finish_obs
         is F.FusedOutputs.finish_obs
-        # unpack may read rollout-constant state freely; its only declared
-        # step-varying read can be "u" (the rows paths substitute the
-        # per-step decoded actions they already hold)
-        and set(getattr(env._fused_outputs, "unpack_reads", ())) <= {"u"}
+        # unpack may read rollout-constant state freely; declared
+        # step-varying reads can be "u" (the rows paths substitute the
+        # per-step decoded actions they already hold) and "state" (the
+        # random-action rows path records its carry rows and reconstructs
+        # per-step states post-scan — navigation's Lidar; the policy path
+        # refuses "state", see rows_policy_rollout_fn)
+        and set(getattr(env._fused_outputs, "unpack_reads", ())) <= {"u", "state"}
         and F.rows_step_supported(env.world, env._fused_outputs, env.agents)
     )
 
@@ -270,22 +277,32 @@ def _decode_u_horizon(env, agent, raw):
     return u * u_mult[None, None]
 
 
-def _vmapped_unpack(env, fo, agents, extras, us, state):
-    """One vmapped ``unpack`` over the recorded emit rows. When the
-    scenario declares ``unpack_reads = ("u",)`` (its only step-varying
-    state read is the decoded action — dropout/het_mass energy terms),
-    substitute the per-step u the rollout already holds so unpack sees
-    exactly what the standard per-step path saw."""
-    if "u" in getattr(fo, "unpack_reads", ()):
+def _vmapped_unpack(env, fo, agents, extras, us, state, carries_t=None):
+    """One vmapped ``unpack`` over the recorded emit rows. Declared
+    step-varying reads are substituted so unpack sees exactly what the
+    standard per-step path saw: ``"u"`` from the per-step decoded actions
+    the rollout already holds (dropout's energy term), ``"state"``
+    reconstructed inside the vmap from the recorded carry rows
+    (navigation's Lidar — batching the raycast over T*B)."""
+    from vmas_tpu.core import fused as F
 
-        def unp(e, *uts):
-            st = state
+    reads = set(getattr(fo, "unpack_reads", ()))
+
+    def unp(e, c, *uts):
+        st = state if c is None else F.unpack_carry(env.world, c, state)
+        if "u" in reads:
             for a, ut in zip(agents, uts):
                 st = a.set_u(st, ut)
-            return fo.unpack(e, st)
+        return fo.unpack(e, st)
 
-        return jax.vmap(unp)(extras, *us)
-    return jax.vmap(lambda e: fo.unpack(e, state))(extras)
+    if "state" in reads:
+        assert carries_t is not None
+        return jax.vmap(lambda e, c, *uts: unp(e, c, *uts))(
+            extras, carries_t, *(us if "u" in reads else ())
+        )
+    return jax.vmap(lambda e, *uts: unp(e, None, *uts))(
+        extras, *(us if "u" in reads else ())
+    )
 
 
 def rows_rollout_fn(env, horizon: int = 100):
@@ -339,12 +356,23 @@ def rows_rollout_fn(env, horizon: int = 100):
 
         carry0 = F.pack_carry(world, state, fo, bp)
 
-        carryT, extras = jax.lax.scan(step, carry0, act_rows)
+        if "state" in getattr(fo, "unpack_reads", ()):
+            # unpack needs per-step states (navigation's Lidar): also
+            # record the carry rows — the post-scan reconstruction then
+            # batches the state-dependent obs work over T*B
+            def step_rec(c, a):
+                c2, e = step(c, a)
+                return c2, (e, c2)
+
+            carryT, (extras, carries) = jax.lax.scan(step_rec, carry0, act_rows)
+        else:
+            carryT, extras = jax.lax.scan(step, carry0, act_rows)
+            carries = None
 
         state_out = F.unpack_carry(world, carryT, state)
         extras = extras[..., :B]  # [T, n_out, B]
         obs, rews, terminated, updates = _vmapped_unpack(
-            env, fo, agents, extras, us, state
+            env, fo, agents, extras, us, state, carries
         )
         if env.max_steps is not None:
             steps_t = steps[None] + 1 + jnp.arange(horizon)[:, None]
@@ -393,6 +421,12 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100):
 
     assert rows_rollout_supported(env), (
         "rows_policy_rollout_fn: env not eligible — use rollout_fn"
+    )
+    assert "state" not in getattr(env._fused_outputs, "unpack_reads", ()), (
+        "rows_policy_rollout_fn: the policy consumes per-step obs, and this "
+        "scenario's obs need per-step state reconstruction (Lidar) — the "
+        "relayout would run every step, defeating the rows structure; use "
+        "rollout_fn for policy rollouts here"
     )
     world, fo = env.world, env._fused_outputs
     agents = env.agents

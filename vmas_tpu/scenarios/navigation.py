@@ -224,6 +224,12 @@ class Scenario(BaseScenario):
         class NavigationOutputs(F_.FusedOutputs):
             n_scratch_in = A  # previous pos_shaping columns
             n_out = A * obs_w + 3 * A + 2
+            # rows-carried rollout: next scratch = this step's emitted
+            # shaping rows. With Lidar on, the obs read per-step entity
+            # positions — declared via unpack_reads so the rows path
+            # records its carry rows and batches the raycast over T*B.
+            carry_extra_idx = tuple(range(A * obs_w + 2 * A, A * obs_w + 3 * A))
+            unpack_reads = ("state",) if lidar_on else ()
 
             @staticmethod
             def scratch_rows(state):

@@ -14,9 +14,12 @@ Usage (on the chip; single process, one program per invocation):
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
 def main():

@@ -154,6 +154,47 @@ def test_rows_rollout_other_scenarios(scenario, kwargs):
         )
 
 
+@pytest.mark.parametrize(
+    "scenario,kwargs",
+    [
+        ("waterfall", dict()),
+        ("buzz_wire", dict()),
+        ("ball_passage", dict()),
+        ("ball_trajectory", dict()),
+    ],
+)
+def test_rows_rollout_joint_scenarios(scenario, kwargs):
+    """Joint worlds ride the rows carry too (joint_fixed_rot rows pass
+    through unchanged — sync_joints is reset-only). CPU interpret mode
+    compounds ~1 ulp/substep of FMA-contraction drift through the stiff
+    joint constraints (the docs/FUSED_OUTPUTS.md rule-10 caveat), so the
+    tolerance here is looser than the joint-free cases; on hardware both
+    paths run the same Mosaic-compiled kernel."""
+    env_a = make_env(scenario, num_envs=8, seed=0, fused_physics=True, **kwargs)
+    env_b = make_env(scenario, num_envs=8, seed=0, fused_physics=True, **kwargs)
+    assert rows_rollout_supported(env_b), scenario
+    key = jax.random.PRNGKey(3)
+    s_std, _, traj_std = jax.jit(rollout_fn(env_a, horizon=5))(
+        env_a.state, env_a.steps, key
+    )
+    s_rows, _, traj_rows = jax.jit(rows_rollout_fn(env_b, horizon=5))(
+        env_b.state, env_b.steps, key
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_std["rewards"]), np.asarray(traj_rows["rewards"]),
+        atol=5e-4, rtol=0,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(traj_std["obs"]),
+                    jax.tree_util.tree_leaves(traj_rows["obs"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=0)
+    for f in ("pos", "vel", "rot"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_std, f)), np.asarray(getattr(s_rows, f)),
+            atol=5e-5, rtol=0, err_msg=f"{scenario}: final {f}",
+        )
+
+
 @pytest.mark.parametrize("multidiscrete", [False, True])
 def test_rows_rollout_discrete_actions(multidiscrete):
     """The reference's published GPU-benchmark protocol (simple_spread,

@@ -444,7 +444,8 @@ def _make_kernel(world, outputs=None, sublanes=1, rows_mode=False,
     the ``act_slots`` entities (the per-step equivalent of holonomic
     process_action writing state.force), and the output grows K_in
     scratch-carry rows (outputs.carry_extra_idx) between the state rows and
-    the emit rows. Requires outputs, joint-free non-dyn-gravity worlds, and
+    the emit rows. Joint fixed-rotation rows ride the carry unchanged
+    (sync_joints is reset-only). Requires outputs, non-dyn-gravity worlds, and
     runs the non-entity-tiled stream (v1 scope — the bench class)."""
     S = int(sublanes)
     spec = world.spec
@@ -467,7 +468,7 @@ def _make_kernel(world, outputs=None, sublanes=1, rows_mode=False,
     K_in = int(outputs.n_scratch_in) if outputs is not None else 0
 
     if rows_mode:
-        assert outputs is not None and J == 0 and not dyn_gravity
+        assert outputs is not None and not dyn_gravity
         assert act_slots, "rows_mode needs the policy agents' entity slots"
         act_slots = [int(e) for e in act_slots]
         ent_tile = False
@@ -606,11 +607,14 @@ def _make_kernel(world, outputs=None, sublanes=1, rows_mode=False,
             for i, e in enumerate(act_slots):
                 fx[e] = a_ref[i * S : (i + 1) * S, :]
                 fy[e] = a_ref[(A_n + i) * S : (A_n + i + 1) * S, :]
-            jfr = []
-            # scratch rows sit right after the state rows (J == 0 here), at
-            # the same offsets the kernel WRITES them to — the scan carry is
-            # the kernel output verbatim
-            scratch_in = [row(9 * E + k) for k in range(K_in)]
+            # joint fixed rotations are reset-only state (sync_joints runs
+            # only in env_reset_world_at) — they ride the carry unchanged,
+            # between the state rows and the scratch rows
+            jfr = [row(9 * E + j) for j in range(J)]
+            # scratch rows sit after the state + jfr rows, at the same
+            # offsets the kernel WRITES them to — the scan carry is the
+            # kernel output verbatim
+            scratch_in = [row(9 * E + J + k) for k in range(K_in)]
         else:
             jfr = [row(9 * E + j) for j in range(J)]
             n_dyn = 2 * E if dyn_gravity else 0
@@ -1197,12 +1201,15 @@ def _make_kernel(world, outputs=None, sublanes=1, rows_mode=False,
                 f"emit produced {len(extra)} rows, n_out={outputs.n_out}"
             )
             if rows_mode:
+                # joint fixed rotations pass through the carry unchanged
+                for j in range(J):
+                    o_ref[(9 * E + j) * S : (9 * E + j + 1) * S, :] = jfr[j]
                 # scratch-carry rows: the next step's scratch inputs are
                 # emit rows this step already computed (e.g. transport's
                 # fresh global_shaping) — written right after the state
-                # rows so the scan carry IS the kernel output, no host ops;
-                # the emit rows go to their own output so recording them
-                # needs no slicing either
+                # (+ jfr) rows so the scan carry IS the kernel output, no
+                # host ops; the emit rows go to their own output so
+                # recording them needs no slicing either
                 for k, ei in enumerate(outputs.carry_extra_idx):
                     # None = rollout-constant scratch (e.g. a per-env goal
                     # index chosen at reset): carry the input row unchanged
@@ -1211,7 +1218,7 @@ def _make_kernel(world, outputs=None, sublanes=1, rows_mode=False,
                         if ei is None
                         else extra[int(ei)].astype(jnp.float32)
                     )
-                    o_ref[(9 * E + k) * S : (9 * E + k + 1) * S, :] = src
+                    o_ref[(9 * E + J + k) * S : (9 * E + J + k + 1) * S, :] = src
                 for k, r in enumerate(extra):
                     e_ref[k * S : (k + 1) * S, :] = r.astype(jnp.float32)
             else:
@@ -1373,7 +1380,7 @@ def fused_physics_step(world, state, outputs=None):
 
 def rows_step_supported(world, outputs, agents) -> bool:
     """Static eligibility for the rows-carried rollout (v1 = the bench
-    class): fused-outputs scenario with declared scratch carry, joint-free
+    class): fused-outputs scenario with declared scratch carry,
     non-dyn-gravity comm-free world, and pure-Holonomic noise-free agents
     (their process_action is exactly 'force = u', realized in-kernel by the
     action-row override)."""
@@ -1386,7 +1393,7 @@ def rows_step_supported(world, outputs, agents) -> bool:
     if len(outputs.carry_extra_idx) != int(outputs.n_scratch_in):
         return False
     spec = world.spec
-    if len(spec.joint_idx_a) or getattr(world, "dynamic_gravity", False):
+    if getattr(world, "dynamic_gravity", False):
         return False
     if world.dim_c != 0:
         return False
@@ -1399,21 +1406,23 @@ def rows_step_supported(world, outputs, agents) -> bool:
 
 
 def rows_layout(world, outputs):
-    """R_in: carried rows (9E state + K scratch). The emit rows are a
-    separate kernel output, not part of the carry."""
+    """R_in: carried rows (9E state + J joint fixed rotations + K scratch).
+    The emit rows are a separate kernel output, not part of the carry."""
     E = len(world.spec.mass)
+    J = len(world.spec.joint_idx_a)
     K = int(outputs.n_scratch_in)
-    return 9 * E + K
+    return 9 * E + J + K
 
 
 def pack_carry(world, state, outputs, bp):
-    """State + scratch as one [R_in, bp] row buffer."""
+    """State + joint fixed rotations + scratch as one [R_in, bp] buffer."""
     parts = [
         state.pos[..., 0].T, state.pos[..., 1].T,
         state.vel[..., 0].T, state.vel[..., 1].T,
         state.rot.T, state.ang_vel.T,
         state.force[..., 0].T, state.force[..., 1].T,
         state.torque.T,
+        state.joint_fixed_rot.T.astype(jnp.float32),
         jnp.asarray(outputs.scratch_rows(state), jnp.float32),
     ]
     x = jnp.concatenate(parts, axis=0)

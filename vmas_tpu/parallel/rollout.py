@@ -328,7 +328,7 @@ def rows_rollout_fn(env, horizon: int = 100):
     assert rows_rollout_supported(env), (
         "rows_rollout_fn: env not eligible (need fused_physics=True, a "
         "fused-outputs scenario with carry_extra_idx, holonomic noise-free "
-        "agents, comm-free joint-free world) — use rollout_fn"
+        "agents, comm-free world) — use rollout_fn"
     )
     world, fo = env.world, env._fused_outputs
     agents = env.agents

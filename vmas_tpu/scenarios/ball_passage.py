@@ -236,6 +236,9 @@ class Scenario(BaseScenario):
         class BallPassageOutputs(F_.FusedOutputs):
             n_scratch_in = 2  # pos_shaping_pre/post
             n_out = A * obs_w + 6
+            # rows-carried rollout: next scratch = the emitted new pre/post
+            # shaping rows, in scratch_rows order
+            carry_extra_idx = (A * obs_w + 3, A * obs_w + 4)
 
             @staticmethod
             def scratch_rows(state):

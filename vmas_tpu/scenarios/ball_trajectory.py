@@ -161,6 +161,9 @@ class Scenario(BaseScenario):
         class BallTrajectoryOutputs(F_.FusedOutputs):
             n_scratch_in = 3  # pos/speed/dist shaping
             n_out = A * obs_w + 6
+            # rows-carried rollout: next scratch = the emitted new shaping
+            # rows, in scratch_rows order (pos, speed, dist)
+            carry_extra_idx = (A * obs_w + 3, A * obs_w + 4, A * obs_w + 5)
 
             @staticmethod
             def scratch_rows(state):

@@ -171,6 +171,8 @@ class Scenario(BaseScenario):
         class BuzzWireOutputs(F_.FusedOutputs):
             n_scratch_in = 1  # previous pos_shaping
             n_out = A * obs_w + 6
+            # rows-carried rollout: next scratch = the emitted new shaping
+            carry_extra_idx = (A * obs_w + 3,)
 
             @staticmethod
             def scratch_rows(state):

@@ -110,6 +110,7 @@ class Scenario(BaseScenario):
         class WaterfallOutputs(F_.FusedOutputs):
             n_scratch_in = 0
             n_out = A * obs_w + A
+            carry_extra_idx = ()  # no kernel-read scratch; joints ride the carry
 
             @staticmethod
             def emit(ctx):

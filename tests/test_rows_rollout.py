@@ -105,6 +105,8 @@ def test_rows_rollout_matches_standard(n_agents, horizon):
         ("dispersion", dict(n_agents=4)),  # eaten emitted in-kernel; just_eaten None-carried
         ("navigation", dict(n_agents=3)),  # unpack_reads=("state",): Lidar from recorded carries
         ("navigation", dict(n_agents=3, collisions=False)),  # lidar off: plain rows
+        # controller disabled -> process_action is a declared no-op
+        ("give_way", dict(use_velocity_controller=False)),
     ],
 )
 def test_rows_rollout_other_scenarios(scenario, kwargs):
@@ -161,6 +163,7 @@ def test_rows_rollout_other_scenarios(scenario, kwargs):
         ("buzz_wire", dict()),
         ("ball_passage", dict()),
         ("ball_trajectory", dict()),
+        ("joint_passage", dict()),  # default config: controller off (noop declared)
     ],
 )
 def test_rows_rollout_joint_scenarios(scenario, kwargs):

@@ -385,6 +385,11 @@ class FusedOutputs:
           whose ONLY step-varying read is the agents' decoded action
           (dropout's energy term); the rows rollout substitutes the
           per-step u it already holds before calling unpack.
+      process_action_noop: bool (default False) — the scenario OVERRIDES
+          process_action, but for THIS config the override provably
+          returns the state unchanged (give_way / joint_passage with
+          their velocity controllers disabled). The rows rollout then
+          stays eligible.
       post_rewards_rollout_safe: bool (default False) — the scenario's
           post_rewards override only (a) rewrites scratch idempotently
           with values unpack already merged and (b) touches fields no

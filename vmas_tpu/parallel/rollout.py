@@ -218,8 +218,13 @@ def rows_rollout_supported(env) -> bool:
         )
         # fused outputs replace pre_rewards/reward/obs/done, and the kernel
         # realizes Holonomic's force=u — but a scenario-level process_action
-        # (give_way's PID velocity controller) would run OUTSIDE the kernel
-        and sc.process_action is BaseScenario.process_action
+        # (give_way's PID velocity controller) would run OUTSIDE the kernel.
+        # A scenario may declare its override a no-op FOR THIS CONFIG
+        # (controller disabled) via process_action_noop.
+        and (
+            sc.process_action is BaseScenario.process_action
+            or getattr(env._fused_outputs, "process_action_noop", False)
+        )
         and sc.pre_step is BaseScenario.pre_step
         and sc.post_step is BaseScenario.post_step
         and type(env._fused_outputs).finish_obs
@@ -305,7 +310,7 @@ def _vmapped_unpack(env, fo, agents, extras, us, state, carries_t=None):
     )
 
 
-def rows_rollout_fn(env, horizon: int = 100):
+def rows_rollout_fn(env, horizon: int = 100, unroll: int = 8):
     """Rows-carried compiled rollout — same contract and BITWISE the same
     trajectory as ``rollout_fn(env, horizon=...)`` with random actions
     (asserted by tests/test_rows_rollout.py), restructured so the scan body
@@ -356,6 +361,11 @@ def rows_rollout_fn(env, horizon: int = 100):
 
         carry0 = F.pack_carry(world, state, fo, bp)
 
+        # unroll batches the per-iteration glue (xs slicing, extras
+        # recording, loop bookkeeping) across several kernel calls —
+        # measured 59.5/35.7/32.2/30.0 us/step at unroll 1/2/4/8
+        # (transport@4096, same-process sweep); the kernel calls are
+        # opaque pallas ops so the trajectory is unchanged
         if "state" in getattr(fo, "unpack_reads", ()):
             # unpack needs per-step states (navigation's Lidar): also
             # record the carry rows — the post-scan reconstruction then
@@ -364,9 +374,13 @@ def rows_rollout_fn(env, horizon: int = 100):
                 c2, e = step(c, a)
                 return c2, (e, c2)
 
-            carryT, (extras, carries) = jax.lax.scan(step_rec, carry0, act_rows)
+            carryT, (extras, carries) = jax.lax.scan(
+                step_rec, carry0, act_rows, unroll=unroll
+            )
         else:
-            carryT, extras = jax.lax.scan(step, carry0, act_rows)
+            carryT, extras = jax.lax.scan(
+                step, carry0, act_rows, unroll=unroll
+            )
             carries = None
 
         state_out = F.unpack_carry(world, carryT, state)

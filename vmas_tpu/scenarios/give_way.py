@@ -353,6 +353,12 @@ class Scenario(BaseScenario):
         class GiveWayOutputs(F_.FusedOutputs):
             n_scratch_in = A  # previous shaping columns
             n_out = A * obs_w + A + 3
+            # rows-carried rollout: with the velocity controller disabled
+            # process_action is a no-op; next scratch = the emitted shaping
+            # rows. Obs noise keys are step-varying, so noise-free only.
+            process_action_noop = not scenario.use_velocity_controller
+            if noise == 0:
+                carry_extra_idx = tuple(range(A * obs_w, A * obs_w + A))
 
             @staticmethod
             def scratch_rows(state):

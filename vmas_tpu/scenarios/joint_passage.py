@@ -449,6 +449,13 @@ class Scenario(BaseScenario):
             n_scratch_in = 5
             # rew, pos_rew, rot_rew, 4 shapings, passed, just_passed, done
             n_out = A * obs_w + 10
+            # rows-carried rollout: process_action is a no-op with the
+            # controller off (the default); next scratch = the emitted
+            # shaping/passed rows. Obs noise keys are step-varying state,
+            # so declare only for the noise-free configs.
+            process_action_noop = not scenario.use_controller
+            if noise == 0 and j_noise == 0:
+                carry_extra_idx = tuple(A * obs_w + 3 + k for k in range(5))
 
             @staticmethod
             def scratch_rows(state):

@@ -99,7 +99,7 @@ def run_point(n_envs: int, fused: bool = False):
         @jax.jit
         def run_rows(state, act_rows):
             carry0 = F.pack_carry(world, state, fo, bp)
-            carryT, extras = jax.lax.scan(step, carry0, act_rows)
+            carryT, extras = jax.lax.scan(step, carry0, act_rows, unroll=8)
             return F.unpack_carry(world, carryT, state), extras
 
         env.reset(seed=0)

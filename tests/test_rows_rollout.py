@@ -164,6 +164,7 @@ def test_rows_rollout_other_scenarios(scenario, kwargs):
         ("ball_passage", dict()),
         ("ball_trajectory", dict()),
         ("joint_passage", dict()),  # default config: controller off (noop declared)
+        ("joint_passage_size", dict()),  # 7 reset-only map rows None-carried
     ],
 )
 def test_rows_rollout_joint_scenarios(scenario, kwargs):

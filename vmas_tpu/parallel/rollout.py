@@ -310,7 +310,7 @@ def _vmapped_unpack(env, fo, agents, extras, us, state, carries_t=None):
     )
 
 
-def rows_rollout_fn(env, horizon: int = 100, unroll: int = 8):
+def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None):
     """Rows-carried compiled rollout — same contract and BITWISE the same
     trajectory as ``rollout_fn(env, horizon=...)`` with random actions
     (asserted by tests/test_rows_rollout.py), restructured so the scan body
@@ -341,6 +341,10 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: int = 8):
     B = env.num_envs
     bp = -(-B // 128) * 128
     step = F.make_rows_step(world, fo, act_slots, bp)
+    if unroll is None:
+        # unroll=8 batches the per-iteration scan glue on TPU (see below);
+        # on CPU (interpret-mode tests) it only multiplies compile time
+        unroll = 8 if jax.default_backend() == "tpu" else 1
 
     def run(state, steps, key):
         k_pol, k_step, _k_obs0 = jax.random.split(key, 3)

@@ -407,6 +407,17 @@ class Scenario(BaseScenario):
             # pass_center xy, middle_angle, big/small passage xy
             n_scratch_in = 11
             n_out = A * obs_w + 9
+            # rows-carried rollout: process_action is a no-op with the
+            # controller off (the default); the 4 step-varying scratch rows
+            # come from the emitted shaping/passed rows, the 7 map rows
+            # (pass_center/middle_angle/passage positions) are chosen at
+            # reset and carried unchanged (None). Noise-free configs only.
+            process_action_noop = not scenario.use_vel_controller
+            if noise == 0 and j_noise == 0:
+                carry_extra_idx = (
+                    A * obs_w + 3, A * obs_w + 4, A * obs_w + 5,
+                    A * obs_w + 6,
+                ) + (None,) * 7
 
             @staticmethod
             def scratch_rows(state):

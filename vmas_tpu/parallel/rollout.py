@@ -421,7 +421,8 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None):
     return run
 
 
-def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100):
+def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
+                           unroll: Optional[int] = None):
     """Rows-carried POLICY rollout — same contract and BITWISE the same
     trajectory as ``rollout_fn(env, policy, horizon=...)`` for rows-eligible
     envs (tests/test_rows_rollout.py): the scan body is the policy applied
@@ -454,6 +455,12 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100):
     bp = -(-B // 128) * 128
     step = F.make_rows_step(world, fo, act_slots, bp)
     a_blk = -(-2 * A // 8) * 8
+    # unlike the random-action rows scan, unroll does NOT pay here: the
+    # policy matmuls dominate the body and unrolling them regressed
+    # (65.5/61.2/75.9/87.6 us/step at unroll 1/2/4/8, transport@4096 —
+    # the sweep that set rows_rollout_fn's default). Default 1; exposed
+    # for configs with cheaper policies.
+    unroll_ = 1 if unroll is None else unroll
 
     def run(state, steps, key):
         k_pol, k_step, k_obs0 = jax.random.split(key, 3)
@@ -484,7 +491,7 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100):
         obs0 = env._obs_fn_raw(state, k_obs0)
         carry0 = (F.pack_carry(world, state, fo, bp), obs0)
         (carryT, _), (extras, acts) = jax.lax.scan(
-            one_step, carry0, pol_keys
+            one_step, carry0, pol_keys, unroll=unroll_
         )
 
         state_out = F.unpack_carry(world, carryT, state)

@@ -1407,6 +1407,12 @@ def rows_step_supported(world, outputs, agents) -> bool:
             return False
         if a.action_size != 2 or np.any(np.asarray(a.u_noise_array) > 0):
             return False
+    # non-policy SCRIPTED agents (flocking's circling target) run their
+    # scripts in XLA per step — the rows kernel would carry their stale
+    # force rows instead. Guard the whole world, not just `agents`.
+    for a in world.agents:
+        if a.action_script is not None:
+            return False
     return True
 
 

@@ -30,9 +30,18 @@ def test_supported_exactly_on_bench_class():
     assert rows_rollout_supported(_envs(n_agents=4))
     # XLA physics -> not eligible
     assert not rows_rollout_supported(make_env("transport", num_envs=8, seed=0))
-    # joints -> not eligible
+    # joints are eligible since round 4 (fixed-rotation rows ride the
+    # carry) — but the PID controller config is not (process_action does
+    # real work there)
     env_j = make_env("joint_passage", num_envs=8, seed=0, fused_physics=True)
-    assert not rows_rollout_supported(env_j)
+    assert rows_rollout_supported(env_j)
+    env_jc = make_env("joint_passage", num_envs=8, seed=0, fused_physics=True,
+                      use_controller=True)
+    assert not rows_rollout_supported(env_jc)
+    # scripted NON-POLICY agent (flocking's circling target) -> not
+    # eligible: its script runs in XLA per step, outside the kernel
+    env_f = make_env("flocking", num_envs=8, seed=0, fused_physics=True)
+    assert not rows_rollout_supported(env_f)
     # comm world -> not eligible
     env_c = make_env("simple_reference", num_envs=8, seed=0, fused_physics=True)
     assert not rows_rollout_supported(env_c)

@@ -355,6 +355,16 @@ def test_rollout_convenience_upgrades_to_rows():
     env_c = make_env("transport", num_envs=8, seed=0)  # XLA physics
     traj_c = rollout(env_c, horizon=2, key=jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(traj_c["obs"][0])).all()
+    # POLICY rollouts on unpack_reads=("state",) envs (navigation's Lidar)
+    # must fall back to the general path — the policy would need per-step
+    # state reconstruction otherwise
+    env_n = make_env("navigation", num_envs=8, seed=0, fused_physics=True,
+                     n_agents=3)
+    obs_w = int(np.asarray(env_n.reset(seed=0)[0]).shape[-1])
+    W = jnp.asarray(np.ones((obs_w, 2), np.float32) * 0.05)
+    pol = lambda obs, key: tuple(jnp.tanh(o @ W) for o in obs)
+    traj_n = rollout(env_n, pol, horizon=2, key=jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(traj_n["obs"][0])).all()
 
 
 def test_rows_rollout_sharded():

@@ -18,7 +18,6 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _random_actions_for_horizon(env, key, horizon):
@@ -195,10 +194,13 @@ def rollout(env, policy=None, horizon: int = 100, key=None):
 
 
 def rows_rollout_supported(env) -> bool:
-    """Whether ``rows_rollout_fn`` can run this env (see
+    """Whether the rows-carried rollouts can run this env (see
     fused.rows_step_supported; additionally the env must be on fused
-    physics, noise-free actions — continuous (unclamped) or discrete —
-    and the default hook pipeline)."""
+    physics with noise-free actions — continuous unclamped or discrete —
+    and a hook pipeline the kernel fully replaces: default hooks, or the
+    declared escapes ``process_action_noop`` /
+    ``post_rewards_rollout_safe`` / ``unpack_reads`` documented in
+    docs/FUSED_OUTPUTS.md)."""
     from vmas_tpu.core import fused as F
     from vmas_tpu.scenario import BaseScenario
 

@@ -42,9 +42,10 @@ def test_supported_exactly_on_bench_class():
     # eligible: its script runs in XLA per step, outside the kernel
     env_f = make_env("flocking", num_envs=8, seed=0, fused_physics=True)
     assert not rows_rollout_supported(env_f)
-    # comm world -> not eligible
+    # comm worlds are eligible since round 4 (physics ignores comm; the
+    # rollout hoists the comm decode and substitutes per-step uc)
     env_c = make_env("simple_reference", num_envs=8, seed=0, fused_physics=True)
-    assert not rows_rollout_supported(env_c)
+    assert rows_rollout_supported(env_c)
     # scenario-level process_action (give_way's PID velocity controller
     # runs OUTSIDE the kernel; the act-row override would skip it) -> not
     # eligible. Caught by an actual trajectory divergence before the gate
@@ -116,6 +117,10 @@ def test_rows_rollout_matches_standard(n_agents, horizon):
         ("navigation", dict(n_agents=3, collisions=False)),  # lidar off: plain rows
         # controller disabled -> process_action is a declared no-op
         ("give_way", dict(use_velocity_controller=False)),
+        # comm worlds: per-step uc substituted into unpack
+        ("simple_reference", dict()),
+        ("simple_speaker_listener", dict()),
+        ("simple_world_comm", dict()),
     ],
 )
 def test_rows_rollout_other_scenarios(scenario, kwargs):

@@ -1386,9 +1386,11 @@ def fused_physics_step(world, state, outputs=None):
 def rows_step_supported(world, outputs, agents) -> bool:
     """Static eligibility for the rows-carried rollout (v1 = the bench
     class): fused-outputs scenario with declared scratch carry,
-    non-dyn-gravity comm-free world, and pure-Holonomic noise-free agents
-    (their process_action is exactly 'force = u', realized in-kernel by the
-    action-row override)."""
+    non-dyn-gravity world, and pure-Holonomic noise-free agents (their
+    process_action is exactly 'force = u', realized in-kernel by the
+    action-row override). Comm worlds qualify when the comm stream is
+    noise-free — the physics kernel ignores comm entirely; the rollout
+    hoists the comm decode and substitutes per-step uc into unpack."""
     from vmas_tpu.dynamics.holonomic import Holonomic
 
     if outputs is None or not supports(world):
@@ -1400,12 +1402,15 @@ def rows_step_supported(world, outputs, agents) -> bool:
     spec = world.spec
     if getattr(world, "dynamic_gravity", False):
         return False
-    if world.dim_c != 0:
-        return False
     for a in agents:
         if type(a.dynamics) is not Holonomic or a.action_script is not None:
             return False
         if a.action_size != 2 or np.any(np.asarray(a.u_noise_array) > 0):
+            return False
+        # comm worlds are fine (physics ignores comm; the rollout hoists
+        # the comm decode and substitutes per-step uc into unpack) as
+        # long as the comm stream is noise-free
+        if world.dim_c > 0 and not a.silent and a.c_noise > 0:
             return False
     # non-policy SCRIPTED agents (flocking's circling target) run their
     # scripts in XLA per step — the rows kernel would carry their stale

@@ -178,7 +178,10 @@ def rollout(env, policy=None, horizon: int = 100, key=None):
             cache.pop(next(iter(cache)))
         rows_ok = rows_rollout_supported(env) and (
             policy is None
-            or "state" not in getattr(env._fused_outputs, "unpack_reads", ())
+            or (
+                "state" not in getattr(env._fused_outputs, "unpack_reads", ())
+                and env.world.dim_c == 0
+            )
         )
         if rows_ok:
             build = (
@@ -237,36 +240,46 @@ def rows_rollout_supported(env) -> bool:
         # random-action rows path records its carry rows and reconstructs
         # per-step states post-scan — navigation's Lidar; the policy path
         # refuses "state", see rows_policy_rollout_fn)
-        and set(getattr(env._fused_outputs, "unpack_reads", ())) <= {"u", "state"}
+        and set(getattr(env._fused_outputs, "unpack_reads", ()))
+        <= {"u", "c", "state"}
         and F.rows_step_supported(env.world, env._fused_outputs, env.agents)
     )
 
 
-def _decode_u_horizon(env, agent, raw):
-    """``Environment._decode_action``'s comm-free u math, vectorized over a
+def _decode_horizon(env, agent, raw):
+    """``Environment._decode_action``'s u + comm math, vectorized over a
     leading horizon axis — same ops per element, so continuous decode (cast
     + stop_gradient + one multiply) is bitwise the per-step form, and the
     discrete mixed-radix/odd-n decode is exact (integer ops) up to the same
-    final scale-multiply. Returns [T, B, action_size] decoded u."""
+    final scale-multiply. Returns ``(u [T, B, action_size], uc)`` with
+    ``uc`` a [T, B, dim_c] comm vector for non-silent agents in comm
+    worlds, else None. Noise-free unclamped actions only (the rows
+    eligibility class)."""
     import math
 
+    dim_c = env.world.dim_c
+    has_comm = dim_c > 0 and not agent.silent
     u_range = jnp.asarray(agent.u_range_array)
     u_mult = jnp.asarray(agent.u_multiplier_array)
+    uc = None
     if env.continuous_actions:
-        u = jax.lax.stop_gradient(jnp.asarray(raw).astype(jnp.float32))
-        u = u[..., : agent.action_size]
+        raw = jax.lax.stop_gradient(jnp.asarray(raw).astype(jnp.float32))
+        u = raw[..., : agent.action_size]
+        if has_comm:
+            uc = raw[..., agent.action_size :]
     else:
         action = jnp.asarray(raw)
         if action.ndim == 2:  # flat Discrete: [T, B]
             action = action[..., None]
         nvec = list(agent.discrete_action_nvec)
+        radix = nvec + ([dim_c] if has_comm else [])
         if not env.multidiscrete_actions:
             flat = jnp.clip(
-                action[..., 0].astype(jnp.int32), 0, math.prod(nvec) - 1
+                action[..., 0].astype(jnp.int32), 0, math.prod(radix) - 1
             )
             cols = []
-            for i in range(len(nvec)):
-                n = math.prod(nvec[i + 1 :])
+            for i in range(len(radix)):
+                n = math.prod(radix[i + 1 :])
                 cols.append(flat // n)
                 flat = flat % n
             action = jnp.stack(cols, axis=-1)
@@ -281,34 +294,53 @@ def _decode_u_horizon(env, agent, raw):
             u_max = u_range[j]
             us.append((a.astype(jnp.float32) / (n - 1)) * (2 * u_max) - u_max)
         u = jnp.stack(us, axis=-1)
-    return u * u_mult[None, None]
+        if has_comm:
+            uc = jax.nn.one_hot(
+                action[..., len(nvec)], dim_c, dtype=jnp.float32
+            )
+    return u * u_mult[None, None], uc
 
 
-def _vmapped_unpack(env, fo, agents, extras, us, state, carries_t=None):
+def _decode_u_horizon(env, agent, raw):
+    """The u half of ``_decode_horizon`` (kept for comm-free callers)."""
+    return _decode_horizon(env, agent, raw)[0]
+
+
+def _vmapped_unpack(env, fo, agents, extras, us, state, carries_t=None,
+                    uc_t=None):
     """One vmapped ``unpack`` over the recorded emit rows. Declared
     step-varying reads are substituted so unpack sees exactly what the
     standard per-step path saw: ``"u"`` from the per-step decoded actions
-    the rollout already holds (dropout's energy term), ``"state"``
-    reconstructed inside the vmap from the recorded carry rows
-    (navigation's Lidar — batching the raycast over T*B)."""
+    the rollout already holds (dropout's energy term), ``"uc"`` from the
+    hoisted comm decode (``uc_t`` [T, B, A, dim_c] — the MPE comm
+    scenarios), ``"state"`` reconstructed inside the vmap from the
+    recorded carry rows (navigation's Lidar — batching the raycast over
+    T*B)."""
     from vmas_tpu.core import fused as F
 
     reads = set(getattr(fo, "unpack_reads", ()))
 
-    def unp(e, c, *uts):
+    def unp(e, c, comm, *uts):
         st = state if c is None else F.unpack_carry(env.world, c, state)
+        if comm is not None:
+            # physics copies uc -> state.c for non-silent agents each step
+            # (physics.py); comm_t is that post-step comm state
+            st = st.replace(c=comm)
         if "u" in reads:
             for a, ut in zip(agents, uts):
                 st = a.set_u(st, ut)
         return fo.unpack(e, st)
 
-    if "state" in reads:
-        assert carries_t is not None
-        return jax.vmap(lambda e, c, *uts: unp(e, c, *uts))(
-            extras, carries_t, *(us if "u" in reads else ())
-        )
-    return jax.vmap(lambda e, *uts: unp(e, None, *uts))(
-        extras, *(us if "u" in reads else ())
+    c_ax = 0 if "state" in reads else None
+    uc_ax = 0 if "c" in reads else None
+    if c_ax is None:
+        carries_t = None
+    if uc_ax is None:
+        uc_t = None
+    else:
+        assert uc_t is not None
+    return jax.vmap(unp, in_axes=(0, c_ax, uc_ax) + (0,) * len(us))(
+        extras, carries_t, uc_t, *us
     )
 
 
@@ -354,8 +386,24 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None):
         # decode == _decode_action for this eligibility class, hoisted over
         # the horizon: continuous is cast + stop_gradient + one exact IEEE
         # u_multiplier multiply; discrete is the same integer mixed-radix /
-        # odd-n remap followed by the same affine scale
-        us = [_decode_u_horizon(env, a, acts[i]) for i, a in enumerate(agents)]
+        # odd-n remap followed by the same affine scale. Comm vectors (MPE
+        # comm worlds) decode the same way — physics ignores them, so they
+        # only feed unpack and the final state.
+        dec = [_decode_horizon(env, a, acts[i]) for i, a in enumerate(agents)]
+        us = [d[0] for d in dec]
+        uc_slots = [
+            (a.slot, d[1]) for a, d in zip(agents, dec) if d[1] is not None
+        ]
+        uc_t = None
+        if uc_slots and "c" in getattr(fo, "unpack_reads", ()):
+            # per-step comm STATE: physics copies uc -> c for non-silent
+            # agents, so c_t = decoded comm at t on those slots, the
+            # initial c elsewhere (silent slots never change)
+            uc_t = jnp.broadcast_to(
+                state.c[None], (horizon,) + state.c.shape
+            )
+            for slot, v in uc_slots:
+                uc_t = uc_t.at[:, :, slot].set(v)
         ax = jnp.stack([u[..., 0] for u in us], axis=1)  # [T, A, B]
         ay = jnp.stack([u[..., 1] for u in us], axis=1)
         act_rows = jnp.concatenate([ax, ay], axis=1)  # [T, 2A, B]
@@ -392,7 +440,7 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None):
         state_out = F.unpack_carry(world, carryT, state)
         extras = extras[..., :B]  # [T, n_out, B]
         obs, rews, terminated, updates = _vmapped_unpack(
-            env, fo, agents, extras, us, state, carries
+            env, fo, agents, extras, us, state, carries, uc_t
         )
         if env.max_steps is not None:
             steps_t = steps[None] + 1 + jnp.arange(horizon)[:, None]
@@ -401,10 +449,17 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None):
             truncated = jnp.zeros_like(terminated)
         dones = terminated | truncated
 
-        # final state mirrors the standard path's exactly: last decoded u,
-        # last step's scratch updates, last obs-noise key in scratch
+        # final state mirrors the standard path's exactly: last decoded
+        # u (+ comm), last step's scratch updates, last obs-noise key
         for i, a in enumerate(agents):
             state_out = a.set_u(state_out, us[i][-1])
+        for slot, v in uc_slots:
+            state_out = state_out.replace(
+                uc=state_out.uc.at[:, slot].set(v[-1]),
+            )
+            state_out = state_out.replace(
+                c=state_out.c.at[:, slot].set(v[-1]),
+            )
         last_updates = jax.tree_util.tree_map(lambda x: x[-1], updates)
         step_keys = jax.random.split(k_step, horizon)
         _, obs_key_last = jax.random.split(step_keys[-1])
@@ -448,6 +503,11 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
         "scenario's obs need per-step state reconstruction (Lidar) — the "
         "relayout would run every step, defeating the rows structure; use "
         "rollout_fn for policy rollouts here"
+    )
+    assert env.world.dim_c == 0, (
+        "rows_policy_rollout_fn: comm worlds ride the random-action rows "
+        "path only (the hoisted comm decode); use rollout_fn for policy "
+        "rollouts here"
     )
     world, fo = env.world, env._fused_outputs
     agents = env.agents

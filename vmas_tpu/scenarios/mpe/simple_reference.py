@@ -79,6 +79,10 @@ class Scenario(BaseScenario):
 
         class SimpleReferenceOutputs(F_.FusedOutputs):
             n_scratch_in = A  # goal_b_i per agent
+            # rows-carried rollout: goal indices are reset-constant (None);
+            # unpack's comm read rides the hoisted per-step uc
+            carry_extra_idx = (None,) * A
+            unpack_reads = ("c",)
             n_out = A * row_w + 1
 
             @staticmethod

@@ -80,6 +80,10 @@ class Scenario(BaseScenario):
 
         class SpeakerListenerOutputs(F_.FusedOutputs):
             n_scratch_in = 1  # goal_idx
+            # rows-carried rollout: goal_idx is reset-constant (None);
+            # unpack's comm read rides the hoisted per-step uc
+            carry_extra_idx = (None,)
+            unpack_reads = ("c",)
             n_out = row_w + 1
 
             @staticmethod

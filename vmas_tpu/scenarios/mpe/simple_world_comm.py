@@ -170,6 +170,10 @@ class Scenario(BaseScenario):
 
         class SimpleWorldCommOutputs(F_.FusedOutputs):
             n_scratch_in = 0
+            # rows-carried rollout: unpack reads only the leader's comm
+            # (hoisted per-step uc) and config constants
+            carry_extra_idx = ()
+            unpack_reads = ("c",)
             n_out = sum(row_w) + A
 
             @staticmethod

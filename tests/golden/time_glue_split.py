@@ -7,9 +7,11 @@ Variants, each a 500-step jitted scan, multi-call windows:
   norec     same body via env._step_fn_raw but recording NOTHING (XLA
             dead-codes the unpack/obs assembly that nothing consumes)
   rewonly   record rewards + dones only (obs assembly dead-coded)
-  rawrows   record the raw fused-output rows (obs transposes dead-coded,
-            but the rows themselves ride the scan stack)
   kernel    fused_physics_step alone (floor)
+
+(A planned `rawrows` variant — record the raw fused-output rows — was
+superseded by the rows-carried rollout itself, which IS that structure;
+measure it via bench.py / parallel.rows_rollout_fn instead.)
 
 Usage: python tests/golden/time_glue_split.py [B] [N]
 """

@@ -73,11 +73,6 @@ def main():
     st, steps, traj = run_roll(env.state, env.steps, key)
     jax.block_until_ready(traj["rewards"])
 
-    def roll(args):
-        s, stp = args
-        s, stp, t = run_roll(s, stp, key)
-        return (s, stp), t
-
     def kern(s):
         s2, extra = F.fused_physics_step(world, s, fo)
         # consume the output rows so they are not dead-coded
@@ -88,11 +83,6 @@ def main():
 
     run_kern = scan_of(kern)
     run_nostep = scan_of(nostep)
-
-    def roll_once(s, stp):
-        s, stp, t = run_roll(s, stp, key)
-        jax.block_until_ready(t["rewards"])
-        return s, stp
 
     # measure rollout with the same window protocol
     out = run_roll(st, steps, key)

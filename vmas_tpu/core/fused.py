@@ -271,7 +271,14 @@ def _sublanes(bp: int) -> int:
         return 1
     s = int(v or "1")
     assert s in (1, 2, 4, 8), f"VMAS_TPU_FUSED_SUBLANES must be 1/2/4/8, got {s}"
-    return s if bp % (128 * s) == 0 else 1
+    # an EXPLICIT S that cannot divide the padded batch must fail loudly:
+    # a silent S=1 fallback would mislabel sweep measurements as S=s (the
+    # measurement-integrity bug class docs/PERFORMANCE.md exists to kill)
+    assert s == 1 or bp % (128 * s) == 0, (
+        f"VMAS_TPU_FUSED_SUBLANES={s} needs num_envs padded to a "
+        f"{128 * s}-multiple (got {bp}); use 'auto' for best-fit"
+    )
+    return s
 
 
 class _Rows:
@@ -1399,7 +1406,6 @@ def rows_step_supported(world, outputs, agents) -> bool:
         return False
     if len(outputs.carry_extra_idx) != int(outputs.n_scratch_in):
         return False
-    spec = world.spec
     if getattr(world, "dynamic_gravity", False):
         return False
     for a in agents:

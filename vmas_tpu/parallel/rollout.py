@@ -311,7 +311,7 @@ def _vmapped_unpack(env, fo, agents, extras, us, state, carries_t=None,
     """One vmapped ``unpack`` over the recorded emit rows. Declared
     step-varying reads are substituted so unpack sees exactly what the
     standard per-step path saw: ``"u"`` from the per-step decoded actions
-    the rollout already holds (dropout's energy term), ``"uc"`` from the
+    the rollout already holds (dropout's energy term), ``"c"`` from the
     hoisted comm decode (``uc_t`` [T, B, A, dim_c] — the MPE comm
     scenarios), ``"state"`` reconstructed inside the vmap from the
     recorded carry rows (navigation's Lidar — batching the raycast over
@@ -344,6 +344,38 @@ def _vmapped_unpack(env, fo, agents, extras, us, state, carries_t=None,
     )
 
 
+def _finish_rows_rollout(env, agents, state_out, us_last, uc_last, updates,
+                         terminated, steps, k_step, horizon, rews, obs):
+    """Shared finale of the rows rollouts: truncation flags, and a final
+    state that mirrors the standard path's exactly — last decoded u
+    (+ comm), last step's scratch updates, last obs-noise key, and one
+    post_rewards application (identity unless the scenario declared
+    post_rewards_rollout_safe)."""
+    if env.max_steps is not None:
+        steps_t = steps[None] + 1 + jnp.arange(horizon)[:, None]
+        truncated = steps_t >= env.max_steps
+    else:
+        truncated = jnp.zeros_like(terminated)
+    dones = terminated | truncated
+    for a, u in zip(agents, us_last):
+        state_out = a.set_u(state_out, u)
+    for slot, v in uc_last:
+        state_out = state_out.replace(
+            uc=state_out.uc.at[:, slot].set(v),
+            c=state_out.c.at[:, slot].set(v),
+        )
+    last_updates = jax.tree_util.tree_map(lambda x: x[-1], updates)
+    step_keys = jax.random.split(k_step, horizon)
+    _, obs_key_last = jax.random.split(step_keys[-1])
+    state_out = state_out.replace(scenario={
+        **state_out.scenario, **last_updates, "__obs_key": obs_key_last,
+    })
+    state_out = env.scenario.post_rewards(state_out)
+    return state_out, steps + horizon, {
+        "rewards": jnp.stack(rews, axis=-1), "dones": dones, "obs": obs,
+    }
+
+
 def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None):
     """Rows-carried compiled rollout — same contract and BITWISE the same
     trajectory as ``rollout_fn(env, horizon=...)`` with random actions
@@ -365,9 +397,11 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None):
     from vmas_tpu.core import fused as F
 
     assert rows_rollout_supported(env), (
-        "rows_rollout_fn: env not eligible (need fused_physics=True, a "
-        "fused-outputs scenario with carry_extra_idx, holonomic noise-free "
-        "agents, comm-free world) — use rollout_fn"
+        "rows_rollout_fn: env not eligible — needs fused_physics=True, a "
+        "fused-outputs scenario declaring carry_extra_idx, holonomic "
+        "noise-free agents (continuous unclamped or discrete), no scripted "
+        "agents, no undeclared process_action/post_rewards overrides, and "
+        "grad_enabled=False; use rollout_fn (see rows_rollout_supported)"
     )
     world, fo = env.world, env._fused_outputs
     agents = env.agents
@@ -442,38 +476,11 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None):
         obs, rews, terminated, updates = _vmapped_unpack(
             env, fo, agents, extras, us, state, carries, uc_t
         )
-        if env.max_steps is not None:
-            steps_t = steps[None] + 1 + jnp.arange(horizon)[:, None]
-            truncated = steps_t >= env.max_steps
-        else:
-            truncated = jnp.zeros_like(terminated)
-        dones = terminated | truncated
-
-        # final state mirrors the standard path's exactly: last decoded
-        # u (+ comm), last step's scratch updates, last obs-noise key
-        for i, a in enumerate(agents):
-            state_out = a.set_u(state_out, us[i][-1])
-        for slot, v in uc_slots:
-            state_out = state_out.replace(
-                uc=state_out.uc.at[:, slot].set(v[-1]),
-            )
-            state_out = state_out.replace(
-                c=state_out.c.at[:, slot].set(v[-1]),
-            )
-        last_updates = jax.tree_util.tree_map(lambda x: x[-1], updates)
-        step_keys = jax.random.split(k_step, horizon)
-        _, obs_key_last = jax.random.split(step_keys[-1])
-        state_out = state_out.replace(scenario={
-            **state_out.scenario, **last_updates, "__obs_key": obs_key_last,
-        })
-        # post_rewards_rollout_safe scenarios (dropout): identical per-step
-        # effect is already in the emitted rows; one final application
-        # reproduces the standard path's final state (render toggles etc.)
-        state_out = env.scenario.post_rewards(state_out)
-        steps = steps + horizon
-        return state_out, steps, {
-            "rewards": jnp.stack(rews, axis=-1), "dones": dones, "obs": obs,
-        }
+        return _finish_rows_rollout(
+            env, agents, state_out, [u[-1] for u in us],
+            [(slot, v[-1]) for slot, v in uc_slots], updates, terminated,
+            steps, k_step, horizon, rews, obs,
+        )
 
     return run
 
@@ -565,29 +572,9 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
         obs, rews, terminated, updates = _vmapped_unpack(
             env, fo, agents, extras, us_t, state
         )
-        if env.max_steps is not None:
-            steps_t = steps[None] + 1 + jnp.arange(horizon)[:, None]
-            truncated = steps_t >= env.max_steps
-        else:
-            truncated = jnp.zeros_like(terminated)
-        dones = terminated | truncated
-
-        # final state mirrors the standard path's exactly (cf. rows_rollout_fn)
-        for i, a in enumerate(agents):
-            state_out = a.set_u(state_out, us_t[i][-1])
-        last_updates = jax.tree_util.tree_map(lambda x: x[-1], updates)
-        step_keys = jax.random.split(k_step, horizon)
-        _, obs_key_last = jax.random.split(step_keys[-1])
-        state_out = state_out.replace(scenario={
-            **state_out.scenario, **last_updates, "__obs_key": obs_key_last,
-        })
-        # post_rewards_rollout_safe scenarios (dropout): identical per-step
-        # effect is already in the emitted rows; one final application
-        # reproduces the standard path's final state (render toggles etc.)
-        state_out = env.scenario.post_rewards(state_out)
-        steps = steps + horizon
-        return state_out, steps, {
-            "rewards": jnp.stack(rews, axis=-1), "dones": dones, "obs": obs,
-        }
+        return _finish_rows_rollout(
+            env, agents, state_out, [u[-1] for u in us_t], [], updates,
+            terminated, steps, k_step, horizon, rews, obs,
+        )
 
     return run

@@ -321,6 +321,30 @@ def test_rows_policy_rollout_discrete():
     )
 
 
+@pytest.mark.parametrize("k_steps", [2, 3])
+def test_rows_rollout_k_steps(k_steps):
+    """k_steps>1 packs several FULL env steps into one kernel call — the
+    trajectory must replay k_steps=1 (measured a perf LOSS on hardware,
+    kept as a documented dead end; docs/PERFORMANCE.md)."""
+    env_a = _envs(n_agents=3)
+    env_b = _envs(n_agents=3)
+    key = jax.random.PRNGKey(17)
+    _, _, t1 = jax.jit(rows_rollout_fn(env_a, horizon=6))(
+        env_a.state, env_a.steps, key
+    )
+    _, _, tK = jax.jit(rows_rollout_fn(env_b, horizon=6, k_steps=k_steps))(
+        env_b.state, env_b.steps, key
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(t1["obs"]),
+                    jax.tree_util.tree_leaves(tK["obs"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=0)
+    np.testing.assert_allclose(
+        np.asarray(t1["rewards"]), np.asarray(tK["rewards"]),
+        atol=3e-5, rtol=0,
+    )
+
+
 def test_rows_rollout_truncation():
     env = make_env("transport", num_envs=16, seed=0, fused_physics=True,
                    n_agents=4, max_steps=3)

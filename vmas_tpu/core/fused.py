@@ -439,7 +439,7 @@ def _one_hot_select(idx_row, rows):
 
 
 def _make_kernel(world, outputs=None, sublanes=1, rows_mode=False,
-                 act_slots=None):
+                 act_slots=None, k_steps=1):
     """Generate the per-spec kernel: static structure is baked into the
     program as python scalars (one unrolled instruction stream per spec —
     no array constants, which TPU pallas kernels may not capture). Rows are
@@ -482,9 +482,11 @@ def _make_kernel(world, outputs=None, sublanes=1, rows_mode=False,
     if rows_mode:
         assert outputs is not None and not dyn_gravity
         assert act_slots, "rows_mode needs the policy agents' entity slots"
+        assert k_steps >= 1
         act_slots = [int(e) for e in act_slots]
         ent_tile = False
     else:
+        assert k_steps == 1, "k_steps>1 is a rows_mode feature"
         ent_tile = E >= 2 and _entity_tile_on(E)
     inf = float("inf")
     # Static per-entity constants / gates for the tiled stream. Every value
@@ -611,633 +613,652 @@ def _make_kernel(world, outputs=None, sublanes=1, rows_mode=False,
             if dyn_gravity:
                 dgx = [row(9 * E + J + e) for e in range(E)]
                 dgy = [row(9 * E + J + E + e) for e in range(E)]
-        if rows_mode:
-            # this step's decoded action forces override the carried force
-            # rows for the policy agents (holonomic process_action: force=u);
-            # a_ref layout: rows [0:A) = u_x per agent, [A:2A) = u_y
-            A_n = len(act_slots)
-            for i, e in enumerate(act_slots):
-                fx[e] = a_ref[i * S : (i + 1) * S, :]
-                fy[e] = a_ref[(A_n + i) * S : (A_n + i + 1) * S, :]
-            # joint fixed rotations are reset-only state (sync_joints runs
-            # only in env_reset_world_at) — they ride the carry unchanged,
-            # between the state rows and the scratch rows
-            jfr = [row(9 * E + j) for j in range(J)]
-            # scratch rows sit after the state + jfr rows, at the same
-            # offsets the kernel WRITES them to — the scan carry is the
-            # kernel output verbatim
-            scratch_in = [row(9 * E + J + k) for k in range(K_in)]
-        else:
-            jfr = [row(9 * E + j) for j in range(J)]
-            n_dyn = 2 * E if dyn_gravity else 0
-            scratch_in = [row(9 * E + J + n_dyn + k) for k in range(K_in)]
+        for _k in range(k_steps):
+            if rows_mode:
+                # step _k's decoded action forces override the carried (or
+                # previous step's) force rows for the policy agents (holonomic
+                # process_action: force=u); a_ref holds k_steps blocks of
+                # [u_x rows, u_y rows]
+                A_n = len(act_slots)
+                _ab = _k * 2 * A_n
+                for i, e in enumerate(act_slots):
+                    fx[e] = a_ref[(_ab + i) * S : (_ab + i + 1) * S, :]
+                    fy[e] = a_ref[(_ab + A_n + i) * S : (_ab + A_n + i + 1) * S, :]
+                if _k == 0:
+                    # joint fixed rotations are reset-only state (sync_joints
+                    # runs only in env_reset_world_at) — they ride the carry
+                    # unchanged, between the state rows and the scratch rows
+                    jfr = [row(9 * E + j) for j in range(J)]
+                    # scratch rows sit after the state + jfr rows, at the same
+                    # offsets the kernel WRITES them to — the scan carry is
+                    # the kernel output verbatim; later steps rebind
+                    # scratch_in from their emit rows below
+                    scratch_in = [row(9 * E + J + k) for k in range(K_in)]
+            else:
+                jfr = [row(9 * E + j) for j in range(J)]
+                n_dyn = 2 * E if dyn_gravity else 0
+                scratch_in = [row(9 * E + J + n_dyn + k) for k in range(K_in)]
 
-        # per-pair-type constant tiles, hoisted out of the substep loop
-        if len(spec.ss_a) >= lane_min:
-            ss_dmin = crow(np.asarray(spec.ss_ra) + np.asarray(spec.ss_rb))
-        if len(spec.ls_line) >= lane_min:
-            ls_half = crow(np.asarray(spec.ls_len) / 2)
-            ls_dmin = crow(np.asarray(spec.ls_rad) + LINE_MIN_DIST)
-        if len(spec.ll_a) >= lane_min:
-            ll_ha = crow(np.asarray(spec.ll_la) / 2)
-            ll_hb = crow(np.asarray(spec.ll_lb) / 2)
-        if len(spec.bs_box) >= lane_min:
-            bs_hw = crow(np.asarray(spec.bs_wid) / 2)
-            bs_hl = crow(np.asarray(spec.bs_len) / 2)
-            # round the float64 sum once, exactly like the unrolled path's
-            # float(spec.bs_rad[k]) + LINE_MIN_DIST python constant
-            bs_dmin0 = crow(np.asarray(spec.bs_rad) + LINE_MIN_DIST)
-            bs_nh = crow(np.asarray(spec.bs_not_hollow, np.float32))
-        if len(spec.bl_box) >= lane_min:
-            bl_hw = crow(np.asarray(spec.bl_bwid) / 2)
-            bl_hl = crow(np.asarray(spec.bl_blen) / 2)
-            bl_lh = crow(np.asarray(spec.bl_llen) / 2)
-            bl_nh = crow(np.asarray(spec.bl_not_hollow, np.float32))
-        if len(spec.bb_a) >= lane_min:
-            bb_hwa = crow(np.asarray(spec.bb_wa) / 2)
-            bb_hla = crow(np.asarray(spec.bb_la) / 2)
-            bb_hwb = crow(np.asarray(spec.bb_wb) / 2)
-            bb_hlb = crow(np.asarray(spec.bb_lb) / 2)
-            bb_nha = crow(np.asarray(spec.bb_nha, np.float32))
-            bb_nhb = crow(np.asarray(spec.bb_nhb, np.float32))
+            # per-pair-type constant tiles, hoisted out of the substep loop
+            if len(spec.ss_a) >= lane_min:
+                ss_dmin = crow(np.asarray(spec.ss_ra) + np.asarray(spec.ss_rb))
+            if len(spec.ls_line) >= lane_min:
+                ls_half = crow(np.asarray(spec.ls_len) / 2)
+                ls_dmin = crow(np.asarray(spec.ls_rad) + LINE_MIN_DIST)
+            if len(spec.ll_a) >= lane_min:
+                ll_ha = crow(np.asarray(spec.ll_la) / 2)
+                ll_hb = crow(np.asarray(spec.ll_lb) / 2)
+            if len(spec.bs_box) >= lane_min:
+                bs_hw = crow(np.asarray(spec.bs_wid) / 2)
+                bs_hl = crow(np.asarray(spec.bs_len) / 2)
+                # round the float64 sum once, exactly like the unrolled path's
+                # float(spec.bs_rad[k]) + LINE_MIN_DIST python constant
+                bs_dmin0 = crow(np.asarray(spec.bs_rad) + LINE_MIN_DIST)
+                bs_nh = crow(np.asarray(spec.bs_not_hollow, np.float32))
+            if len(spec.bl_box) >= lane_min:
+                bl_hw = crow(np.asarray(spec.bl_bwid) / 2)
+                bl_hl = crow(np.asarray(spec.bl_blen) / 2)
+                bl_lh = crow(np.asarray(spec.bl_llen) / 2)
+                bl_nh = crow(np.asarray(spec.bl_not_hollow, np.float32))
+            if len(spec.bb_a) >= lane_min:
+                bb_hwa = crow(np.asarray(spec.bb_wa) / 2)
+                bb_hla = crow(np.asarray(spec.bb_la) / 2)
+                bb_hwb = crow(np.asarray(spec.bb_wb) / 2)
+                bb_hlb = crow(np.asarray(spec.bb_lb) / 2)
+                bb_nha = crow(np.asarray(spec.bb_nha, np.float32))
+                bb_nhb = crow(np.asarray(spec.bb_nhb, np.float32))
 
-        def clamp_actions_rows():
-            """Action clamps persisting on state.force/torque
-            (physics.py:229-248). The XLA path runs this at the start of
-            EVERY substep on the persistent rows, and clamp_with_norm is not
-            exactly idempotent in f32 (a rescaled norm can round just above
-            max_f), so the fused path must re-clamp per substep too; the
-            divide-then-multiply order matches clamp_with_norm's
-            ``tensor / norm * max_norm`` rounding."""
-            for e in range(E):
-                if is_agent[e] and movable[e]:
-                    mf = float(spec.max_f[e])
-                    if math.isfinite(mf):
-                        n = jnp.sqrt(fx[e] * fx[e] + fy[e] * fy[e])
-                        over = n > mf
+            def clamp_actions_rows():
+                """Action clamps persisting on state.force/torque
+                (physics.py:229-248). The XLA path runs this at the start of
+                EVERY substep on the persistent rows, and clamp_with_norm is not
+                exactly idempotent in f32 (a rescaled norm can round just above
+                max_f), so the fused path must re-clamp per substep too; the
+                divide-then-multiply order matches clamp_with_norm's
+                ``tensor / norm * max_norm`` rounding."""
+                for e in range(E):
+                    if is_agent[e] and movable[e]:
+                        mf = float(spec.max_f[e])
+                        if math.isfinite(mf):
+                            n = jnp.sqrt(fx[e] * fx[e] + fy[e] * fy[e])
+                            over = n > mf
+                            den = jnp.where(over, n, 1.0)
+                            fx[e] = jnp.where(over, fx[e] / den * mf, fx[e])
+                            fy[e] = jnp.where(over, fy[e] / den * mf, fy[e])
+                        fr = float(spec.f_range[e])
+                        if math.isfinite(fr):
+                            fx[e] = jnp.clip(fx[e], -fr, fr)
+                            fy[e] = jnp.clip(fy[e], -fr, fr)
+                    if is_agent[e] and rotatable[e]:
+                        mt = float(spec.max_t[e])
+                        if math.isfinite(mt):
+                            tq[e] = jnp.clip(tq[e], -mt, mt)
+                        tr = float(spec.t_range[e])
+                        if math.isfinite(tr):
+                            tq[e] = jnp.clip(tq[e], -tr, tr)
+
+            for substep in range(substeps):
+                if ent_tile:
+                    # clamp (tile form): entities a clamp does not apply to carry
+                    # an inf bound, making over=False / clip an exact identity —
+                    # same per-lane values as the unrolled per-entity branches
+                    if has_mf:
+                        n = jnp.sqrt(FX * FX + FY * FY)
+                        over = n > mfT
                         den = jnp.where(over, n, 1.0)
-                        fx[e] = jnp.where(over, fx[e] / den * mf, fx[e])
-                        fy[e] = jnp.where(over, fy[e] / den * mf, fy[e])
-                    fr = float(spec.f_range[e])
-                    if math.isfinite(fr):
-                        fx[e] = jnp.clip(fx[e], -fr, fr)
-                        fy[e] = jnp.clip(fy[e], -fr, fr)
-                if is_agent[e] and rotatable[e]:
-                    mt = float(spec.max_t[e])
-                    if math.isfinite(mt):
-                        tq[e] = jnp.clip(tq[e], -mt, mt)
-                    tr = float(spec.t_range[e])
-                    if math.isfinite(tr):
-                        tq[e] = jnp.clip(tq[e], -tr, tr)
-
-        for substep in range(substeps):
-            if ent_tile:
-                # clamp (tile form): entities a clamp does not apply to carry
-                # an inf bound, making over=False / clip an exact identity —
-                # same per-lane values as the unrolled per-entity branches
-                if has_mf:
-                    n = jnp.sqrt(FX * FX + FY * FY)
-                    over = n > mfT
-                    den = jnp.where(over, n, 1.0)
-                    FX = jnp.where(over, FX / den * mfT, FX)
-                    FY = jnp.where(over, FY / den * mfT, FY)
-                if has_fr:
-                    FX = jnp.clip(FX, -frT, frT)
-                    FY = jnp.clip(FY, -frT, frT)
-                if has_mt:
-                    TQ = jnp.clip(TQ, -mtT, mtT)
-                if has_tr:
-                    TQ = jnp.clip(TQ, -trT, trT)
-                px = _Rows(PX, S)
-                py = _Rows(PY, S)
-                rot = _Rows(ROT, S)
-            else:
-                clamp_actions_rows()
-            Fx = [None] * E
-            Fy = [None] * E
-            Tq = [None] * E
-            trig = {}
-
-            if tile_trig:
-                COSr = _Rows(jnp.cos(ROT), S)
-                SINr = _Rows(jnp.sin(ROT), S)
-
-                def cs(e):
-                    return COSr[e], SINr[e]
-            else:
-                def cs(e):
-                    """cos/sin of entity e's rotation, once per substep."""
-                    if e not in trig:
-                        trig[e] = (jnp.cos(rot[e]), jnp.sin(rot[e]))
-                    return trig[e]
-
-            if ent_tile:
-                # base force/torque tiles: action + friction + gravity, the
-                # exact per-entity accumulation order of the unrolled path
-                # (terms that don't apply contribute an exact 0.0)
-                BFX, BFY, BTQ = FX, FY, TQ
-                if has_lf:
-                    speed = _norm(VX, VY)
-                    den = jnp.where(speed == 0.0, 1.0, speed)
-                    fcx = jnp.minimum(lfmT, jnp.abs(VX) / sub_dt * mT)
-                    fcy = jnp.minimum(lfmT, jnp.abs(VY) / sub_dt * mT)
-                    drop = (speed == 0.0) | ~lf_onT
-                    BFX = BFX + jnp.where(drop, 0.0, -(VX / den) * fcx)
-                    BFY = BFY + jnp.where(drop, 0.0, -(VY / den) * fcy)
-                if has_af:
-                    sp = jnp.abs(W)
-                    den = jnp.where(sp == 0.0, 1.0, sp)
-                    fc = jnp.minimum(afmT, sp / sub_dt * moiT)
-                    BTQ = BTQ + jnp.where(
-                        (sp == 0.0) | ~af_onT, 0.0, -(W / den) * fc
-                    )
-                if dyn_gravity:
-                    BFX = BFX + gmT * (DGX + egxT)
-                    BFY = BFY + gmT * (DGY + egyT)
-                elif has_static_grav:
-                    BFX = BFX + gsxT
-                    BFY = BFY + gsyT
-
-                def addf(e, ax, ay):
-                    if not movable[e]:
-                        return
-                    if Fx[e] is None:
-                        Fx[e] = BFX[e * S : (e + 1) * S, :]
-                        Fy[e] = BFY[e * S : (e + 1) * S, :]
-                    Fx[e] = Fx[e] + ax
-                    Fy[e] = Fy[e] + ay
-
-                def addt(e, t):
-                    if not rotatable[e]:
-                        return
-                    if Tq[e] is None:
-                        Tq[e] = BTQ[e * S : (e + 1) * S, :]
-                    Tq[e] = Tq[e] + t
-            else:
-                def addf(e, ax, ay):
-                    if not movable[e]:
-                        return
-                    Fx[e] = ax if Fx[e] is None else Fx[e] + ax
-                    Fy[e] = ay if Fy[e] is None else Fy[e] + ay
-
-                def addt(e, t):
-                    if not rotatable[e]:
-                        return
-                    Tq[e] = t if Tq[e] is None else Tq[e] + t
-
-                # action forces
-                for e in range(E):
-                    addf(e, fx[e], fy[e])
-                    addt(e, tq[e])
-
-                # coulomb friction (physics.py:255-263)
-                for e in range(E):
-                    lf = float(spec.lin_fric[e])
-                    m = float(spec.mass[e])
-                    if lf != 0.0 and movable[e]:
-                        speed = _norm(vx[e], vy[e])
-                        den = jnp.where(speed == 0.0, 1.0, speed)
-                        fcx = jnp.minimum(lf * m, jnp.abs(vx[e]) / sub_dt * m)
-                        fcy = jnp.minimum(lf * m, jnp.abs(vy[e]) / sub_dt * m)
-                        zero = speed == 0.0
-                        addf(e, jnp.where(zero, 0.0, -(vx[e] / den) * fcx),
-                             jnp.where(zero, 0.0, -(vy[e] / den) * fcy))
-                    af = float(spec.ang_fric[e])
-                    if af != 0.0 and rotatable[e]:
-                        moi = float(spec.moi[e])
-                        sp = jnp.abs(w[e])
-                        den = jnp.where(sp == 0.0, 1.0, sp)
-                        fc = jnp.minimum(af * moi, sp / sub_dt * moi)
-                        addt(e, jnp.where(sp == 0.0, 0.0, -(w[e] / den) * fc))
-
-                # gravity (world + per-entity static + per-env dynamic)
-                for e in range(E):
-                    if not movable[e]:
-                        continue
-                    egx = gx + float(spec.ent_gravity[e, 0])
-                    egy = gy + float(spec.ent_gravity[e, 1])
-                    m = float(spec.mass[e])
-                    if dyn_gravity:
-                        addf(e, m * (dgx[e] + egx), m * (dgy[e] + egy))
-                    elif egx != 0.0 or egy != 0.0:
-                        addf(e, jnp.full_like(px[e], m * egx), jnp.full_like(px[e], m * egy))
-
-            # joint constraints (physics.py:266-300)
-            for j in range(J):
-                a, b = int(spec.joint_idx_a[j]), int(spec.joint_idx_b[j])
-                aax, aay = float(spec.joint_anchor_a[j, 0]), float(spec.joint_anchor_a[j, 1])
-                abx, aby = float(spec.joint_anchor_b[j, 0]), float(spec.joint_anchor_b[j, 1])
-                dist = float(spec.joint_dist[j])
-                ca, sa = cs(a)
-                cb, sb = cs(b)
-                pjax = px[a] + aax * ca - aay * sa
-                pjay = py[a] + aax * sa + aay * ca
-                pjbx = px[b] + abx * cb - aby * sb
-                pjby = py[b] + abx * sb + aby * cb
-                fax_att, fay_att = _constraint_force(
-                    cm, pjax, pjay, pjbx, pjby, dist, joint_force, attractive=True
-                )
-                fax_rep, fay_rep = _constraint_force(
-                    cm, pjax, pjay, pjbx, pjby, dist, joint_force, attractive=False
-                )
-                fax, fay = fax_att + fax_rep, fay_att + fay_rep
-                ta_rot = (pjax - px[a]) * fay - (pjay - py[a]) * fax
-                tb_rot = (pjbx - px[b]) * (-fay) - (pjby - py[b]) * (-fax)
-                if bool(spec.joint_rotate[j]):
-                    ta, tb = ta_rot, tb_rot
+                        FX = jnp.where(over, FX / den * mfT, FX)
+                        FY = jnp.where(over, FY / den * mfT, FY)
+                    if has_fr:
+                        FX = jnp.clip(FX, -frT, frT)
+                        FY = jnp.clip(FY, -frT, frT)
+                    if has_mt:
+                        TQ = jnp.clip(TQ, -mtT, mtT)
+                    if has_tr:
+                        TQ = jnp.clip(TQ, -trT, trT)
+                    px = _Rows(PX, S)
+                    py = _Rows(PY, S)
+                    rot = _Rows(ROT, S)
                 else:
-                    # constraint_torques on (rot_a, rot_b + fixed_rot)
-                    delta = rot[a] - (rot[b] + jfr[j])
-                    pen = jnp.exp(jnp.abs(delta)) - 1.0
-                    tqc = torque_constraint_force * jnp.sign(delta) * pen
-                    tqc = jnp.where(jnp.abs(delta) < 1e-9, 0.0, tqc)
-                    ta, tb = ta_rot + (-tqc), tb_rot + tqc
-                addf(a, fax, fay)
-                addt(a, ta)
-                addf(b, -fax, -fay)
-                addt(b, tb)
+                    clamp_actions_rows()
+                Fx = [None] * E
+                Fy = [None] * E
+                Tq = [None] * E
+                trig = {}
 
-            def scatter2(pairs, fx_p, fy_p):
-                """Slice-add a [P, BLK] pair force onto its two entities
-                (+ on a, - on b), in pair order — the same accumulation
-                order as the unrolled path."""
-                for k, (a, b) in enumerate(pairs):
-                    addf(a, fx_p[k * S : (k + 1) * S], fy_p[k * S : (k + 1) * S])
-                    addf(b, -fx_p[k * S : (k + 1) * S], -fy_p[k * S : (k + 1) * S])
+                if tile_trig:
+                    COSr = _Rows(jnp.cos(ROT), S)
+                    SINr = _Rows(jnp.sin(ROT), S)
 
-            # sphere-sphere
-            ss_pairs = [(int(a), int(b)) for a, b in zip(spec.ss_a, spec.ss_b)]
-            if len(ss_pairs) >= lane_min:
-                ax = stack([px[a] for a, _ in ss_pairs])
-                ay = stack([py[a] for a, _ in ss_pairs])
-                bx = stack([px[b] for _, b in ss_pairs])
-                by = stack([py[b] for _, b in ss_pairs])
-                cfx, cfy = _constraint_force(cm, ax, ay, bx, by, ss_dmin, cf)
-                scatter2(ss_pairs, cfx, cfy)
-            else:
-                for k, (a, b) in enumerate(ss_pairs):
-                    dmin = float(spec.ss_ra[k] + spec.ss_rb[k])
-                    cfx, cfy = _constraint_force(cm, px[a], py[a], px[b], py[b], dmin, cf)
-                    addf(a, cfx, cfy)
-                    addf(b, -cfx, -cfy)
+                    def cs(e):
+                        return COSr[e], SINr[e]
+                else:
+                    def cs(e):
+                        """cos/sin of entity e's rotation, once per substep."""
+                        if e not in trig:
+                            trig[e] = (jnp.cos(rot[e]), jnp.sin(rot[e]))
+                        return trig[e]
 
-            # line-sphere
-            ls_pairs = [(int(l), int(s)) for l, s in zip(spec.ls_line, spec.ls_sphere)]
-            if len(ls_pairs) >= lane_min:
-                lx = stack([px[l] for l, _ in ls_pairs])
-                ly = stack([py[l] for l, _ in ls_pairs])
-                sx = stack([px[s] for _, s in ls_pairs])
-                sy = stack([py[s] for _, s in ls_pairs])
-                lcs = stack([cs(l)[0] for l, _ in ls_pairs])
-                lsn = stack([cs(l)[1] for l, _ in ls_pairs])
-                cx, cy = _closest_point_line(lx, ly, lcs, lsn, ls_half, sx, sy)
-                sfx, sfy = _constraint_force(cm, sx, sy, cx, cy, ls_dmin, cf)
-                tql = (cx - lx) * (-sfy) - (cy - ly) * (-sfx)
-                for k, (l, s) in enumerate(ls_pairs):
-                    addf(s, sfx[k * S : (k + 1) * S], sfy[k * S : (k + 1) * S])
-                    addf(l, -sfx[k * S : (k + 1) * S], -sfy[k * S : (k + 1) * S])
-                    addt(l, tql[k * S : (k + 1) * S])
-            else:
-                for k, (l, s) in enumerate(ls_pairs):
-                    half = float(spec.ls_len[k]) / 2
-                    cos, sin = cs(l)
-                    cx, cy = _closest_point_line(px[l], py[l], cos, sin, half, px[s], py[s])
-                    dmin = float(spec.ls_rad[k] + LINE_MIN_DIST)
-                    sfx, sfy = _constraint_force(cm, px[s], py[s], cx, cy, dmin, cf)
-                    addf(s, sfx, sfy)
-                    addf(l, -sfx, -sfy)
-                    addt(l, (cx - px[l]) * (-sfy) - (cy - py[l]) * (-sfx))
+                if ent_tile:
+                    # base force/torque tiles: action + friction + gravity, the
+                    # exact per-entity accumulation order of the unrolled path
+                    # (terms that don't apply contribute an exact 0.0)
+                    BFX, BFY, BTQ = FX, FY, TQ
+                    if has_lf:
+                        speed = _norm(VX, VY)
+                        den = jnp.where(speed == 0.0, 1.0, speed)
+                        fcx = jnp.minimum(lfmT, jnp.abs(VX) / sub_dt * mT)
+                        fcy = jnp.minimum(lfmT, jnp.abs(VY) / sub_dt * mT)
+                        drop = (speed == 0.0) | ~lf_onT
+                        BFX = BFX + jnp.where(drop, 0.0, -(VX / den) * fcx)
+                        BFY = BFY + jnp.where(drop, 0.0, -(VY / den) * fcy)
+                    if has_af:
+                        sp = jnp.abs(W)
+                        den = jnp.where(sp == 0.0, 1.0, sp)
+                        fc = jnp.minimum(afmT, sp / sub_dt * moiT)
+                        BTQ = BTQ + jnp.where(
+                            (sp == 0.0) | ~af_onT, 0.0, -(W / den) * fc
+                        )
+                    if dyn_gravity:
+                        BFX = BFX + gmT * (DGX + egxT)
+                        BFY = BFY + gmT * (DGY + egyT)
+                    elif has_static_grav:
+                        BFX = BFX + gsxT
+                        BFY = BFY + gsyT
 
-            # line-line
-            ll_pairs = [(int(a), int(b)) for a, b in zip(spec.ll_a, spec.ll_b)]
-            if len(ll_pairs) >= lane_min:
-                ax = stack([px[a] for a, _ in ll_pairs])
-                ay = stack([py[a] for a, _ in ll_pairs])
-                bx = stack([px[b] for _, b in ll_pairs])
-                by = stack([py[b] for _, b in ll_pairs])
-                ca = stack([cs(a)[0] for a, _ in ll_pairs])
-                sa = stack([cs(a)[1] for a, _ in ll_pairs])
-                cb = stack([cs(b)[0] for _, b in ll_pairs])
-                sb = stack([cs(b)[1] for _, b in ll_pairs])
-                pax, pay, pbx, pby = _closest_points_line_line(
-                    ax, ay, ca, sa, ll_ha, bx, by, cb, sb, ll_hb
-                )
-                afx, afy = _constraint_force(cm, pax, pay, pbx, pby, LINE_MIN_DIST, cf)
-                tqa = (pax - ax) * afy - (pay - ay) * afx
-                tqb = (pbx - bx) * (-afy) - (pby - by) * (-afx)
-                for k, (a, b) in enumerate(ll_pairs):
-                    addf(a, afx[k * S : (k + 1) * S], afy[k * S : (k + 1) * S])
-                    addt(a, tqa[k * S : (k + 1) * S])
-                    addf(b, -afx[k * S : (k + 1) * S], -afy[k * S : (k + 1) * S])
-                    addt(b, tqb[k * S : (k + 1) * S])
-            else:
-                for k, (a, b) in enumerate(ll_pairs):
-                    ha, hb = float(spec.ll_la[k]) / 2, float(spec.ll_lb[k]) / 2
+                    def addf(e, ax, ay):
+                        if not movable[e]:
+                            return
+                        if Fx[e] is None:
+                            Fx[e] = BFX[e * S : (e + 1) * S, :]
+                            Fy[e] = BFY[e * S : (e + 1) * S, :]
+                        Fx[e] = Fx[e] + ax
+                        Fy[e] = Fy[e] + ay
+
+                    def addt(e, t):
+                        if not rotatable[e]:
+                            return
+                        if Tq[e] is None:
+                            Tq[e] = BTQ[e * S : (e + 1) * S, :]
+                        Tq[e] = Tq[e] + t
+                else:
+                    def addf(e, ax, ay):
+                        if not movable[e]:
+                            return
+                        Fx[e] = ax if Fx[e] is None else Fx[e] + ax
+                        Fy[e] = ay if Fy[e] is None else Fy[e] + ay
+
+                    def addt(e, t):
+                        if not rotatable[e]:
+                            return
+                        Tq[e] = t if Tq[e] is None else Tq[e] + t
+
+                    # action forces
+                    for e in range(E):
+                        addf(e, fx[e], fy[e])
+                        addt(e, tq[e])
+
+                    # coulomb friction (physics.py:255-263)
+                    for e in range(E):
+                        lf = float(spec.lin_fric[e])
+                        m = float(spec.mass[e])
+                        if lf != 0.0 and movable[e]:
+                            speed = _norm(vx[e], vy[e])
+                            den = jnp.where(speed == 0.0, 1.0, speed)
+                            fcx = jnp.minimum(lf * m, jnp.abs(vx[e]) / sub_dt * m)
+                            fcy = jnp.minimum(lf * m, jnp.abs(vy[e]) / sub_dt * m)
+                            zero = speed == 0.0
+                            addf(e, jnp.where(zero, 0.0, -(vx[e] / den) * fcx),
+                                 jnp.where(zero, 0.0, -(vy[e] / den) * fcy))
+                        af = float(spec.ang_fric[e])
+                        if af != 0.0 and rotatable[e]:
+                            moi = float(spec.moi[e])
+                            sp = jnp.abs(w[e])
+                            den = jnp.where(sp == 0.0, 1.0, sp)
+                            fc = jnp.minimum(af * moi, sp / sub_dt * moi)
+                            addt(e, jnp.where(sp == 0.0, 0.0, -(w[e] / den) * fc))
+
+                    # gravity (world + per-entity static + per-env dynamic)
+                    for e in range(E):
+                        if not movable[e]:
+                            continue
+                        egx = gx + float(spec.ent_gravity[e, 0])
+                        egy = gy + float(spec.ent_gravity[e, 1])
+                        m = float(spec.mass[e])
+                        if dyn_gravity:
+                            addf(e, m * (dgx[e] + egx), m * (dgy[e] + egy))
+                        elif egx != 0.0 or egy != 0.0:
+                            addf(e, jnp.full_like(px[e], m * egx), jnp.full_like(px[e], m * egy))
+
+                # joint constraints (physics.py:266-300)
+                for j in range(J):
+                    a, b = int(spec.joint_idx_a[j]), int(spec.joint_idx_b[j])
+                    aax, aay = float(spec.joint_anchor_a[j, 0]), float(spec.joint_anchor_a[j, 1])
+                    abx, aby = float(spec.joint_anchor_b[j, 0]), float(spec.joint_anchor_b[j, 1])
+                    dist = float(spec.joint_dist[j])
                     ca, sa = cs(a)
                     cb, sb = cs(b)
+                    pjax = px[a] + aax * ca - aay * sa
+                    pjay = py[a] + aax * sa + aay * ca
+                    pjbx = px[b] + abx * cb - aby * sb
+                    pjby = py[b] + abx * sb + aby * cb
+                    fax_att, fay_att = _constraint_force(
+                        cm, pjax, pjay, pjbx, pjby, dist, joint_force, attractive=True
+                    )
+                    fax_rep, fay_rep = _constraint_force(
+                        cm, pjax, pjay, pjbx, pjby, dist, joint_force, attractive=False
+                    )
+                    fax, fay = fax_att + fax_rep, fay_att + fay_rep
+                    ta_rot = (pjax - px[a]) * fay - (pjay - py[a]) * fax
+                    tb_rot = (pjbx - px[b]) * (-fay) - (pjby - py[b]) * (-fax)
+                    if bool(spec.joint_rotate[j]):
+                        ta, tb = ta_rot, tb_rot
+                    else:
+                        # constraint_torques on (rot_a, rot_b + fixed_rot)
+                        delta = rot[a] - (rot[b] + jfr[j])
+                        pen = jnp.exp(jnp.abs(delta)) - 1.0
+                        tqc = torque_constraint_force * jnp.sign(delta) * pen
+                        tqc = jnp.where(jnp.abs(delta) < 1e-9, 0.0, tqc)
+                        ta, tb = ta_rot + (-tqc), tb_rot + tqc
+                    addf(a, fax, fay)
+                    addt(a, ta)
+                    addf(b, -fax, -fay)
+                    addt(b, tb)
+
+                def scatter2(pairs, fx_p, fy_p):
+                    """Slice-add a [P, BLK] pair force onto its two entities
+                    (+ on a, - on b), in pair order — the same accumulation
+                    order as the unrolled path."""
+                    for k, (a, b) in enumerate(pairs):
+                        addf(a, fx_p[k * S : (k + 1) * S], fy_p[k * S : (k + 1) * S])
+                        addf(b, -fx_p[k * S : (k + 1) * S], -fy_p[k * S : (k + 1) * S])
+
+                # sphere-sphere
+                ss_pairs = [(int(a), int(b)) for a, b in zip(spec.ss_a, spec.ss_b)]
+                if len(ss_pairs) >= lane_min:
+                    ax = stack([px[a] for a, _ in ss_pairs])
+                    ay = stack([py[a] for a, _ in ss_pairs])
+                    bx = stack([px[b] for _, b in ss_pairs])
+                    by = stack([py[b] for _, b in ss_pairs])
+                    cfx, cfy = _constraint_force(cm, ax, ay, bx, by, ss_dmin, cf)
+                    scatter2(ss_pairs, cfx, cfy)
+                else:
+                    for k, (a, b) in enumerate(ss_pairs):
+                        dmin = float(spec.ss_ra[k] + spec.ss_rb[k])
+                        cfx, cfy = _constraint_force(cm, px[a], py[a], px[b], py[b], dmin, cf)
+                        addf(a, cfx, cfy)
+                        addf(b, -cfx, -cfy)
+
+                # line-sphere
+                ls_pairs = [(int(l), int(s)) for l, s in zip(spec.ls_line, spec.ls_sphere)]
+                if len(ls_pairs) >= lane_min:
+                    lx = stack([px[l] for l, _ in ls_pairs])
+                    ly = stack([py[l] for l, _ in ls_pairs])
+                    sx = stack([px[s] for _, s in ls_pairs])
+                    sy = stack([py[s] for _, s in ls_pairs])
+                    lcs = stack([cs(l)[0] for l, _ in ls_pairs])
+                    lsn = stack([cs(l)[1] for l, _ in ls_pairs])
+                    cx, cy = _closest_point_line(lx, ly, lcs, lsn, ls_half, sx, sy)
+                    sfx, sfy = _constraint_force(cm, sx, sy, cx, cy, ls_dmin, cf)
+                    tql = (cx - lx) * (-sfy) - (cy - ly) * (-sfx)
+                    for k, (l, s) in enumerate(ls_pairs):
+                        addf(s, sfx[k * S : (k + 1) * S], sfy[k * S : (k + 1) * S])
+                        addf(l, -sfx[k * S : (k + 1) * S], -sfy[k * S : (k + 1) * S])
+                        addt(l, tql[k * S : (k + 1) * S])
+                else:
+                    for k, (l, s) in enumerate(ls_pairs):
+                        half = float(spec.ls_len[k]) / 2
+                        cos, sin = cs(l)
+                        cx, cy = _closest_point_line(px[l], py[l], cos, sin, half, px[s], py[s])
+                        dmin = float(spec.ls_rad[k] + LINE_MIN_DIST)
+                        sfx, sfy = _constraint_force(cm, px[s], py[s], cx, cy, dmin, cf)
+                        addf(s, sfx, sfy)
+                        addf(l, -sfx, -sfy)
+                        addt(l, (cx - px[l]) * (-sfy) - (cy - py[l]) * (-sfx))
+
+                # line-line
+                ll_pairs = [(int(a), int(b)) for a, b in zip(spec.ll_a, spec.ll_b)]
+                if len(ll_pairs) >= lane_min:
+                    ax = stack([px[a] for a, _ in ll_pairs])
+                    ay = stack([py[a] for a, _ in ll_pairs])
+                    bx = stack([px[b] for _, b in ll_pairs])
+                    by = stack([py[b] for _, b in ll_pairs])
+                    ca = stack([cs(a)[0] for a, _ in ll_pairs])
+                    sa = stack([cs(a)[1] for a, _ in ll_pairs])
+                    cb = stack([cs(b)[0] for _, b in ll_pairs])
+                    sb = stack([cs(b)[1] for _, b in ll_pairs])
                     pax, pay, pbx, pby = _closest_points_line_line(
-                        px[a], py[a], ca, sa, ha, px[b], py[b], cb, sb, hb
+                        ax, ay, ca, sa, ll_ha, bx, by, cb, sb, ll_hb
                     )
                     afx, afy = _constraint_force(cm, pax, pay, pbx, pby, LINE_MIN_DIST, cf)
-                    addf(a, afx, afy)
-                    addt(a, (pax - px[a]) * afy - (pay - py[a]) * afx)
-                    addf(b, -afx, -afy)
-                    addt(b, (pbx - px[b]) * (-afy) - (pby - py[b]) * (-afx))
+                    tqa = (pax - ax) * afy - (pay - ay) * afx
+                    tqb = (pbx - bx) * (-afy) - (pby - by) * (-afx)
+                    for k, (a, b) in enumerate(ll_pairs):
+                        addf(a, afx[k * S : (k + 1) * S], afy[k * S : (k + 1) * S])
+                        addt(a, tqa[k * S : (k + 1) * S])
+                        addf(b, -afx[k * S : (k + 1) * S], -afy[k * S : (k + 1) * S])
+                        addt(b, tqb[k * S : (k + 1) * S])
+                else:
+                    for k, (a, b) in enumerate(ll_pairs):
+                        ha, hb = float(spec.ll_la[k]) / 2, float(spec.ll_lb[k]) / 2
+                        ca, sa = cs(a)
+                        cb, sb = cs(b)
+                        pax, pay, pbx, pby = _closest_points_line_line(
+                            px[a], py[a], ca, sa, ha, px[b], py[b], cb, sb, hb
+                        )
+                        afx, afy = _constraint_force(cm, pax, pay, pbx, pby, LINE_MIN_DIST, cf)
+                        addf(a, afx, afy)
+                        addt(a, (pax - px[a]) * afy - (pay - py[a]) * afx)
+                        addf(b, -afx, -afy)
+                        addt(b, (pbx - px[b]) * (-afy) - (pby - py[b]) * (-afx))
 
-            # box-sphere
-            bs_pairs = [(int(b), int(s)) for b, s in zip(spec.bs_box, spec.bs_sphere)]
-            if len(bs_pairs) >= lane_min:
-                bx = stack([px[b] for b, _ in bs_pairs])
-                by = stack([py[b] for b, _ in bs_pairs])
-                sx = stack([px[s] for _, s in bs_pairs])
-                sy = stack([py[s] for _, s in bs_pairs])
-                bcs = stack([cs(b)[0] for b, _ in bs_pairs])
-                bsn = stack([cs(b)[1] for b, _ in bs_pairs])
-                cx, cy = _closest_point_box(bx, by, bcs, bsn, bs_hw, bs_hl, sx, sy)
-                ihx, ihy, dh = _inner_point_box(sx, sy, cx, cy, bx, by)
-                nh = bs_nh > 0.5
-                ix = jnp.where(nh, ihx, cx)
-                iy = jnp.where(nh, ihy, cy)
-                d = jnp.where(nh, dh, 0.0)
-                dmin = bs_dmin0 + d
-                sfx, sfy = _constraint_force(cm, sx, sy, ix, iy, dmin, cf)
-                tqb = (cx - bx) * (-sfy) - (cy - by) * (-sfx)
-                for k, (b, s) in enumerate(bs_pairs):
-                    addf(s, sfx[k * S : (k + 1) * S], sfy[k * S : (k + 1) * S])
-                    addf(b, -sfx[k * S : (k + 1) * S], -sfy[k * S : (k + 1) * S])
-                    addt(b, tqb[k * S : (k + 1) * S])
-            else:
-                for k, (b, s) in enumerate(bs_pairs):
-                    cos, sin = cs(b)
-                    hw, hl = float(spec.bs_wid[k]) / 2, float(spec.bs_len[k]) / 2
-                    cx, cy = _closest_point_box(px[b], py[b], cos, sin, hw, hl, px[s], py[s])
-                    if bool(spec.bs_not_hollow[k]):
-                        ix, iy, d = _inner_point_box(px[s], py[s], cx, cy, px[b], py[b])
-                    else:
-                        ix, iy, d = cx, cy, 0.0
-                    dmin = float(spec.bs_rad[k]) + LINE_MIN_DIST + d
-                    sfx, sfy = _constraint_force(cm, px[s], py[s], ix, iy, dmin, cf)
-                    addf(s, sfx, sfy)
-                    addf(b, -sfx, -sfy)
-                    addt(b, (cx - px[b]) * (-sfy) - (cy - py[b]) * (-sfx))
+                # box-sphere
+                bs_pairs = [(int(b), int(s)) for b, s in zip(spec.bs_box, spec.bs_sphere)]
+                if len(bs_pairs) >= lane_min:
+                    bx = stack([px[b] for b, _ in bs_pairs])
+                    by = stack([py[b] for b, _ in bs_pairs])
+                    sx = stack([px[s] for _, s in bs_pairs])
+                    sy = stack([py[s] for _, s in bs_pairs])
+                    bcs = stack([cs(b)[0] for b, _ in bs_pairs])
+                    bsn = stack([cs(b)[1] for b, _ in bs_pairs])
+                    cx, cy = _closest_point_box(bx, by, bcs, bsn, bs_hw, bs_hl, sx, sy)
+                    ihx, ihy, dh = _inner_point_box(sx, sy, cx, cy, bx, by)
+                    nh = bs_nh > 0.5
+                    ix = jnp.where(nh, ihx, cx)
+                    iy = jnp.where(nh, ihy, cy)
+                    d = jnp.where(nh, dh, 0.0)
+                    dmin = bs_dmin0 + d
+                    sfx, sfy = _constraint_force(cm, sx, sy, ix, iy, dmin, cf)
+                    tqb = (cx - bx) * (-sfy) - (cy - by) * (-sfx)
+                    for k, (b, s) in enumerate(bs_pairs):
+                        addf(s, sfx[k * S : (k + 1) * S], sfy[k * S : (k + 1) * S])
+                        addf(b, -sfx[k * S : (k + 1) * S], -sfy[k * S : (k + 1) * S])
+                        addt(b, tqb[k * S : (k + 1) * S])
+                else:
+                    for k, (b, s) in enumerate(bs_pairs):
+                        cos, sin = cs(b)
+                        hw, hl = float(spec.bs_wid[k]) / 2, float(spec.bs_len[k]) / 2
+                        cx, cy = _closest_point_box(px[b], py[b], cos, sin, hw, hl, px[s], py[s])
+                        if bool(spec.bs_not_hollow[k]):
+                            ix, iy, d = _inner_point_box(px[s], py[s], cx, cy, px[b], py[b])
+                        else:
+                            ix, iy, d = cx, cy, 0.0
+                        dmin = float(spec.bs_rad[k]) + LINE_MIN_DIST + d
+                        sfx, sfy = _constraint_force(cm, px[s], py[s], ix, iy, dmin, cf)
+                        addf(s, sfx, sfy)
+                        addf(b, -sfx, -sfy)
+                        addt(b, (cx - px[b]) * (-sfy) - (cy - py[b]) * (-sfx))
 
-            # box-line
-            bl_pairs = [(int(b), int(l)) for b, l in zip(spec.bl_box, spec.bl_line)]
-            if len(bl_pairs) >= lane_min:
-                bx = stack([px[b] for b, _ in bl_pairs])
-                by = stack([py[b] for b, _ in bl_pairs])
-                lx = stack([px[l] for _, l in bl_pairs])
-                ly = stack([py[l] for _, l in bl_pairs])
-                bcs = stack([cs(b)[0] for b, _ in bl_pairs])
-                bsn = stack([cs(b)[1] for b, _ in bl_pairs])
-                lcs = stack([cs(l)[0] for _, l in bl_pairs])
-                lsn = stack([cs(l)[1] for _, l in bl_pairs])
-                qbx, qby, qlx, qly = _closest_line_box(
-                    bx, by, bcs, bsn, bl_hw, bl_hl, lx, ly, lcs, lsn, bl_lh
-                )
-                ihx, ihy, dh = _inner_point_box(qlx, qly, qbx, qby, bx, by)
-                nh = bl_nh > 0.5
-                ix = jnp.where(nh, ihx, qbx)
-                iy = jnp.where(nh, ihy, qby)
-                d = jnp.where(nh, dh, 0.0)
-                bfx, bfy = _constraint_force(cm, ix, iy, qlx, qly, LINE_MIN_DIST + d, cf)
-                tqb = (qbx - bx) * bfy - (qby - by) * bfx
-                tql = (qlx - lx) * (-bfy) - (qly - ly) * (-bfx)
-                for k, (b, l) in enumerate(bl_pairs):
-                    addf(b, bfx[k * S : (k + 1) * S], bfy[k * S : (k + 1) * S])
-                    addt(b, tqb[k * S : (k + 1) * S])
-                    addf(l, -bfx[k * S : (k + 1) * S], -bfy[k * S : (k + 1) * S])
-                    addt(l, tql[k * S : (k + 1) * S])
-            else:
-                for k, (b, l) in enumerate(bl_pairs):
-                    cos, sin = cs(b)
-                    lcos, lsin = cs(l)
-                    hw, hl = float(spec.bl_bwid[k]) / 2, float(spec.bl_blen[k]) / 2
-                    lhalf = float(spec.bl_llen[k]) / 2
+                # box-line
+                bl_pairs = [(int(b), int(l)) for b, l in zip(spec.bl_box, spec.bl_line)]
+                if len(bl_pairs) >= lane_min:
+                    bx = stack([px[b] for b, _ in bl_pairs])
+                    by = stack([py[b] for b, _ in bl_pairs])
+                    lx = stack([px[l] for _, l in bl_pairs])
+                    ly = stack([py[l] for _, l in bl_pairs])
+                    bcs = stack([cs(b)[0] for b, _ in bl_pairs])
+                    bsn = stack([cs(b)[1] for b, _ in bl_pairs])
+                    lcs = stack([cs(l)[0] for _, l in bl_pairs])
+                    lsn = stack([cs(l)[1] for _, l in bl_pairs])
                     qbx, qby, qlx, qly = _closest_line_box(
-                        px[b], py[b], cos, sin, hw, hl, px[l], py[l], lcos, lsin, lhalf
+                        bx, by, bcs, bsn, bl_hw, bl_hl, lx, ly, lcs, lsn, bl_lh
                     )
-                    if bool(spec.bl_not_hollow[k]):
-                        ix, iy, d = _inner_point_box(qlx, qly, qbx, qby, px[b], py[b])
-                    else:
-                        ix, iy, d = qbx, qby, 0.0
+                    ihx, ihy, dh = _inner_point_box(qlx, qly, qbx, qby, bx, by)
+                    nh = bl_nh > 0.5
+                    ix = jnp.where(nh, ihx, qbx)
+                    iy = jnp.where(nh, ihy, qby)
+                    d = jnp.where(nh, dh, 0.0)
                     bfx, bfy = _constraint_force(cm, ix, iy, qlx, qly, LINE_MIN_DIST + d, cf)
-                    addf(b, bfx, bfy)
-                    addt(b, (qbx - px[b]) * bfy - (qby - py[b]) * bfx)
-                    addf(l, -bfx, -bfy)
-                    addt(l, (qlx - px[l]) * (-bfy) - (qly - py[l]) * (-bfx))
+                    tqb = (qbx - bx) * bfy - (qby - by) * bfx
+                    tql = (qlx - lx) * (-bfy) - (qly - ly) * (-bfx)
+                    for k, (b, l) in enumerate(bl_pairs):
+                        addf(b, bfx[k * S : (k + 1) * S], bfy[k * S : (k + 1) * S])
+                        addt(b, tqb[k * S : (k + 1) * S])
+                        addf(l, -bfx[k * S : (k + 1) * S], -bfy[k * S : (k + 1) * S])
+                        addt(l, tql[k * S : (k + 1) * S])
+                else:
+                    for k, (b, l) in enumerate(bl_pairs):
+                        cos, sin = cs(b)
+                        lcos, lsin = cs(l)
+                        hw, hl = float(spec.bl_bwid[k]) / 2, float(spec.bl_blen[k]) / 2
+                        lhalf = float(spec.bl_llen[k]) / 2
+                        qbx, qby, qlx, qly = _closest_line_box(
+                            px[b], py[b], cos, sin, hw, hl, px[l], py[l], lcos, lsin, lhalf
+                        )
+                        if bool(spec.bl_not_hollow[k]):
+                            ix, iy, d = _inner_point_box(qlx, qly, qbx, qby, px[b], py[b])
+                        else:
+                            ix, iy, d = qbx, qby, 0.0
+                        bfx, bfy = _constraint_force(cm, ix, iy, qlx, qly, LINE_MIN_DIST + d, cf)
+                        addf(b, bfx, bfy)
+                        addt(b, (qbx - px[b]) * bfy - (qby - py[b]) * bfx)
+                        addf(l, -bfx, -bfy)
+                        addt(l, (qlx - px[l]) * (-bfy) - (qly - py[l]) * (-bfx))
 
-            # box-box
-            bb_pairs = [(int(a), int(b)) for a, b in zip(spec.bb_a, spec.bb_b)]
+                # box-box
+                bb_pairs = [(int(a), int(b)) for a, b in zip(spec.bb_a, spec.bb_b)]
 
-            def _bb_closest(ax_, ay_, ca, sa, hwa, hla, bx_, by_, cb, sb, hwb, hlb):
-                # candidate order mirrors geometry.closest_box_box: a's edges
-                # vs b's perimeter first, then b's edges vs a's perimeter;
-                # tuples are (point_on_a, point_on_b), first minimum wins
-                cands = []
-                for ex, ey, ecos, esin, ehalf in _box_edges(ax_, ay_, ca, sa, hwa, hla):
-                    onb_x, onb_y, ona_x, ona_y = _closest_line_box(
-                        bx_, by_, cb, sb, hwb, hlb, ex, ey, ecos, esin, ehalf
-                    )
-                    cands.append((ona_x, ona_y, onb_x, onb_y))
-                for ex, ey, ecos, esin, ehalf in _box_edges(bx_, by_, cb, sb, hwb, hlb):
-                    ona_x, ona_y, onb_x, onb_y = _closest_line_box(
-                        ax_, ay_, ca, sa, hwa, hla, ex, ey, ecos, esin, ehalf
-                    )
-                    cands.append((ona_x, ona_y, onb_x, onb_y))
-                return _pick_closest(cands)
+                def _bb_closest(ax_, ay_, ca, sa, hwa, hla, bx_, by_, cb, sb, hwb, hlb):
+                    # candidate order mirrors geometry.closest_box_box: a's edges
+                    # vs b's perimeter first, then b's edges vs a's perimeter;
+                    # tuples are (point_on_a, point_on_b), first minimum wins
+                    cands = []
+                    for ex, ey, ecos, esin, ehalf in _box_edges(ax_, ay_, ca, sa, hwa, hla):
+                        onb_x, onb_y, ona_x, ona_y = _closest_line_box(
+                            bx_, by_, cb, sb, hwb, hlb, ex, ey, ecos, esin, ehalf
+                        )
+                        cands.append((ona_x, ona_y, onb_x, onb_y))
+                    for ex, ey, ecos, esin, ehalf in _box_edges(bx_, by_, cb, sb, hwb, hlb):
+                        ona_x, ona_y, onb_x, onb_y = _closest_line_box(
+                            ax_, ay_, ca, sa, hwa, hla, ex, ey, ecos, esin, ehalf
+                        )
+                        cands.append((ona_x, ona_y, onb_x, onb_y))
+                    return _pick_closest(cands)
 
-            if len(bb_pairs) >= lane_min:
-                ax = stack([px[a] for a, _ in bb_pairs])
-                ay = stack([py[a] for a, _ in bb_pairs])
-                bx = stack([px[b] for _, b in bb_pairs])
-                by = stack([py[b] for _, b in bb_pairs])
-                ca = stack([cs(a)[0] for a, _ in bb_pairs])
-                sa = stack([cs(a)[1] for a, _ in bb_pairs])
-                cb = stack([cs(b)[0] for _, b in bb_pairs])
-                sb = stack([cs(b)[1] for _, b in bb_pairs])
-                qax, qay, qbx, qby = _bb_closest(
-                    ax, ay, ca, sa, bb_hwa, bb_hla, bx, by, cb, sb, bb_hwb, bb_hlb
-                )
-                iahx, iahy, dah = _inner_point_box(qbx, qby, qax, qay, ax, ay)
-                nha = bb_nha > 0.5
-                iax = jnp.where(nha, iahx, qax)
-                iay = jnp.where(nha, iahy, qay)
-                da = jnp.where(nha, dah, 0.0)
-                ibhx, ibhy, dbh = _inner_point_box(qax, qay, qbx, qby, bx, by)
-                nhb = bb_nhb > 0.5
-                ibx = jnp.where(nhb, ibhx, qbx)
-                iby = jnp.where(nhb, ibhy, qby)
-                db = jnp.where(nhb, dbh, 0.0)
-                afx, afy = _constraint_force(
-                    cm, iax, iay, ibx, iby, da + db + LINE_MIN_DIST, cf
-                )
-                tqa = (qax - ax) * afy - (qay - ay) * afx
-                tqb = (qbx - bx) * (-afy) - (qby - by) * (-afx)
-                for k, (a, b) in enumerate(bb_pairs):
-                    addf(a, afx[k * S : (k + 1) * S], afy[k * S : (k + 1) * S])
-                    addt(a, tqa[k * S : (k + 1) * S])
-                    addf(b, -afx[k * S : (k + 1) * S], -afy[k * S : (k + 1) * S])
-                    addt(b, tqb[k * S : (k + 1) * S])
-            else:
-                for k, (a, b) in enumerate(bb_pairs):
-                    ca, sa = cs(a)
-                    cb, sb = cs(b)
-                    hwa, hla = float(spec.bb_wa[k]) / 2, float(spec.bb_la[k]) / 2
-                    hwb, hlb = float(spec.bb_wb[k]) / 2, float(spec.bb_lb[k]) / 2
+                if len(bb_pairs) >= lane_min:
+                    ax = stack([px[a] for a, _ in bb_pairs])
+                    ay = stack([py[a] for a, _ in bb_pairs])
+                    bx = stack([px[b] for _, b in bb_pairs])
+                    by = stack([py[b] for _, b in bb_pairs])
+                    ca = stack([cs(a)[0] for a, _ in bb_pairs])
+                    sa = stack([cs(a)[1] for a, _ in bb_pairs])
+                    cb = stack([cs(b)[0] for _, b in bb_pairs])
+                    sb = stack([cs(b)[1] for _, b in bb_pairs])
                     qax, qay, qbx, qby = _bb_closest(
-                        px[a], py[a], ca, sa, hwa, hla, px[b], py[b], cb, sb, hwb, hlb
+                        ax, ay, ca, sa, bb_hwa, bb_hla, bx, by, cb, sb, bb_hwb, bb_hlb
                     )
-                    if bool(spec.bb_nha[k]):
-                        iax, iay, da = _inner_point_box(qbx, qby, qax, qay, px[a], py[a])
-                    else:
-                        iax, iay, da = qax, qay, 0.0
-                    if bool(spec.bb_nhb[k]):
-                        ibx, iby, db = _inner_point_box(qax, qay, qbx, qby, px[b], py[b])
-                    else:
-                        ibx, iby, db = qbx, qby, 0.0
-                    afx, afy = _constraint_force(cm, iax, iay, ibx, iby, da + db + LINE_MIN_DIST, cf)
-                    addf(a, afx, afy)
-                    addt(a, (qax - px[a]) * afy - (qay - py[a]) * afx)
-                    addf(b, -afx, -afy)
-                    addt(b, (qbx - px[b]) * (-afy) - (qby - py[b]) * (-afx))
+                    iahx, iahy, dah = _inner_point_box(qbx, qby, qax, qay, ax, ay)
+                    nha = bb_nha > 0.5
+                    iax = jnp.where(nha, iahx, qax)
+                    iay = jnp.where(nha, iahy, qay)
+                    da = jnp.where(nha, dah, 0.0)
+                    ibhx, ibhy, dbh = _inner_point_box(qax, qay, qbx, qby, bx, by)
+                    nhb = bb_nhb > 0.5
+                    ibx = jnp.where(nhb, ibhx, qbx)
+                    iby = jnp.where(nhb, ibhy, qby)
+                    db = jnp.where(nhb, dbh, 0.0)
+                    afx, afy = _constraint_force(
+                        cm, iax, iay, ibx, iby, da + db + LINE_MIN_DIST, cf
+                    )
+                    tqa = (qax - ax) * afy - (qay - ay) * afx
+                    tqb = (qbx - bx) * (-afy) - (qby - by) * (-afx)
+                    for k, (a, b) in enumerate(bb_pairs):
+                        addf(a, afx[k * S : (k + 1) * S], afy[k * S : (k + 1) * S])
+                        addt(a, tqa[k * S : (k + 1) * S])
+                        addf(b, -afx[k * S : (k + 1) * S], -afy[k * S : (k + 1) * S])
+                        addt(b, tqb[k * S : (k + 1) * S])
+                else:
+                    for k, (a, b) in enumerate(bb_pairs):
+                        ca, sa = cs(a)
+                        cb, sb = cs(b)
+                        hwa, hla = float(spec.bb_wa[k]) / 2, float(spec.bb_la[k]) / 2
+                        hwb, hlb = float(spec.bb_wb[k]) / 2, float(spec.bb_lb[k]) / 2
+                        qax, qay, qbx, qby = _bb_closest(
+                            px[a], py[a], ca, sa, hwa, hla, px[b], py[b], cb, sb, hwb, hlb
+                        )
+                        if bool(spec.bb_nha[k]):
+                            iax, iay, da = _inner_point_box(qbx, qby, qax, qay, px[a], py[a])
+                        else:
+                            iax, iay, da = qax, qay, 0.0
+                        if bool(spec.bb_nhb[k]):
+                            ibx, iby, db = _inner_point_box(qax, qay, qbx, qby, px[b], py[b])
+                        else:
+                            ibx, iby, db = qbx, qby, 0.0
+                        afx, afy = _constraint_force(cm, iax, iay, ibx, iby, da + db + LINE_MIN_DIST, cf)
+                        addf(a, afx, afy)
+                        addt(a, (qax - px[a]) * afy - (qay - py[a]) * afx)
+                        addf(b, -afx, -afy)
+                        addt(b, (qbx - px[b]) * (-afy) - (qby - py[b]) * (-afx))
 
-            # integrate (physics.py:413-441)
-            if ent_tile:
-                FTx = _assemble(Fx, BFX, S)
-                FTy = _assemble(Fy, BFY, S)
-                TT = _assemble(Tq, BTQ, S)
-                VXn, VYn = VX, VY
-                if any_drag and substep == 0:
-                    VXn = VXn * dragfacT
-                    VYn = VYn * dragfacT
-                VXn = VXn + FTx * inv_mT * sub_dt
-                VYn = VYn + FTy * inv_mT * sub_dt
-                if has_ms:
-                    n = jnp.sqrt(VXn * VXn + VYn * VYn)
-                    over = n > msT
-                    s = jnp.where(over, msT / jnp.where(over, n, 1.0), 1.0)
-                    VXn = VXn * s
-                    VYn = VYn * s
-                if has_vr:
-                    VXn = jnp.clip(VXn, -vrT, vrT)
-                    VYn = jnp.clip(VYn, -vrT, vrT)
-                PXn = PX + VXn * sub_dt
-                PYn = PY + VYn * sub_dt
-                if world.x_semidim is not None:
-                    PXn = jnp.clip(PXn, -world.x_semidim, world.x_semidim)
-                if world.y_semidim is not None:
-                    PYn = jnp.clip(PYn, -world.y_semidim, world.y_semidim)
-                PX = jnp.where(mvT, PXn, PX)
-                PY = jnp.where(mvT, PYn, PY)
-                VX = jnp.where(mvT, VXn, VX)
-                VY = jnp.where(mvT, VYn, VY)
-                Wn = W
-                if any_drag and substep == 0:
-                    Wn = Wn * dragfacT
-                Wn = Wn + TT * inv_moiT * sub_dt
-                ROTn = ROT + Wn * sub_dt
-                W = jnp.where(roT, Wn, W)
-                ROT = jnp.where(roT, ROTn, ROT)
-            else:
+                # integrate (physics.py:413-441)
+                if ent_tile:
+                    FTx = _assemble(Fx, BFX, S)
+                    FTy = _assemble(Fy, BFY, S)
+                    TT = _assemble(Tq, BTQ, S)
+                    VXn, VYn = VX, VY
+                    if any_drag and substep == 0:
+                        VXn = VXn * dragfacT
+                        VYn = VYn * dragfacT
+                    VXn = VXn + FTx * inv_mT * sub_dt
+                    VYn = VYn + FTy * inv_mT * sub_dt
+                    if has_ms:
+                        n = jnp.sqrt(VXn * VXn + VYn * VYn)
+                        over = n > msT
+                        s = jnp.where(over, msT / jnp.where(over, n, 1.0), 1.0)
+                        VXn = VXn * s
+                        VYn = VYn * s
+                    if has_vr:
+                        VXn = jnp.clip(VXn, -vrT, vrT)
+                        VYn = jnp.clip(VYn, -vrT, vrT)
+                    PXn = PX + VXn * sub_dt
+                    PYn = PY + VYn * sub_dt
+                    if world.x_semidim is not None:
+                        PXn = jnp.clip(PXn, -world.x_semidim, world.x_semidim)
+                    if world.y_semidim is not None:
+                        PYn = jnp.clip(PYn, -world.y_semidim, world.y_semidim)
+                    PX = jnp.where(mvT, PXn, PX)
+                    PY = jnp.where(mvT, PYn, PY)
+                    VX = jnp.where(mvT, VXn, VX)
+                    VY = jnp.where(mvT, VYn, VY)
+                    Wn = W
+                    if any_drag and substep == 0:
+                        Wn = Wn * dragfacT
+                    Wn = Wn + TT * inv_moiT * sub_dt
+                    ROTn = ROT + Wn * sub_dt
+                    W = jnp.where(roT, Wn, W)
+                    ROT = jnp.where(roT, ROTn, ROT)
+                else:
+                    for e in range(E):
+                        if movable[e]:
+                            drag = float(spec.drag[e])
+                            if substep == 0 and drag != 0.0:
+                                vx[e] = vx[e] * (1 - drag)
+                                vy[e] = vy[e] * (1 - drag)
+                            inv_m = float(spec.inv_mass[e])
+                            fex = Fx[e] if Fx[e] is not None else 0.0
+                            fey = Fy[e] if Fy[e] is not None else 0.0
+                            vx[e] = vx[e] + fex * inv_m * sub_dt
+                            vy[e] = vy[e] + fey * inv_m * sub_dt
+                            ms = float(spec.max_speed[e])
+                            if math.isfinite(ms):
+                                n = jnp.sqrt(vx[e] * vx[e] + vy[e] * vy[e])
+                                over = n > ms
+                                s = jnp.where(over, ms / jnp.where(over, n, 1.0), 1.0)
+                                vx[e] = vx[e] * s
+                                vy[e] = vy[e] * s
+                            vr = float(spec.v_range[e])
+                            if math.isfinite(vr):
+                                vx[e] = jnp.clip(vx[e], -vr, vr)
+                                vy[e] = jnp.clip(vy[e], -vr, vr)
+                            px[e] = px[e] + vx[e] * sub_dt
+                            py[e] = py[e] + vy[e] * sub_dt
+                            if world.x_semidim is not None:
+                                px[e] = jnp.clip(px[e], -world.x_semidim, world.x_semidim)
+                            if world.y_semidim is not None:
+                                py[e] = jnp.clip(py[e], -world.y_semidim, world.y_semidim)
+                        if rotatable[e]:
+                            drag = float(spec.drag[e])
+                            if substep == 0 and drag != 0.0:
+                                w[e] = w[e] * (1 - drag)
+                            te = Tq[e] if Tq[e] is not None else 0.0
+                            w[e] = w[e] + te * float(spec.inv_moi[e]) * sub_dt
+                            rot[e] = rot[e] + w[e] * sub_dt
+
+            _last = _k == k_steps - 1
+            if ent_tile and _last:
+                o_ref[0 : E * S, :] = PX
+                o_ref[E * S : 2 * E * S, :] = PY
+                o_ref[2 * E * S : 3 * E * S, :] = VX
+                o_ref[3 * E * S : 4 * E * S, :] = VY
+                o_ref[4 * E * S : 5 * E * S, :] = ROT
+                o_ref[5 * E * S : 6 * E * S, :] = W
+                o_ref[6 * E * S : 7 * E * S, :] = FX
+                o_ref[7 * E * S : 8 * E * S, :] = FY
+                o_ref[8 * E * S : 9 * E * S, :] = TQ
+            elif _last:
                 for e in range(E):
-                    if movable[e]:
-                        drag = float(spec.drag[e])
-                        if substep == 0 and drag != 0.0:
-                            vx[e] = vx[e] * (1 - drag)
-                            vy[e] = vy[e] * (1 - drag)
-                        inv_m = float(spec.inv_mass[e])
-                        fex = Fx[e] if Fx[e] is not None else 0.0
-                        fey = Fy[e] if Fy[e] is not None else 0.0
-                        vx[e] = vx[e] + fex * inv_m * sub_dt
-                        vy[e] = vy[e] + fey * inv_m * sub_dt
-                        ms = float(spec.max_speed[e])
-                        if math.isfinite(ms):
-                            n = jnp.sqrt(vx[e] * vx[e] + vy[e] * vy[e])
-                            over = n > ms
-                            s = jnp.where(over, ms / jnp.where(over, n, 1.0), 1.0)
-                            vx[e] = vx[e] * s
-                            vy[e] = vy[e] * s
-                        vr = float(spec.v_range[e])
-                        if math.isfinite(vr):
-                            vx[e] = jnp.clip(vx[e], -vr, vr)
-                            vy[e] = jnp.clip(vy[e], -vr, vr)
-                        px[e] = px[e] + vx[e] * sub_dt
-                        py[e] = py[e] + vy[e] * sub_dt
-                        if world.x_semidim is not None:
-                            px[e] = jnp.clip(px[e], -world.x_semidim, world.x_semidim)
-                        if world.y_semidim is not None:
-                            py[e] = jnp.clip(py[e], -world.y_semidim, world.y_semidim)
-                    if rotatable[e]:
-                        drag = float(spec.drag[e])
-                        if substep == 0 and drag != 0.0:
-                            w[e] = w[e] * (1 - drag)
-                        te = Tq[e] if Tq[e] is not None else 0.0
-                        w[e] = w[e] + te * float(spec.inv_moi[e]) * sub_dt
-                        rot[e] = rot[e] + w[e] * sub_dt
+                    o_ref[e * S : (e + 1) * S, :] = px[e]
+                    o_ref[(E + e) * S : (E + e + 1) * S, :] = py[e]
+                    o_ref[(2 * E + e) * S : (2 * E + e + 1) * S, :] = vx[e]
+                    o_ref[(3 * E + e) * S : (3 * E + e + 1) * S, :] = vy[e]
+                    o_ref[(4 * E + e) * S : (4 * E + e + 1) * S, :] = rot[e]
+                    o_ref[(5 * E + e) * S : (5 * E + e + 1) * S, :] = w[e]
+                    o_ref[(6 * E + e) * S : (6 * E + e + 1) * S, :] = fx[e]
+                    o_ref[(7 * E + e) * S : (7 * E + e + 1) * S, :] = fy[e]
+                    o_ref[(8 * E + e) * S : (8 * E + e + 1) * S, :] = tq[e]
 
-        if ent_tile:
-            o_ref[0 : E * S, :] = PX
-            o_ref[E * S : 2 * E * S, :] = PY
-            o_ref[2 * E * S : 3 * E * S, :] = VX
-            o_ref[3 * E * S : 4 * E * S, :] = VY
-            o_ref[4 * E * S : 5 * E * S, :] = ROT
-            o_ref[5 * E * S : 6 * E * S, :] = W
-            o_ref[6 * E * S : 7 * E * S, :] = FX
-            o_ref[7 * E * S : 8 * E * S, :] = FY
-            o_ref[8 * E * S : 9 * E * S, :] = TQ
-        else:
-            for e in range(E):
-                o_ref[e * S : (e + 1) * S, :] = px[e]
-                o_ref[(E + e) * S : (E + e + 1) * S, :] = py[e]
-                o_ref[(2 * E + e) * S : (2 * E + e + 1) * S, :] = vx[e]
-                o_ref[(3 * E + e) * S : (3 * E + e + 1) * S, :] = vy[e]
-                o_ref[(4 * E + e) * S : (4 * E + e + 1) * S, :] = rot[e]
-                o_ref[(5 * E + e) * S : (5 * E + e + 1) * S, :] = w[e]
-                o_ref[(6 * E + e) * S : (6 * E + e + 1) * S, :] = fx[e]
-                o_ref[(7 * E + e) * S : (7 * E + e + 1) * S, :] = fy[e]
-                o_ref[(8 * E + e) * S : (8 * E + e + 1) * S, :] = tq[e]
-
-        if outputs is not None:
-            if ent_tile:
-                ctx = {"px": _Rows(PX, S), "py": _Rows(PY, S),
-                       "vx": _Rows(VX, S), "vy": _Rows(VY, S),
-                       "rot": _Rows(ROT, S), "w": _Rows(W, S),
-                       "fx": _Rows(FX, S), "fy": _Rows(FY, S),
-                       "scratch": scratch_in}
-            else:
-                ctx = {"px": px, "py": py, "vx": vx, "vy": vy, "rot": rot,
-                       "w": w, "fx": fx, "fy": fy, "scratch": scratch_in}
-            extra = outputs.emit(ctx)
-            assert len(extra) == int(outputs.n_out), (
-                f"emit produced {len(extra)} rows, n_out={outputs.n_out}"
-            )
-            if rows_mode:
-                # joint fixed rotations pass through the carry unchanged
-                for j in range(J):
-                    o_ref[(9 * E + j) * S : (9 * E + j + 1) * S, :] = jfr[j]
-                # scratch-carry rows: the next step's scratch inputs are
-                # emit rows this step already computed (e.g. transport's
-                # fresh global_shaping) — written right after the state
-                # (+ jfr) rows so the scan carry IS the kernel output, no
-                # host ops; the emit rows go to their own output so
-                # recording them needs no slicing either
-                for k, ei in enumerate(outputs.carry_extra_idx):
-                    # None = rollout-constant scratch (e.g. a per-env goal
-                    # index chosen at reset): carry the input row unchanged
-                    src = (
-                        scratch_in[k]
-                        if ei is None
-                        else extra[int(ei)].astype(jnp.float32)
-                    )
-                    o_ref[(9 * E + J + k) * S : (9 * E + J + k + 1) * S, :] = src
-                for k, r in enumerate(extra):
-                    e_ref[k * S : (k + 1) * S, :] = r.astype(jnp.float32)
-            else:
-                for k, r in enumerate(extra):
-                    o_ref[(9 * E + k) * S : (9 * E + k + 1) * S, :] = (
-                        r.astype(jnp.float32)
-                    )
+            if outputs is not None:
+                if ent_tile:
+                    ctx = {"px": _Rows(PX, S), "py": _Rows(PY, S),
+                           "vx": _Rows(VX, S), "vy": _Rows(VY, S),
+                           "rot": _Rows(ROT, S), "w": _Rows(W, S),
+                           "fx": _Rows(FX, S), "fy": _Rows(FY, S),
+                           "scratch": scratch_in}
+                else:
+                    ctx = {"px": px, "py": py, "vx": vx, "vy": vy, "rot": rot,
+                           "w": w, "fx": fx, "fy": fy, "scratch": scratch_in}
+                extra = outputs.emit(ctx)
+                assert len(extra) == int(outputs.n_out), (
+                    f"emit produced {len(extra)} rows, n_out={outputs.n_out}"
+                )
+                if rows_mode:
+                    # joint fixed rotations pass through the carry unchanged
+                    if _last:
+                        for j in range(J):
+                            o_ref[(9 * E + j) * S : (9 * E + j + 1) * S, :] = (
+                                jfr[j]
+                            )
+                    # scratch-carry rows: the next step's scratch inputs are
+                    # emit rows this step already computed (e.g. transport's
+                    # fresh global_shaping) — written right after the state
+                    # (+ jfr) rows so the scan carry IS the kernel output, no
+                    # host ops; the emit rows go to their own output so
+                    # recording them needs no slicing either
+                    _new_scratch = []
+                    for k, ei in enumerate(outputs.carry_extra_idx):
+                        # None = rollout-constant scratch (e.g. a per-env goal
+                        # index chosen at reset): carry the input row unchanged
+                        src = (
+                            scratch_in[k]
+                            if ei is None
+                            else extra[int(ei)].astype(jnp.float32)
+                        )
+                        _new_scratch.append(src)
+                        if _last:
+                            o_ref[
+                                (9 * E + J + k) * S : (9 * E + J + k + 1) * S, :
+                            ] = src
+                    # next in-kernel step reads this step's carried scratch
+                    scratch_in = _new_scratch
+                    _eb = _k * int(outputs.n_out)
+                    for k, r in enumerate(extra):
+                        e_ref[(_eb + k) * S : (_eb + k + 1) * S, :] = (
+                            r.astype(jnp.float32)
+                        )
+                else:
+                    for k, r in enumerate(extra):
+                        o_ref[(9 * E + k) * S : (9 * E + k + 1) * S, :] = (
+                            r.astype(jnp.float32)
+                        )
 
     return kernel
 
@@ -1469,22 +1490,28 @@ def unpack_carry(world, carry, state):
     )
 
 
-def make_rows_step(world, outputs, act_slots, bp):
-    """Build ``(carry [R_in, bp], act_rows [2A, bp]) -> (carry', extra
-    [n_out, bp])`` — one pallas call, nothing else: the scan carries the
-    first output verbatim and records the second."""
+def make_rows_step(world, outputs, act_slots, bp, k_steps=1):
+    """Build ``(carry [R_in, bp], act_rows [k_steps*2A, bp]) -> (carry',
+    extra [k_steps*n_out, bp])`` — one pallas call, nothing else: the scan
+    carries the first output verbatim and records the second. With
+    ``k_steps > 1`` the kernel runs that many FULL env steps back to back
+    without leaving VMEM (the per-step action rows arrive as k_steps
+    stacked blocks; each step's emit rows land in their own extra block),
+    dividing pallas launch + carry HBM round-trips by k_steps."""
     R_in = rows_layout(world, outputs)
     n_out = int(outputs.n_out)
     A = len(act_slots)
+    K = int(k_steps)
     spec = world.spec
     blk = _blk_for(
-        bp, 2 * R_in + n_out + 2 * A + _batched_rows_estimate(spec), 1
+        bp, 2 * R_in + K * n_out + K * 2 * A + _batched_rows_estimate(spec), 1
     )
-    kernel = _make_kernel(world, outputs, 1, rows_mode=True, act_slots=act_slots)
+    kernel = _make_kernel(world, outputs, 1, rows_mode=True,
+                          act_slots=act_slots, k_steps=K)
     # Mosaic wants block sublane dims divisible by 8 or == the array dim;
     # blocks below span the full row dim of each operand, so any row count
     # is fine. The action rows are padded to 8 once by the caller.
-    a_blk = -(-2 * A // 8) * 8
+    a_blk = -(-K * 2 * A // 8) * 8
 
     def step(carry, act):
         if a_blk != act.shape[0]:
@@ -1493,7 +1520,7 @@ def make_rows_step(world, outputs, act_slots, bp):
             kernel,
             out_shape=(
                 jax.ShapeDtypeStruct((R_in, bp), jnp.float32),
-                jax.ShapeDtypeStruct((n_out, bp), jnp.float32),
+                jax.ShapeDtypeStruct((K * n_out, bp), jnp.float32),
             ),
             grid=(bp // blk,),
             in_specs=[
@@ -1502,7 +1529,7 @@ def make_rows_step(world, outputs, act_slots, bp):
             ],
             out_specs=(
                 pl.BlockSpec((R_in, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_out, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K * n_out, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
             ),
             interpret=jax.default_backend() == "cpu",
         )(carry, act)

@@ -376,7 +376,8 @@ def _finish_rows_rollout(env, agents, state_out, us_last, uc_last, updates,
     }
 
 
-def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None):
+def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None,
+                    k_steps: int = 1):
     """Rows-carried compiled rollout — same contract and BITWISE the same
     trajectory as ``rollout_fn(env, horizon=...)`` with random actions
     (asserted by tests/test_rows_rollout.py), restructured so the scan body
@@ -408,7 +409,15 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None):
     act_slots = [a.index for a in agents]
     B = env.num_envs
     bp = -(-B // 128) * 128
-    step = F.make_rows_step(world, fo, act_slots, bp)
+    K = int(k_steps)
+    assert K >= 1 and horizon % K == 0, (
+        "k_steps must divide horizon"
+    )
+    assert K == 1 or "state" not in getattr(fo, "unpack_reads", ()), (
+        "k_steps>1 cannot record per-step carries (navigation's Lidar "
+        "reconstruction needs them) — use k_steps=1"
+    )
+    step = F.make_rows_step(world, fo, act_slots, bp, k_steps=K)
     if unroll is None:
         # unroll=8 batches the per-iteration scan glue on TPU (see below);
         # on CPU (interpret-mode tests) it only multiplies compile time
@@ -441,6 +450,13 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None):
         ax = jnp.stack([u[..., 0] for u in us], axis=1)  # [T, A, B]
         ay = jnp.stack([u[..., 1] for u in us], axis=1)
         act_rows = jnp.concatenate([ax, ay], axis=1)  # [T, 2A, B]
+        if K > 1:
+            # group K consecutive steps' action rows into one kernel call:
+            # [T, 2A, B] -> [T/K, K*2A, B] (step k of a group at rows
+            # [k*2A, (k+1)*2A) — the kernel's a_ref layout)
+            act_rows = act_rows.reshape(
+                horizon // K, K * act_rows.shape[1], act_rows.shape[2]
+            )
         a_blk = -(-act_rows.shape[1] // 8) * 8
         act_rows = jnp.pad(
             act_rows,
@@ -472,6 +488,9 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None):
             carries = None
 
         state_out = F.unpack_carry(world, carryT, state)
+        if K > 1:
+            # ungroup: [T/K, K*n_out, bp] -> [T, n_out, bp]
+            extras = extras.reshape(horizon, int(fo.n_out), extras.shape[2])
         extras = extras[..., :B]  # [T, n_out, B]
         obs, rews, terminated, updates = _vmapped_unpack(
             env, fo, agents, extras, us, state, carries, uc_t

@@ -291,6 +291,51 @@ def test_rows_policy_rollout_matches_standard():
     np.testing.assert_array_equal(np.asarray(t_std), np.asarray(t_rows))
 
 
+def test_rows_policy_rollout_comm():
+    """Policy rollouts on comm worlds: the in-body comm decode + state.c
+    substitution must replay the standard policy rollout."""
+    kw = dict(num_envs=8, seed=0, fused_physics=True)
+    env_a = make_env("simple_reference", **kw)
+    env_b = make_env("simple_reference", **kw)
+    act_w = env_a.get_agent_action_size(env_a.agents[0])
+    rng = np.random.default_rng(3)
+    obs_w = int(np.asarray(env_a.reset(seed=0)[0]).shape[-1])
+    env_a.reset(seed=0)
+    Ws = [jnp.asarray(rng.normal(size=(obs_w, act_w)) * 0.2, jnp.float32)
+          for _ in env_a.agents]
+
+    def policy(obs, key):
+        # physical part in [-1,1], comm part in [0,1] — mirrors the
+        # continuous action-space contract
+        return tuple(
+            jnp.concatenate(
+                [jnp.tanh((o @ Ws[i])[:, :2]),
+                 jax.nn.sigmoid((o @ Ws[i])[:, 2:])], -1)
+            for i, o in enumerate(obs)
+        )
+
+    key = jax.random.PRNGKey(23)
+    s_std, _, tr_std = jax.jit(rollout_fn(env_a, policy, horizon=4))(
+        env_a.state, env_a.steps, key
+    )
+    s_rows, _, tr_rows = jax.jit(
+        rows_policy_rollout_fn(env_b, policy, horizon=4)
+    )(env_b.state, env_b.steps, key)
+    for a, b in zip(jax.tree_util.tree_leaves(tr_std["obs"]),
+                    jax.tree_util.tree_leaves(tr_rows["obs"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=0)
+    np.testing.assert_allclose(
+        np.asarray(tr_std["rewards"]), np.asarray(tr_rows["rewards"]),
+        atol=3e-5, rtol=0,
+    )
+    for f in ("pos", "vel", "uc", "c"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_std, f)), np.asarray(getattr(s_rows, f)),
+            atol=1e-6, rtol=0, err_msg=f"final {f}",
+        )
+
+
 def test_rows_policy_rollout_discrete():
     """Discrete policy (obs-dependent integer actions) through the rows
     path — exercises the per-step mixed-radix decode inside the scan."""

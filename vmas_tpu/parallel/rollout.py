@@ -178,10 +178,7 @@ def rollout(env, policy=None, horizon: int = 100, key=None):
             cache.pop(next(iter(cache)))
         rows_ok = rows_rollout_supported(env) and (
             policy is None
-            or (
-                "state" not in getattr(env._fused_outputs, "unpack_reads", ())
-                and env.world.dim_c == 0
-            )
+            or "state" not in getattr(env._fused_outputs, "unpack_reads", ())
         )
         if rows_ok:
             build = (
@@ -530,11 +527,6 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
         "relayout would run every step, defeating the rows structure; use "
         "rollout_fn for policy rollouts here"
     )
-    assert env.world.dim_c == 0, (
-        "rows_policy_rollout_fn: comm worlds ride the random-action rows "
-        "path only (the hoisted comm decode); use rollout_fn for policy "
-        "rollouts here"
-    )
     world, fo = env.world, env._fused_outputs
     agents = env.agents
     A = len(agents)
@@ -554,13 +546,16 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
         k_pol, k_step, k_obs0 = jax.random.split(key, 3)
         pol_keys = jax.random.split(k_pol, horizon)
 
+        reads = set(getattr(fo, "unpack_reads", ()))
+
         def one_step(carry, pol_key):
             rows, obs = carry
             raw = policy(obs, pol_key)
-            us = [
-                _decode_u_horizon(env, a, jnp.asarray(r)[None])[0]
+            dec = [
+                _decode_horizon(env, a, jnp.asarray(r)[None])
                 for a, r in zip(agents, raw)
             ]
+            us = [u[0] for u, _ in dec]
             act = jnp.concatenate(
                 [jnp.stack([u[:, 0] for u in us], 0),
                  jnp.stack([u[:, 1] for u in us], 0)], 0)  # [2A, B]
@@ -570,15 +565,21 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
             # the obs outputs of unpack are consumed here, so XLA dead-codes
             # its reward/termination math out of the in-scan instance
             st_t = state
-            if "u" in getattr(fo, "unpack_reads", ()):
+            c_t = state.c
+            for a, (_, uc) in zip(agents, dec):
+                if uc is not None:
+                    c_t = c_t.at[:, a.slot].set(uc[0])
+            if "c" in reads:
+                st_t = st_t.replace(c=c_t)
+            if "u" in reads:
                 for a, u in zip(agents, us):
                     st_t = a.set_u(st_t, u)
             obs_next = fo.unpack(extra[:, :B], st_t)[0]
-            return (rows, obs_next), (extra, act)
+            return (rows, obs_next), (extra, act, c_t)
 
         obs0 = env._obs_fn_raw(state, k_obs0)
         carry0 = (F.pack_carry(world, state, fo, bp), obs0)
-        (carryT, _), (extras, acts) = jax.lax.scan(
+        (carryT, _), (extras, acts, c_ts) = jax.lax.scan(
             one_step, carry0, pol_keys, unroll=unroll_
         )
 
@@ -589,10 +590,15 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
             for i in range(A)
         ]
         obs, rews, terminated, updates = _vmapped_unpack(
-            env, fo, agents, extras, us_t, state
+            env, fo, agents, extras, us_t, state,
+            uc_t=c_ts if "c" in reads else None,
         )
+        comm_agents = [
+            a for a in agents if world.dim_c > 0 and not a.silent
+        ]
+        uc_last = [(a.slot, c_ts[-1, :, a.slot]) for a in comm_agents]
         return _finish_rows_rollout(
-            env, agents, state_out, [u[-1] for u in us_t], [], updates,
+            env, agents, state_out, [u[-1] for u in us_t], uc_last, updates,
             terminated, steps, k_step, horizon, rews, obs,
         )
 

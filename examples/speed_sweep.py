@@ -132,10 +132,14 @@ def main():
         # pallas kernel (simple_spread.make_fused_outputs), and the
         # rows-carried scan of that kernel's own row buffer
         _, t_fused, t_rows = run_point(n, fused=True)
+        # t_rows is None when the fused config is not rows-eligible
+        # (rows_rollout_supported False) — print blank columns, don't crash
+        rows_t = "-" if t_rows is None else f"{t_rows:9.3f}"
+        rows_r = "-" if t_rows is None else f"{n * N_STEPS / t_rows:17,.0f}"
         print(f"{n:>8} {t_loop:>9.3f} {t_scan:>9.3f} "
               f"{n * N_STEPS / t_scan:>17,.0f} {t_fused:>9.3f} "
-              f"{n * N_STEPS / t_fused:>18,.0f} {t_rows:>9.3f} "
-              f"{n * N_STEPS / t_rows:>17,.0f}")
+              f"{n * N_STEPS / t_fused:>18,.0f} {rows_t:>9} "
+              f"{rows_r:>17}")
 
 
 if __name__ == "__main__":

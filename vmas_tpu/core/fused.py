@@ -613,6 +613,36 @@ def _make_kernel(world, outputs=None, sublanes=1, rows_mode=False,
             if dyn_gravity:
                 dgx = [row(9 * E + J + e) for e in range(E)]
                 dgy = [row(9 * E + J + E + e) for e in range(E)]
+        # per-pair-type constant tiles, hoisted out of the substep AND k_steps
+        # loops (they depend only on spec, not on the step index)
+        if len(spec.ss_a) >= lane_min:
+            ss_dmin = crow(np.asarray(spec.ss_ra) + np.asarray(spec.ss_rb))
+        if len(spec.ls_line) >= lane_min:
+            ls_half = crow(np.asarray(spec.ls_len) / 2)
+            ls_dmin = crow(np.asarray(spec.ls_rad) + LINE_MIN_DIST)
+        if len(spec.ll_a) >= lane_min:
+            ll_ha = crow(np.asarray(spec.ll_la) / 2)
+            ll_hb = crow(np.asarray(spec.ll_lb) / 2)
+        if len(spec.bs_box) >= lane_min:
+            bs_hw = crow(np.asarray(spec.bs_wid) / 2)
+            bs_hl = crow(np.asarray(spec.bs_len) / 2)
+            # round the float64 sum once, exactly like the unrolled path's
+            # float(spec.bs_rad[k]) + LINE_MIN_DIST python constant
+            bs_dmin0 = crow(np.asarray(spec.bs_rad) + LINE_MIN_DIST)
+            bs_nh = crow(np.asarray(spec.bs_not_hollow, np.float32))
+        if len(spec.bl_box) >= lane_min:
+            bl_hw = crow(np.asarray(spec.bl_bwid) / 2)
+            bl_hl = crow(np.asarray(spec.bl_blen) / 2)
+            bl_lh = crow(np.asarray(spec.bl_llen) / 2)
+            bl_nh = crow(np.asarray(spec.bl_not_hollow, np.float32))
+        if len(spec.bb_a) >= lane_min:
+            bb_hwa = crow(np.asarray(spec.bb_wa) / 2)
+            bb_hla = crow(np.asarray(spec.bb_la) / 2)
+            bb_hwb = crow(np.asarray(spec.bb_wb) / 2)
+            bb_hlb = crow(np.asarray(spec.bb_lb) / 2)
+            bb_nha = crow(np.asarray(spec.bb_nha, np.float32))
+            bb_nhb = crow(np.asarray(spec.bb_nhb, np.float32))
+
         for _k in range(k_steps):
             if rows_mode:
                 # step _k's decoded action forces override the carried (or
@@ -638,35 +668,6 @@ def _make_kernel(world, outputs=None, sublanes=1, rows_mode=False,
                 jfr = [row(9 * E + j) for j in range(J)]
                 n_dyn = 2 * E if dyn_gravity else 0
                 scratch_in = [row(9 * E + J + n_dyn + k) for k in range(K_in)]
-
-            # per-pair-type constant tiles, hoisted out of the substep loop
-            if len(spec.ss_a) >= lane_min:
-                ss_dmin = crow(np.asarray(spec.ss_ra) + np.asarray(spec.ss_rb))
-            if len(spec.ls_line) >= lane_min:
-                ls_half = crow(np.asarray(spec.ls_len) / 2)
-                ls_dmin = crow(np.asarray(spec.ls_rad) + LINE_MIN_DIST)
-            if len(spec.ll_a) >= lane_min:
-                ll_ha = crow(np.asarray(spec.ll_la) / 2)
-                ll_hb = crow(np.asarray(spec.ll_lb) / 2)
-            if len(spec.bs_box) >= lane_min:
-                bs_hw = crow(np.asarray(spec.bs_wid) / 2)
-                bs_hl = crow(np.asarray(spec.bs_len) / 2)
-                # round the float64 sum once, exactly like the unrolled path's
-                # float(spec.bs_rad[k]) + LINE_MIN_DIST python constant
-                bs_dmin0 = crow(np.asarray(spec.bs_rad) + LINE_MIN_DIST)
-                bs_nh = crow(np.asarray(spec.bs_not_hollow, np.float32))
-            if len(spec.bl_box) >= lane_min:
-                bl_hw = crow(np.asarray(spec.bl_bwid) / 2)
-                bl_hl = crow(np.asarray(spec.bl_blen) / 2)
-                bl_lh = crow(np.asarray(spec.bl_llen) / 2)
-                bl_nh = crow(np.asarray(spec.bl_not_hollow, np.float32))
-            if len(spec.bb_a) >= lane_min:
-                bb_hwa = crow(np.asarray(spec.bb_wa) / 2)
-                bb_hla = crow(np.asarray(spec.bb_la) / 2)
-                bb_hwb = crow(np.asarray(spec.bb_wb) / 2)
-                bb_hlb = crow(np.asarray(spec.bb_lb) / 2)
-                bb_nha = crow(np.asarray(spec.bb_nha, np.float32))
-                bb_nhb = crow(np.asarray(spec.bb_nhb, np.float32))
 
             def clamp_actions_rows():
                 """Action clamps persisting on state.force/torque

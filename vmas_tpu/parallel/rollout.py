@@ -239,6 +239,15 @@ def rows_rollout_supported(env) -> bool:
         # refuses "state", see rows_policy_rollout_fn)
         and set(getattr(env._fused_outputs, "unpack_reads", ()))
         <= {"u", "c", "state"}
+        # a "c" read is substituted from the hoisted comm decode, which only
+        # exists when some policy agent actually emits comm — otherwise the
+        # rows paths would hit a trace-time assert instead of falling back
+        and (
+            "c" not in getattr(env._fused_outputs, "unpack_reads", ())
+            or any(
+                env.world.dim_c > 0 and not a.silent for a in env.agents
+            )
+        )
         and F.rows_step_supported(env.world, env._fused_outputs, env.agents)
     )
 

@@ -58,7 +58,7 @@ def _random_actions_for_horizon(env, key, horizon):
 
 
 def rollout_fn(env, policy: Optional[Callable] = None, horizon: int = 100,
-               autoreset: bool = False):
+               autoreset: bool = False, policy_aux: bool = False):
     """Build ``(state, steps, key) -> (state', steps', traj)`` scanning
     ``horizon`` env steps through the env's own compiled step semantics.
 
@@ -67,6 +67,13 @@ def rollout_fn(env, policy: Optional[Callable] = None, horizon: int = 100,
     ``traj`` holds per-step ``rewards [T, B, A]``, ``dones [T, B]`` and
     ``obs`` (tuple of [T, B, obs_dim] per agent). The returned function is
     jit-compatible and shards over the env axis like everything else.
+
+    ``policy_aux=True`` changes the policy contract to
+    ``policy(obs, key) -> (actions, aux)`` and records the per-step ``aux``
+    pytree (stacked over T) in ``traj["policy_aux"]``, plus the initial
+    observations in ``traj["obs0"]`` — everything an on-policy learner
+    (PPO) needs (sampled raw actions, log-probs) recorded in-scan, so no
+    key-stream replication outside the rollout is ever required.
 
     ``autoreset=True`` resets done envs inside the scan via the env's own
     masked reset (the compiled analog of the reference's per-index
@@ -80,6 +87,9 @@ def rollout_fn(env, policy: Optional[Callable] = None, horizon: int = 100,
     autoreset on vs off.
     """
     random_pol = policy is None
+    assert not (policy_aux and random_pol), (
+        "policy_aux needs an explicit policy returning (actions, aux)"
+    )
 
     def one_step(carry, xs):
         # policy rollouts carry the step's own emitted observations — the
@@ -92,8 +102,12 @@ def rollout_fn(env, policy: Optional[Callable] = None, horizon: int = 100,
             step_key, reset_key = jax.random.split(step_key)
         if random_pol:
             actions = pol_input
+            aux = None
+        elif policy_aux:
+            actions, aux = policy(carry[2], pol_input)
         else:
             actions = policy(carry[2], pol_input)
+            aux = None
         state, obs, rews, terminated, truncated, infos, steps = env._step_fn_raw(
             state, steps, tuple(actions), step_key
         )
@@ -122,7 +136,7 @@ def rollout_fn(env, policy: Optional[Callable] = None, horizon: int = 100,
         obs_rec = jax.tree_util.tree_map(
             lambda o: jnp.moveaxis(o, 0, -1), obs
         )
-        return new_carry, (jnp.stack(rews, axis=-1), done, obs_rec)
+        return new_carry, (jnp.stack(rews, axis=-1), done, obs_rec, aux)
 
     def run(state, steps, key):
         k_pol, k_step, k_obs0 = jax.random.split(key, 3)
@@ -135,7 +149,7 @@ def rollout_fn(env, policy: Optional[Callable] = None, horizon: int = 100,
             # (fresh obs-noise key, like every eager observation call)
             carry0 = (state, steps, env._obs_fn_raw(state, k_obs0))
         step_keys = jax.random.split(k_step, horizon)
-        carry, (rews, dones, obs_rows) = jax.lax.scan(
+        carry, (rews, dones, obs_rows, auxs) = jax.lax.scan(
             one_step, carry0, (pol_xs, step_keys), length=horizon
         )
         state, steps = carry[:2]
@@ -143,7 +157,11 @@ def rollout_fn(env, policy: Optional[Callable] = None, horizon: int = 100,
         obs = jax.tree_util.tree_map(
             lambda o: jnp.moveaxis(o, -1, 1), obs_rows
         )
-        return state, steps, {"rewards": rews, "dones": dones, "obs": obs}
+        traj = {"rewards": rews, "dones": dones, "obs": obs}
+        if policy_aux:
+            traj["policy_aux"] = auxs
+            traj["obs0"] = carry0[2]
+        return state, steps, traj
 
     return run
 
@@ -511,7 +529,8 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None,
 
 
 def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
-                           unroll: Optional[int] = None):
+                           unroll: Optional[int] = None,
+                           policy_aux: bool = False):
     """Rows-carried POLICY rollout — same contract and BITWISE the same
     trajectory as ``rollout_fn(env, policy, horizon=...)`` for rows-eligible
     envs (tests/test_rows_rollout.py): the scan body is the policy applied
@@ -524,7 +543,14 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
     ``rollout_fn``; actions are decoded per step with the same math as
     ``Environment._decode_action``. No gradients flow through the rollout
     (fused physics is forward-only) — use it to COLLECT experience, and
-    fit the policy on the recorded trajectories."""
+    fit the policy on the recorded trajectories.
+
+    ``policy_aux=True``: as in ``rollout_fn`` — the policy returns
+    ``(actions, aux)``, the per-step aux pytree is recorded in
+    ``traj["policy_aux"]`` and the initial observations in
+    ``traj["obs0"]`` (what PPO needs: raw samples + log-probs captured at
+    sampling time; values are better recomputed post-hoc in one batched
+    matmul over T*B — see parallel/ppo.py)."""
     from vmas_tpu.core import fused as F
 
     assert rows_rollout_supported(env), (
@@ -559,7 +585,10 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
 
         def one_step(carry, pol_key):
             rows, obs = carry
-            raw = policy(obs, pol_key)
+            if policy_aux:
+                raw, aux = policy(obs, pol_key)
+            else:
+                raw, aux = policy(obs, pol_key), None
             dec = [
                 _decode_horizon(env, a, jnp.asarray(r)[None])
                 for a, r in zip(agents, raw)
@@ -584,11 +613,11 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
                 for a, u in zip(agents, us):
                     st_t = a.set_u(st_t, u)
             obs_next = fo.unpack(extra[:, :B], st_t)[0]
-            return (rows, obs_next), (extra, act, c_t)
+            return (rows, obs_next), (extra, act, c_t, aux)
 
         obs0 = env._obs_fn_raw(state, k_obs0)
         carry0 = (F.pack_carry(world, state, fo, bp), obs0)
-        (carryT, _), (extras, acts, c_ts) = jax.lax.scan(
+        (carryT, _), (extras, acts, c_ts, auxs) = jax.lax.scan(
             one_step, carry0, pol_keys, unroll=unroll_
         )
 
@@ -606,9 +635,13 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
             a for a in agents if world.dim_c > 0 and not a.silent
         ]
         uc_last = [(a.slot, c_ts[-1, :, a.slot]) for a in comm_agents]
-        return _finish_rows_rollout(
+        state_fin, steps_fin, traj = _finish_rows_rollout(
             env, agents, state_out, [u[-1] for u in us_t], uc_last, updates,
             terminated, steps, k_step, horizon, rews, obs,
         )
+        if policy_aux:
+            traj["policy_aux"] = auxs
+            traj["obs0"] = obs0
+        return state_fin, steps_fin, traj
 
     return run

@@ -23,7 +23,11 @@ Run ON THE CHIP (no timeout wrapper; see CLAUDE.md TPU tunnel discipline):
   nohup python tests/golden/time_train_ab.py > /tmp/train_ab.log 2>&1 &
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +50,8 @@ def main():
 
     # probe the device with a tiny matmul FIRST (tunnel discipline)
     jax.block_until_ready(jnp.ones((8, 128)) @ jnp.ones((128, 8)))
+
+    sections = set(sys.argv[1:]) or {"rollout", "update"}
 
     env = make_env("transport", num_envs=NUM_ENVS, n_agents=N_AGENTS,
                    seed=0, fused_physics=True)
@@ -76,9 +82,41 @@ def main():
         u = jax.random.uniform(k, (NUM_ENVS, 2), minval=-1.0, maxval=1.0)
         return tuple(u * ranges[i][None] for i in range(N_AGENTS))
 
+    def policy_bf16act(obs, k):
+        # bf16 ACTIVATIONS through the hidden layers (halves the HBM
+        # traffic of the [B*A, 128] intermediates — the bf16-compute
+        # variant measured ~0 because TPU default matmul precision is
+        # already bf16-class; the bytes are the cost)
+        x = jnp.stack(obs, axis=1).astype(jnp.bfloat16)
+        for l in params["pi"][:-1]:
+            x = jnp.tanh(x @ l["w"].astype(jnp.bfloat16)
+                         + l["b"].astype(jnp.bfloat16))
+        last = params["pi"][-1]
+        mean = jnp.tanh(
+            (x @ last["w"].astype(jnp.bfloat16)).astype(jnp.float32)
+            + last["b"]
+        )
+        std = jnp.exp(params["log_std"])
+        raw = jnp.clip(mean + std * jax.random.normal(k, mean.shape), -1, 1)
+        return tuple(raw[:, i] * ranges[i][None] for i in range(N_AGENTS))
+
+    def policy_meanonly(obs, k):
+        # deterministic mean action — isolates the sampling/clip cost
+        from vmas_tpu.parallel.ppo import policy_dist
+
+        x = jnp.stack(obs, axis=1)
+        mean, _ = policy_dist(params, x)
+        return tuple(mean[:, i] * ranges[i][None] for i in range(N_AGENTS))
+
     variants = {
         "full": jax.jit(rows_policy_rollout_fn(env, policy_full, HORIZON)),
         "bf16": jax.jit(rows_policy_rollout_fn(env, policy_bf16, HORIZON)),
+        "bf16act": jax.jit(
+            rows_policy_rollout_fn(env, policy_bf16act, HORIZON)
+        ),
+        "meanonly": jax.jit(
+            rows_policy_rollout_fn(env, policy_meanonly, HORIZON)
+        ),
         "nomatmul": jax.jit(
             rows_policy_rollout_fn(env, policy_nomatmul, HORIZON)
         ),
@@ -86,6 +124,8 @@ def main():
         "random": jax.jit(rows_rollout_fn(env, HORIZON, unroll=1)),
         "random_u8": jax.jit(rows_rollout_fn(env, HORIZON)),
     }
+    if "rollout" not in sections:
+        variants = {}
 
     key = jax.random.PRNGKey(1)
     # compile + warm every variant first
@@ -111,18 +151,25 @@ def main():
             best[name] = min(best[name], dt)
             print(f"[group {g}] {name}: {dt * 1e6:.1f} us/step", flush=True)
 
-    print("\n=== rows policy rollout attribution (us/step, best) ===")
-    f = best["full"] * 1e6
-    for name, v in best.items():
-        print(f"{name:>10}: {v * 1e6:7.1f}")
-    print(f"\nactor matmuls (full - nomatmul): "
-          f"{(best['full'] - best['nomatmul']) * 1e6:+.1f} us/step")
-    print(f"bf16 saving (full - bf16):        "
-          f"{(best['full'] - best['bf16']) * 1e6:+.1f} us/step")
-    print(f"obs unpack  (nomatmul - noobs):   "
-          f"{(best['nomatmul'] - best['noobs']) * 1e6:+.1f} us/step")
-    print(f"decode+keys (noobs - random@u1):  "
-          f"{(best['noobs'] - best['random']) * 1e6:+.1f} us/step")
+    if variants:
+        print("\n=== rows policy rollout attribution (us/step, best) ===")
+        for name, v in best.items():
+            print(f"{name:>10}: {v * 1e6:7.1f}")
+        print(f"\nactor matmuls (full - nomatmul): "
+              f"{(best['full'] - best['nomatmul']) * 1e6:+.1f} us/step")
+        print(f"bf16 saving (full - bf16):        "
+              f"{(best['full'] - best['bf16']) * 1e6:+.1f} us/step")
+        print(f"bf16act saving (full - bf16act):  "
+              f"{(best['full'] - best['bf16act']) * 1e6:+.1f} us/step")
+        print(f"sampling (full - meanonly):       "
+              f"{(best['full'] - best['meanonly']) * 1e6:+.1f} us/step")
+        print(f"obs unpack  (nomatmul - noobs):   "
+              f"{(best['nomatmul'] - best['noobs']) * 1e6:+.1f} us/step")
+        print(f"decode+keys (noobs - random@u1):  "
+              f"{(best['noobs'] - best['random']) * 1e6:+.1f} us/step")
+
+    if "update" not in sections:
+        return
 
     # ---- the PPO update on top: full update vs collect-only ----
     print("\n=== PPO update (horizon 128, 4 epochs) ===", flush=True)
@@ -130,7 +177,7 @@ def main():
     upd_bf16, _ = make_ppo_update(env, horizon=128, collect="rows", epochs=4,
                                   compute_dtype=jnp.bfloat16)
     collect_only = jax.jit(rows_policy_rollout_fn(
-        env, policy_full, 128, policy_aux=True
+        env, lambda obs, k: pol_f32(params, obs, k), 128, policy_aux=True
     ))
     opt_state = opt.init(params)
 

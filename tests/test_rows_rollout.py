@@ -31,27 +31,36 @@ def test_supported_exactly_on_bench_class():
     # XLA physics -> not eligible
     assert not rows_rollout_supported(make_env("transport", num_envs=8, seed=0))
     # joints are eligible since round 4 (fixed-rotation rows ride the
-    # carry) — but the PID controller config is not (process_action does
-    # real work there)
+    # carry); the PID controller config joined in round 5 (the controller
+    # is realized in-kernel via process_act_rows + ctrl carry rows)
     env_j = make_env("joint_passage", num_envs=8, seed=0, fused_physics=True)
     assert rows_rollout_supported(env_j)
     env_jc = make_env("joint_passage", num_envs=8, seed=0, fused_physics=True,
                       use_controller=True)
-    assert not rows_rollout_supported(env_jc)
-    # scripted NON-POLICY agent (flocking's circling target) -> not
-    # eligible: its script runs in XLA per step, outside the kernel
+    assert rows_rollout_supported(env_jc)
+    # scripted NON-POLICY agent (flocking's circling target): eligible
+    # since round 5 — the scenario declares the script precomputable
+    # (script_slots/script_us), so the target's u rides the action rows
     env_f = make_env("flocking", num_envs=8, seed=0, fused_physics=True)
-    assert not rows_rollout_supported(env_f)
+    assert rows_rollout_supported(env_f)
+    # ... but the POLICY rows path refuses scripts (rollout() gates it)
+    import pytest as _pytest
+    from vmas_tpu.parallel.rollout import rows_policy_rollout_fn as _rpf
+    with _pytest.raises(AssertionError):
+        _rpf(env_f, lambda o, k: o, horizon=2)
     # comm worlds are eligible since round 4 (physics ignores comm; the
     # rollout hoists the comm decode and substitutes per-step uc)
     env_c = make_env("simple_reference", num_envs=8, seed=0, fused_physics=True)
     assert rows_rollout_supported(env_c)
-    # scenario-level process_action (give_way's PID velocity controller
-    # runs OUTSIDE the kernel; the act-row override would skip it) -> not
-    # eligible. Caught by an actual trajectory divergence before the gate
-    # existed — keep this pinned.
+    # give_way's DEFAULT config (PID velocity controller ON) is eligible
+    # since round 5: process_action is realized in-kernel
+    # (process_act_rows). The dt_delay>0 config's action queue is NOT —
+    # that config must keep the hook pipeline.
     env_p = make_env("give_way", num_envs=8, seed=0, fused_physics=True)
-    assert not rows_rollout_supported(env_p)
+    assert rows_rollout_supported(env_p)
+    env_pd = make_env("give_way", num_envs=8, seed=0, fused_physics=True,
+                      dt_delay=2)
+    assert not rows_rollout_supported(env_pd)
 
 
 @pytest.mark.parametrize("n_agents,horizon", [(4, 7), (3, 4)])
@@ -115,8 +124,16 @@ def test_rows_rollout_matches_standard(n_agents, horizon):
         ("dispersion", dict(n_agents=4)),  # eaten emitted in-kernel; just_eaten None-carried
         ("navigation", dict(n_agents=3)),  # unpack_reads=("state",): Lidar from recorded carries
         ("navigation", dict(n_agents=3, collisions=False)),  # lidar off: plain rows
+        # scripted circling target precomputed over the horizon
+        # (script_us) + clock carried as a kernel row + Lidar from
+        # recorded carries — the wave-3 script class
+        ("flocking", dict(n_agents=3)),
         # controller disabled -> process_action is a declared no-op
         ("give_way", dict(use_velocity_controller=False)),
+        # DEFAULT config: PID velocity controller realized IN-KERNEL
+        # (process_act_rows + 4 ctrl carry rows per agent + raw-u emit)
+        ("give_way", dict()),
+        ("multi_give_way", dict()),
         # comm worlds: per-step uc substituted into unpack
         ("simple_reference", dict()),
         ("simple_speaker_listener", dict()),
@@ -163,11 +180,12 @@ def test_rows_rollout_other_scenarios(scenario, kwargs):
         err_msg=f"{scenario}: final rendering",
     )
     for k in s_std.scenario:
-        np.testing.assert_allclose(
-            np.asarray(s_std.scenario[k], np.float32),
-            np.asarray(s_rows.scenario[k], np.float32),
-            atol=3e-5, rtol=0, err_msg=f"{scenario}: scratch[{k}]",
-        )
+        for a, b in zip(jax.tree_util.tree_leaves(s_std.scenario[k]),
+                        jax.tree_util.tree_leaves(s_rows.scenario[k])):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=3e-5, rtol=0, err_msg=f"{scenario}: scratch[{k}]",
+            )
 
 
 @pytest.mark.parametrize(
@@ -178,7 +196,9 @@ def test_rows_rollout_other_scenarios(scenario, kwargs):
         ("ball_passage", dict()),
         ("ball_trajectory", dict()),
         ("joint_passage", dict()),  # default config: controller off (noop declared)
+        ("joint_passage", dict(use_controller=True)),  # PID in-kernel
         ("joint_passage_size", dict()),  # 7 reset-only map rows None-carried
+        ("joint_passage_size", dict(use_vel_controller=True)),  # PID in-kernel
     ],
 )
 def test_rows_rollout_joint_scenarios(scenario, kwargs):
@@ -211,6 +231,15 @@ def test_rows_rollout_joint_scenarios(scenario, kwargs):
             np.asarray(getattr(s_std, f)), np.asarray(getattr(s_rows, f)),
             atol=5e-5, rtol=0, err_msg=f"{scenario}: final {f}",
         )
+    # final scenario scratch too (clocks/shapings/controller memory) —
+    # catches step-counter drift the reward/obs comparison cannot see
+    for k in s_std.scenario:
+        for a, b in zip(jax.tree_util.tree_leaves(s_std.scenario[k]),
+                        jax.tree_util.tree_leaves(s_rows.scenario[k])):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=5e-4, rtol=0, err_msg=f"{scenario}: scratch[{k}]",
+            )
 
 
 @pytest.mark.parametrize("multidiscrete", [False, True])

@@ -66,6 +66,48 @@ class VelocityController:
         scratch[self.key] = zeros
         return state.replace(scenario=scratch)
 
+    def rows_step(self):
+        """The per-component PID update as kernel-row ops, for the fused
+        kernel's in-kernel process_action (fused.FusedOutputs
+        process_act_rows — the rows-carried rollout). Returns
+        ``step(ux, uy, vx, vy, acx, acy, prx, pry, reset_mask) ->
+        (fx, fy, acx', acy', prx', pry')`` performing EXACTLY the ops of
+        :meth:`reset`'s masked zeroing + :meth:`process_force` (operation
+        order preserved so the result is bitwise the XLA path's)."""
+        dt = float(self.dt)
+        gain = float(self.ctrl_gain)
+        mass = float(self.agent.mass)
+        use_i = bool(self.use_integrator)
+        inv_ti = float(1.0 / self.integralTs) if use_i else 0.0
+        cutoff = self.integrator_windup_cutoff
+        td = float(self.derivativeTs)
+
+        def step(ux, uy, vx, vy, acx, acy, prx, pry, reset_mask):
+            if reset_mask is not None:
+                acx = jnp.where(reset_mask, 0.0, acx)
+                acy = jnp.where(reset_mask, 0.0, acy)
+                prx = jnp.where(reset_mask, 0.0, prx)
+                pry = jnp.where(reset_mask, 0.0, pry)
+            ex, ey = ux - vx, uy - vy
+            if use_i:
+                acx = acx + dt * ex
+                acy = acy + dt * ey
+                if cutoff is not None:
+                    c = float(cutoff)
+                    acx = jnp.clip(acx, -c, c)
+                    acy = jnp.clip(acy, -c, c)
+                i_x = inv_ti * acx
+                i_y = inv_ti * acy
+            else:
+                i_x = i_y = 0.0
+            d_x = td * (ex - prx) / dt
+            d_y = td * (ey - pry) / dt
+            fx = gain * (ex + i_x + d_x) * mass
+            fy = gain * (ey + i_y + d_y) * mass
+            return fx, fy, acx, acy, ex, ey
+
+        return step
+
     def process_force(self, state: WorldState) -> WorldState:
         cs = state.scenario[self.key]
         accum, prev = cs["accum_errs"], cs["prev_err"]

@@ -410,9 +410,30 @@ class FusedOutputs:
           MOVES entities the observation reads (discovery's target respawn
           + its Lidar) must defer that part of the observation to here.
           Default: identity.
+      script_slots / script_us(state, horizon): precomputable scripted
+          agents (flocking's circling target). script_slots names their
+          entity indices; script_us returns one [T, B, 2] u array per slot
+          — the exact values the XLA script would produce each step. The
+          rows rollout rides them on the action rows like policy actions.
+      n_ctrl / ctrl_rows(state) / process_act_rows(ctx) /
+      ctrl_updates(rows, scenario): an in-kernel realization of the
+          scenario's process_action override for the rows path (give_way's
+          PID velocity controller — reference velocity_controller.py:29-124
+          runs per step in elementwise state). ``n_ctrl`` controller rows
+          ride the rows carry after the scratch rows (packed by
+          ``ctrl_rows``); the kernel calls ``process_act_rows`` after the
+          action-row override and BEFORE the physics substeps — it mutates
+          the ``fx``/``fy`` force rows (decoded u in, actual force out) and
+          the ``ctrl`` rows in place. ``ctrl_updates`` maps the final
+          carried rows back to scenario scratch. ``ctrl_u_idx`` (optional):
+          per-policy-agent (ix, iy) emit-row indices holding the
+          post-process u, so the final state's ``u`` matches the hook
+          pipeline's (which stores the controller's output, not the
+          decoded action).
     """
 
     n_scratch_in = 0
+    n_ctrl = 0
     unpack_reads = ()
 
     @staticmethod
@@ -485,9 +506,15 @@ def _make_kernel(world, outputs=None, sublanes=1, rows_mode=False,
         assert k_steps >= 1
         act_slots = [int(e) for e in act_slots]
         ent_tile = False
+        n_ctrl = int(getattr(outputs, "n_ctrl", 0))
+        n_ctrl_out = int(getattr(outputs, "n_ctrl_out", 0))
+        act_hook = getattr(outputs, "process_act_rows", None)
+        assert (n_ctrl == 0 and n_ctrl_out == 0) or act_hook is not None
     else:
         assert k_steps == 1, "k_steps>1 is a rows_mode feature"
         ent_tile = E >= 2 and _entity_tile_on(E)
+        n_ctrl = n_ctrl_out = 0
+        act_hook = None
     inf = float("inf")
     # Static per-entity constants / gates for the tiled stream. Every value
     # is rounded float64 -> float32 exactly once (inside crow), matching the
@@ -664,6 +691,32 @@ def _make_kernel(world, outputs=None, sublanes=1, rows_mode=False,
                     # the kernel output verbatim; later steps rebind
                     # scratch_in from their emit rows below
                     scratch_in = [row(9 * E + J + k) for k in range(K_in)]
+                    # controller carry rows (in-kernel process_action state,
+                    # e.g. the PID integrator) sit after the scratch rows;
+                    # process_act_rows mutates this list in place per step
+                    ctrl = [
+                        row(9 * E + J + K_in + k) for k in range(n_ctrl)
+                    ]
+                if act_hook is not None:
+                    # the scenario's process_action realized in-kernel:
+                    # transforms the decoded-u force rows into the actual
+                    # forces (e.g. PID velocity control) and advances the
+                    # controller rows — BEFORE the substep loop, exactly
+                    # where the XLA path runs scenario.process_action.
+                    # Optionally returns n_ctrl_out rows (e.g. the
+                    # controller's raw output u) appended after this step's
+                    # emit rows.
+                    hook_rows = act_hook({
+                        "fx": fx, "fy": fy, "vx": vx, "vy": vy,
+                        "px": px, "py": py, "rot": rot, "w": w,
+                        "ctrl": ctrl,
+                    }) or []
+                    assert len(hook_rows) == n_ctrl_out, (
+                        f"process_act_rows returned {len(hook_rows)} rows, "
+                        f"n_ctrl_out={n_ctrl_out}"
+                    )
+                else:
+                    hook_rows = []
             else:
                 jfr = [row(9 * E + j) for j in range(J)]
                 n_dyn = 2 * E if dyn_gravity else 0
@@ -1250,8 +1303,16 @@ def _make_kernel(world, outputs=None, sublanes=1, rows_mode=False,
                             ] = src
                     # next in-kernel step reads this step's carried scratch
                     scratch_in = _new_scratch
-                    _eb = _k * int(outputs.n_out)
-                    for k, r in enumerate(extra):
+                    # controller rows: process_act_rows already advanced the
+                    # `ctrl` list in place; persist them into the carry
+                    if _last:
+                        for k in range(n_ctrl):
+                            o_ref[
+                                (9 * E + J + K_in + k) * S
+                                : (9 * E + J + K_in + k + 1) * S, :
+                            ] = ctrl[k]
+                    _eb = _k * (int(outputs.n_out) + n_ctrl_out)
+                    for k, r in enumerate(list(extra) + hook_rows):
                         e_ref[(_eb + k) * S : (_eb + k + 1) * S, :] = (
                             r.astype(jnp.float32)
                         )
@@ -1440,26 +1501,42 @@ def rows_step_supported(world, outputs, agents) -> bool:
         # long as the comm stream is noise-free
         if world.dim_c > 0 and not a.silent and a.c_noise > 0:
             return False
-    # non-policy SCRIPTED agents (flocking's circling target) run their
-    # scripts in XLA per step — the rows kernel would carry their stale
-    # force rows instead. Guard the whole world, not just `agents`.
-    for a in world.agents:
-        if a.action_script is not None:
+    # non-policy SCRIPTED agents run their scripts in XLA per step — the
+    # rows kernel would carry their stale force rows. They are eligible
+    # ONLY when the scenario declares the script precomputable over the
+    # horizon (``script_slots`` + ``script_us`` on the FusedOutputs —
+    # flocking's circling target is a pure function of its step counter,
+    # reference flocking.py:37-40): the rollout then rides the scripted
+    # agents' per-step u on the action rows exactly like policy actions.
+    scripted = [a for a in world.agents if a.action_script is not None]
+    if scripted:
+        slots = tuple(getattr(outputs, "script_slots", ()))
+        if {a.index for a in scripted} != set(slots) or not callable(
+            getattr(outputs, "script_us", None)
+        ):
             return False
+        for a in scripted:
+            if (
+                type(a.dynamics) is not Holonomic
+                or np.any(np.asarray(a.u_noise_array) > 0)
+            ):
+                return False
     return True
 
 
 def rows_layout(world, outputs):
-    """R_in: carried rows (9E state + J joint fixed rotations + K scratch).
-    The emit rows are a separate kernel output, not part of the carry."""
+    """R_in: carried rows (9E state + J joint fixed rotations + K scratch
+    + n_ctrl controller rows). The emit rows are a separate kernel output,
+    not part of the carry."""
     E = len(world.spec.mass)
     J = len(world.spec.joint_idx_a)
     K = int(outputs.n_scratch_in)
-    return 9 * E + J + K
+    return 9 * E + J + K + int(getattr(outputs, "n_ctrl", 0))
 
 
 def pack_carry(world, state, outputs, bp):
-    """State + joint fixed rotations + scratch as one [R_in, bp] buffer."""
+    """State + joint fixed rotations + scratch (+ controller rows) as one
+    [R_in, bp] buffer."""
     parts = [
         state.pos[..., 0].T, state.pos[..., 1].T,
         state.vel[..., 0].T, state.vel[..., 1].T,
@@ -1469,6 +1546,8 @@ def pack_carry(world, state, outputs, bp):
         state.joint_fixed_rot.T.astype(jnp.float32),
         jnp.asarray(outputs.scratch_rows(state), jnp.float32),
     ]
+    if int(getattr(outputs, "n_ctrl", 0)):
+        parts.append(jnp.asarray(outputs.ctrl_rows(state), jnp.float32))
     x = jnp.concatenate(parts, axis=0)
     if bp != state.batch_dim:
         x = jnp.pad(x, ((0, 0), (0, bp - state.batch_dim)))
@@ -1500,7 +1579,7 @@ def make_rows_step(world, outputs, act_slots, bp, k_steps=1):
     stacked blocks; each step's emit rows land in their own extra block),
     dividing pallas launch + carry HBM round-trips by k_steps."""
     R_in = rows_layout(world, outputs)
-    n_out = int(outputs.n_out)
+    n_out = int(outputs.n_out) + int(getattr(outputs, "n_ctrl_out", 0))
     A = len(act_slots)
     K = int(k_steps)
     spec = world.spec

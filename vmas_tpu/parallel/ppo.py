@@ -66,22 +66,24 @@ def init_actor_critic(key, obs_dim, act_dim, hidden=(128, 128)):
     }
 
 
-def _dense(layer, x, dtype):
-    if dtype is None:
-        return x @ layer["w"] + layer["b"]
-    # bf16 operands, f32 MXU accumulation, f32 out — params stay f32
-    y = jax.lax.dot_general(
-        x.astype(dtype), layer["w"].astype(dtype),
-        (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return y + layer["b"]
-
-
 def _mlp(layers, x, dtype=None):
+    """Shared MLP trunk. ``dtype=jnp.bfloat16`` keeps the HIDDEN
+    activations in bf16 end to end (cast once on entry, tanh in bf16,
+    f32 only at the head) — params and the output stay f32. On TPU the
+    MXU already runs f32 matmuls at bf16-class precision/speed (default
+    precision), so the win is the halved activation HBM traffic in the
+    training update, not FLOPs; a per-layer cast variant measured WORSE
+    (extra casts, tests/golden/time_train_ab.py round 5)."""
+    if dtype is not None:
+        x = x.astype(dtype)
+        for layer in layers[:-1]:
+            x = jnp.tanh(x @ layer["w"].astype(dtype)
+                         + layer["b"].astype(dtype))
+        last = layers[-1]
+        return (x @ last["w"].astype(dtype)).astype(jnp.float32) + last["b"]
     for layer in layers[:-1]:
-        x = jnp.tanh(_dense(layer, x, dtype))
-    return _dense(layers[-1], x, dtype)
+        x = jnp.tanh(x @ layer["w"] + layer["b"])
+    return x @ layers[-1]["w"] + layers[-1]["b"]
 
 
 def policy_dist(params, obs, dtype=None):

@@ -196,7 +196,10 @@ def rollout(env, policy=None, horizon: int = 100, key=None):
             cache.pop(next(iter(cache)))
         rows_ok = rows_rollout_supported(env) and (
             policy is None
-            or "state" not in getattr(env._fused_outputs, "unpack_reads", ())
+            or (
+                "state" not in getattr(env._fused_outputs, "unpack_reads", ())
+                and not getattr(env._fused_outputs, "script_slots", ())
+            )
         )
         if rows_ok:
             build = (
@@ -240,10 +243,14 @@ def rows_rollout_supported(env) -> bool:
         # realizes Holonomic's force=u — but a scenario-level process_action
         # (give_way's PID velocity controller) would run OUTSIDE the kernel.
         # A scenario may declare its override a no-op FOR THIS CONFIG
-        # (controller disabled) via process_action_noop.
+        # (controller disabled) via process_action_noop, or realize it
+        # IN-KERNEL via process_act_rows (the PID controller rides carry
+        # rows; docs/FUSED_OUTPUTS.md).
         and (
             sc.process_action is BaseScenario.process_action
             or getattr(env._fused_outputs, "process_action_noop", False)
+            or getattr(env._fused_outputs, "process_act_rows", None)
+            is not None
         )
         and sc.pre_step is BaseScenario.pre_step
         and sc.post_step is BaseScenario.post_step
@@ -368,6 +375,38 @@ def _vmapped_unpack(env, fo, agents, extras, us, state, carries_t=None,
     )
 
 
+def _apply_ctrl_finish(env, fo, state_out, carryT, state0):
+    """Controller carry rows (in-kernel process_action state, e.g. the PID
+    integrator) -> final scenario scratch, via the scenario's
+    ``ctrl_updates``."""
+    n_ctrl = int(getattr(fo, "n_ctrl", 0))
+    if not n_ctrl:
+        return state_out
+    from vmas_tpu.core import fused as F
+
+    base = F.rows_layout(env.world, fo) - n_ctrl
+    crows = carryT[base : base + n_ctrl, : env.num_envs]
+    return state_out.replace(scenario={
+        **state_out.scenario, **fo.ctrl_updates(crows, state0.scenario),
+    })
+
+
+def _last_us(fo, us_last, extras):
+    """The final state's per-agent u: the decoded action, unless the
+    scenario's in-kernel process_action rewrote it (ctrl_u_idx names the
+    emit rows holding the post-process u — the hook pipeline stores the
+    controller's output in state.u, so the rows path must too)."""
+    idx = getattr(fo, "ctrl_u_idx", None)
+    if idx is None:
+        return us_last
+    us_last = list(us_last)
+    for i, (ix, iy) in enumerate(idx):
+        us_last[i] = jnp.stack(
+            [extras[-1, int(ix)], extras[-1, int(iy)]], axis=-1
+        )
+    return us_last
+
+
 def _finish_rows_rollout(env, agents, state_out, us_last, uc_last, updates,
                          terminated, steps, k_step, horizon, rews, obs):
     """Shared finale of the rows rollouts: truncation flags, and a final
@@ -389,6 +428,13 @@ def _finish_rows_rollout(env, agents, state_out, us_last, uc_last, updates,
             c=state_out.c.at[:, slot].set(v),
         )
     last_updates = jax.tree_util.tree_map(lambda x: x[-1], updates)
+    # pure step-counter scratch keys (scenario clocks incremented once per
+    # step, read by nothing the kernel emits): the vmapped unpack computed
+    # them from the rollout-INITIAL state, so its last value is t0+1 —
+    # override with t0+horizon (exact f32 integer adds, bitwise the
+    # standard path's horizon unit increments)
+    for k in getattr(env._fused_outputs, "step_count_keys", ()):
+        last_updates[k] = state_out.scenario[k] + float(horizon)
     step_keys = jax.random.split(k_step, horizon)
     _, obs_key_last = jax.random.split(step_keys[-1])
     state_out = state_out.replace(scenario={
@@ -430,7 +476,13 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None,
     )
     world, fo = env.world, env._fused_outputs
     agents = env.agents
-    act_slots = [a.index for a in agents]
+    # precomputable scripted agents (fused.rows_step_supported): their
+    # per-step u rides the action rows after the policy agents'
+    script_slots = tuple(getattr(fo, "script_slots", ()))
+    script_agents = [
+        a for s in script_slots for a in world.agents if a.index == s
+    ]
+    act_slots = [a.index for a in agents] + list(script_slots)
     B = env.num_envs
     bp = -(-B // 128) * 128
     K = int(k_steps)
@@ -471,8 +523,16 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None,
             )
             for slot, v in uc_slots:
                 uc_t = uc_t.at[:, :, slot].set(v)
-        ax = jnp.stack([u[..., 0] for u in us], axis=1)  # [T, A, B]
-        ay = jnp.stack([u[..., 1] for u in us], axis=1)
+        # scripted agents' precomputed per-step u (pure functions of the
+        # initial state's step counters — same values the XLA script would
+        # produce each step, hoisted like the random-action decode)
+        script_us = (
+            [jnp.asarray(u) for u in fo.script_us(state, horizon)]
+            if script_slots else []
+        )
+        all_us = us + script_us
+        ax = jnp.stack([u[..., 0] for u in all_us], axis=1)  # [T, A, B]
+        ay = jnp.stack([u[..., 1] for u in all_us], axis=1)
         act_rows = jnp.concatenate([ax, ay], axis=1)  # [T, 2A, B]
         if K > 1:
             # group K consecutive steps' action rows into one kernel call:
@@ -514,13 +574,16 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None,
         state_out = F.unpack_carry(world, carryT, state)
         if K > 1:
             # ungroup: [T/K, K*n_out, bp] -> [T, n_out, bp]
-            extras = extras.reshape(horizon, int(fo.n_out), extras.shape[2])
+            n_tot = int(fo.n_out) + int(getattr(fo, "n_ctrl_out", 0))
+            extras = extras.reshape(horizon, n_tot, extras.shape[2])
         extras = extras[..., :B]  # [T, n_out, B]
         obs, rews, terminated, updates = _vmapped_unpack(
             env, fo, agents, extras, us, state, carries, uc_t
         )
+        state_out = _apply_ctrl_finish(env, fo, state_out, carryT, state)
+        us_last = _last_us(fo, [u[-1] for u in all_us], extras)
         return _finish_rows_rollout(
-            env, agents, state_out, [u[-1] for u in us],
+            env, list(agents) + script_agents, state_out, us_last,
             [(slot, v[-1]) for slot, v in uc_slots], updates, terminated,
             steps, k_step, horizon, rews, obs,
         )
@@ -561,6 +624,10 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
         "scenario's obs need per-step state reconstruction (Lidar) — the "
         "relayout would run every step, defeating the rows structure; use "
         "rollout_fn for policy rollouts here"
+    )
+    assert not getattr(env._fused_outputs, "script_slots", ()), (
+        "rows_policy_rollout_fn: precomputed scripted-agent actions are "
+        "only wired into the random-action rows path; use rollout_fn"
     )
     world, fo = env.world, env._fused_outputs
     agents = env.agents
@@ -635,8 +702,10 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
             a for a in agents if world.dim_c > 0 and not a.silent
         ]
         uc_last = [(a.slot, c_ts[-1, :, a.slot]) for a in comm_agents]
+        state_out = _apply_ctrl_finish(env, fo, state_out, carryT, state)
+        us_last = _last_us(fo, [u[-1] for u in us_t], extras)
         state_fin, steps_fin, traj = _finish_rows_rollout(
-            env, agents, state_out, [u[-1] for u in us_t], uc_last, updates,
+            env, agents, state_out, us_last, uc_last, updates,
             terminated, steps, k_step, horizon, rews, obs,
         )
         if policy_aux:

@@ -160,12 +160,41 @@ class Scenario(BaseScenario):
         agent_w = 6  # pos(2) vel(2) pos-target(2)
 
         class FlockingOutputs(F.FusedOutputs):
-            n_scratch_in = A  # previous distance_shaping columns
-            n_out = A * agent_w + 3 * A
+            n_scratch_in = A + 1  # previous distance_shaping columns + t
+            n_out = A * agent_w + 3 * A + 1
+            # rows-carried rollout: next scratch = the emitted new_shaping
+            # rows and the incremented clock row; Lidar obs reconstruct
+            # per-step states from recorded carries; the scripted target's
+            # u is a pure function of the clock, precomputed over the
+            # horizon (script_us) and ridden on the action rows
+            carry_extra_idx = tuple(
+                range(A * agent_w + 2 * A, A * agent_w + 3 * A)
+            ) + (A * agent_w + 3 * A,)
+            unpack_reads = ("state",)
+            script_slots = (target_i,)
+
+            @staticmethod
+            def script_us(state, horizon):
+                # target_script (above): u = [cos(t/30), sin(t/30)], where
+                # t is the scenario clock at ACTION time — t0 + k at step k
+                # (pre_rewards increments after physics). Integer-valued
+                # f32 adds are exact, so t0+k == k unit increments bitwise.
+                t0 = state.scenario["t"]
+                t = (
+                    t0[None, :]
+                    + jnp.arange(horizon, dtype=jnp.float32)[:, None]
+                ) / 30
+                return (jnp.stack([jnp.cos(t), jnp.sin(t)], axis=-1),)
 
             @staticmethod
             def scratch_rows(state):
-                return state.scenario["distance_shaping"].T  # [A, B]
+                return jnp.concatenate(
+                    [
+                        state.scenario["distance_shaping"].T,  # [A, B]
+                        state.scenario["t"][None],  # [1, B]
+                    ],
+                    axis=0,
+                )
 
             @staticmethod
             def emit(ctx):
@@ -224,6 +253,7 @@ class Scenario(BaseScenario):
                         px[ai] - px[target_i], py[ai] - py[target_i],
                     ]
                 rows += coll + dist_rew + new_shaping
+                rows.append(prev[A] + 1.0)  # the clock (pre_rewards t += 1)
                 return rows
 
             @staticmethod
@@ -245,7 +275,11 @@ class Scenario(BaseScenario):
                 rews = tuple(coll[:, s_] + dist_rew[:, s_] for s_ in range(A))
                 terminated = jnp.zeros((state.batch_dim,), bool)
                 updates = {
-                    "t": state.scenario["t"] + 1,
+                    # the clock from its emitted kernel row (t_prev + 1.0 is
+                    # an exact f32 integer add == the hook's t + 1) — NOT
+                    # from `state`, which is the rollout-INITIAL state in
+                    # the rows path's vmapped unpack
+                    "t": extra[base + 3 * A],
                     "collision_rew": coll,
                     "dist_rew": dist_rew,
                     "distance_shaping": shaping,

@@ -413,11 +413,80 @@ class Scenario(BaseScenario):
             # (pass_center/middle_angle/passage positions) are chosen at
             # reset and carried unchanged (None). Noise-free configs only.
             process_action_noop = not scenario.use_vel_controller
+            # the "t" clock is a write-only step counter: the rows rollout
+            # sets it to t0 + horizon at the end (bitwise the hook path's
+            # unit increments — exact integer f32 adds)
+            step_count_keys = ("t",)
             if noise == 0 and j_noise == 0:
                 carry_extra_idx = (
                     A * obs_w + 3, A * obs_w + 4, A * obs_w + 5,
                     A * obs_w + 6,
                 ) + (None,) * 7
+                if scenario.use_vel_controller:
+                    # PID velocity controller realized in-kernel, exactly
+                    # like joint_passage's (process_action above: masked
+                    # PID-memory reset + process_force)
+                    n_ctrl = 4 * A
+                    n_ctrl_out = 2 * A
+                    ctrl_u_idx = tuple(
+                        (A * obs_w + 9 + 2 * i, A * obs_w + 9 + 2 * i + 1)
+                        for i in range(A)
+                    )
+                    _pids = [
+                        scenario.controllers[a.name].rows_step()
+                        for a in agents
+                    ]
+
+                    @staticmethod
+                    def ctrl_rows(state):
+                        rows = []
+                        for a in agents:
+                            cs = state.scenario[f"__vel_ctrl_{a.name}"]
+                            rows += [
+                                cs["accum_errs"][:, 0],
+                                cs["accum_errs"][:, 1],
+                                cs["prev_err"][:, 0], cs["prev_err"][:, 1],
+                            ]
+                        return jnp.stack(rows, axis=0)
+
+                    @staticmethod
+                    def ctrl_updates(rows, scenario_scratch):
+                        out = {}
+                        for i, a in enumerate(agents):
+                            r = rows[4 * i : 4 * (i + 1)]
+                            out[f"__vel_ctrl_{a.name}"] = {
+                                "accum_errs": jnp.stack(
+                                    [r[0], r[1]], axis=-1
+                                ),
+                                "prev_err": jnp.stack(
+                                    [r[2], r[3]], axis=-1
+                                ),
+                            }
+                        return out
+
+                    def process_act_rows(ctx, _pids=_pids):
+                        fx, fy = ctx["fx"], ctx["fy"]
+                        vx, vy = ctx["vx"], ctx["vy"]
+                        ctrl = ctx["ctrl"]
+                        out_rows = []
+                        for i, a in enumerate(agents):
+                            e = a.index
+                            ux, uy = fx[e], fy[e]
+                            reset_m = F_._norm(ux, uy) < 1e-3
+                            acx, acy, prx, pry = ctrl[4 * i : 4 * (i + 1)]
+                            ox, oy, acx, acy, prx, pry = _pids[i](
+                                ux, uy, vx[e], vy[e],
+                                acx, acy, prx, pry, reset_m,
+                            )
+                            fx[e], fy[e] = ox, oy
+                            (
+                                ctrl[4 * i], ctrl[4 * i + 1],
+                                ctrl[4 * i + 2], ctrl[4 * i + 3],
+                            ) = (acx, acy, prx, pry)
+                            out_rows += [ox, oy]
+                        return out_rows
+
+                    process_act_rows = staticmethod(process_act_rows)
 
             @staticmethod
             def scratch_rows(state):

@@ -250,9 +250,85 @@ class Scenario(BaseScenario):
         scenario = self
         obs_w = 7  # pos2 vel2 goal_rel2 dist1
 
+        u_rng = float(self.u_range)
+        min_in = float(self.min_input_norm)
+        pids = [self.controllers[a.name].rows_step() for a in agents]
+
         class MultiGiveWayOutputs(F_.FusedOutputs):
             n_scratch_in = A + 1  # shaping columns + reached_goal
             n_out = A * obs_w + 3 * A + 2
+            if noise == 0:
+                # rows-carried rollout: next scratch = emitted shaping rows
+                # + the reached_goal latch; the (always-on) PID velocity
+                # controller is realized in-kernel exactly like give_way's
+                # (same reference semantics) — 4 carry rows per agent, raw
+                # controller u emitted for the final state
+                carry_extra_idx = tuple(
+                    range(A * obs_w + 2 * A, A * obs_w + 3 * A)
+                ) + (A * obs_w + 3 * A + 1,)
+                n_ctrl = 4 * A
+                n_ctrl_out = 2 * A
+                ctrl_u_idx = tuple(
+                    (
+                        A * obs_w + 3 * A + 2 + 2 * i,
+                        A * obs_w + 3 * A + 2 + 2 * i + 1,
+                    )
+                    for i in range(A)
+                )
+
+                @staticmethod
+                def ctrl_rows(state):
+                    rows = []
+                    for a in agents:
+                        cs = state.scenario[f"__vel_ctrl_{a.name}"]
+                        rows += [
+                            cs["accum_errs"][:, 0], cs["accum_errs"][:, 1],
+                            cs["prev_err"][:, 0], cs["prev_err"][:, 1],
+                        ]
+                    return jnp.stack(rows, axis=0)
+
+                @staticmethod
+                def ctrl_updates(rows, scenario_scratch):
+                    out = {}
+                    for i, a in enumerate(agents):
+                        r = rows[4 * i : 4 * (i + 1)]
+                        out[f"__vel_ctrl_{a.name}"] = {
+                            "accum_errs": jnp.stack([r[0], r[1]], axis=-1),
+                            "prev_err": jnp.stack([r[2], r[3]], axis=-1),
+                        }
+                    return out
+
+                @staticmethod
+                def process_act_rows(ctx):
+                    # mirrors process_action above op for op (clamp_with_norm
+                    # -> min_input_norm zeroing -> masked PID reset -> PID)
+                    fx, fy = ctx["fx"], ctx["fy"]
+                    vx, vy = ctx["vx"], ctx["vy"]
+                    ctrl = ctx["ctrl"]
+                    out_rows = []
+                    for i, a in enumerate(agents):
+                        e = a.index
+                        ux, uy = fx[e], fy[e]
+                        n = jnp.sqrt(ux * ux + uy * uy)
+                        over = n > u_rng
+                        den = jnp.where(over, n, 1.0)
+                        ux = jnp.where(over, ux / den * u_rng, ux)
+                        uy = jnp.where(over, uy / den * u_rng, uy)
+                        small = F_._norm(ux, uy) < min_in
+                        ux = jnp.where(small, 0.0, ux)
+                        uy = jnp.where(small, 0.0, uy)
+                        reset_m = F_._norm(ux, uy) < 1e-3
+                        acx, acy, prx, pry = ctrl[4 * i : 4 * (i + 1)]
+                        ox, oy, acx, acy, prx, pry = pids[i](
+                            ux, uy, vx[e], vy[e], acx, acy, prx, pry, reset_m
+                        )
+                        fx[e], fy[e] = ox, oy
+                        (
+                            ctrl[4 * i], ctrl[4 * i + 1],
+                            ctrl[4 * i + 2], ctrl[4 * i + 3],
+                        ) = (acx, acy, prx, pry)
+                        out_rows += [ox, oy]
+                    return out_rows
 
             @staticmethod
             def scratch_rows(state):

@@ -434,6 +434,180 @@ def test_rows_rollout_truncation():
     )
 
 
+def _chunked_eager(env, horizon, reset_every, state, steps, key,
+                   policy=None):
+    """The _chunked_reset_rollout semantics spelled out with the STANDARD
+    rollout per chunk — the comparator for the rows version."""
+    chunk_fn = jax.jit(rollout_fn(env, policy, horizon=reset_every))
+    parts = []
+    for c in range(horizon // reset_every):
+        kc = jax.random.fold_in(key, 2 * c)
+        kr = jax.random.fold_in(key, 2 * c + 1)
+        state, steps, traj = chunk_fn(state, steps, kc)
+        state, steps, obs_reset, _, _, _ = env._reset_masked(
+            state, steps, kr, None
+        )
+        traj["obs"] = jax.tree_util.tree_map(
+            lambda o, r: o.at[-1].set(r), traj["obs"], obs_reset
+        )
+        traj["dones"] = traj["dones"].at[-1].set(True)
+        parts.append(traj)
+    out = {
+        k: jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *[p[k] for p in parts]
+        )
+        for k in ("rewards", "dones", "obs")
+    }
+    return state, steps, out
+
+
+def test_rows_rollout_u_noise():
+    """u_noise configs ride the rows path since round 5: the rollout
+    hoists the decode's noise draws over the horizon with the step
+    pipeline's own key schedule — trajectories must replay the standard
+    rollout like the noise-free class does."""
+    env_a, env_b = _envs(n_agents=3), _envs(n_agents=3)
+    for e in (env_a, env_b):
+        for a in e.agents:
+            a.u_noise_array[:] = 0.05
+    assert rows_rollout_supported(env_b)
+    key = jax.random.PRNGKey(13)
+    s_std, _, t_std = jax.jit(rollout_fn(env_a, horizon=5))(
+        env_a.state, env_a.steps, key
+    )
+    s_rows, _, t_rows = jax.jit(rows_rollout_fn(env_b, horizon=5))(
+        env_b.state, env_b.steps, key
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_std["rewards"]), np.asarray(t_rows["rewards"]),
+        atol=3e-5, rtol=0,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(t_std["obs"]),
+                    jax.tree_util.tree_leaves(t_rows["obs"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for ua, ub in zip(s_std.u, s_rows.u):
+        np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
+    # the noise actually fired (trajectory differs from the noise-free run)
+    env_c = _envs(n_agents=3)
+    _, _, t_clean = jax.jit(rollout_fn(env_c, horizon=5))(
+        env_c.state, env_c.steps, key
+    )
+    assert np.abs(
+        np.asarray(t_clean["obs"][0]) - np.asarray(t_std["obs"][0])
+    ).max() > 1e-4
+
+
+def test_rows_rollout_comm_noise():
+    """c_noise comm streams: the hoisted comm decode adds the per-step
+    noise draws; physics copies the noisy uc into state.c, which the comm
+    worlds' unpack reads."""
+    kw = dict(num_envs=8, seed=0, fused_physics=True)
+    env_a = make_env("simple_reference", **kw)
+    env_b = make_env("simple_reference", **kw)
+    for e in (env_a, env_b):
+        for a in e.agents:
+            a.c_noise = 0.1
+    assert rows_rollout_supported(env_b)
+    key = jax.random.PRNGKey(17)
+    s_std, _, t_std = jax.jit(rollout_fn(env_a, horizon=4))(
+        env_a.state, env_a.steps, key
+    )
+    s_rows, _, t_rows = jax.jit(rows_rollout_fn(env_b, horizon=4))(
+        env_b.state, env_b.steps, key
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(t_std["obs"]),
+                    jax.tree_util.tree_leaves(t_rows["obs"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=0)
+    np.testing.assert_array_equal(np.asarray(s_std.c), np.asarray(s_rows.c))
+
+
+@pytest.mark.parametrize("use_policy", [False, True])
+def test_rows_rollout_obs_noise(use_policy):
+    """obs_noise configs: unpack declares the per-step obs-key read
+    (unpack_reads=("obs_key",)); the rollout substitutes the step
+    pipeline's own keys, so noisy observations are bitwise the hook
+    pipeline's — on BOTH rows paths."""
+    kw = dict(num_envs=16, seed=0, fused_physics=True, obs_noise=0.05)
+    env_a = make_env("give_way", **kw)
+    env_b = make_env("give_way", **kw)
+    assert rows_rollout_supported(env_b)
+    key = jax.random.PRNGKey(19)
+    if use_policy:
+        obs_w = int(env_a.observation_space[0].shape[0])
+        W = jnp.asarray(np.ones((obs_w, 2), np.float32) * 0.05)
+        pol = lambda obs, k: tuple(jnp.tanh(o @ W) for o in obs)
+        run_std = jax.jit(rollout_fn(env_a, pol, horizon=4))
+        run_rows = jax.jit(rows_policy_rollout_fn(env_b, pol, horizon=4))
+    else:
+        run_std = jax.jit(rollout_fn(env_a, horizon=4))
+        run_rows = jax.jit(rows_rollout_fn(env_b, horizon=4))
+    s_std, _, t_std = run_std(env_a.state, env_a.steps, key)
+    s_rows, _, t_rows = run_rows(env_b.state, env_b.steps, key)
+    np.testing.assert_allclose(
+        np.asarray(t_std["rewards"]), np.asarray(t_rows["rewards"]),
+        atol=3e-5, rtol=0,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(t_std["obs"]),
+                    jax.tree_util.tree_leaves(t_rows["obs"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=0)
+
+
+def test_rows_rollout_reset_every():
+    """Chunked synchronized autoreset (reset_every): same trajectory as
+    the standard rollout run chunk-by-chunk with full masked resets at the
+    boundaries — episodes restart, boundary obs are post-reset, boundary
+    dones True."""
+    env_a = _envs(n_agents=3)
+    env_b = _envs(n_agents=3)
+    key = jax.random.PRNGKey(9)
+    run_rows = jax.jit(rows_rollout_fn(env_b, horizon=6, reset_every=3))
+    s_rows, t_rows, traj_rows = run_rows(env_b.state, env_b.steps, key)
+    s_std, t_std, traj_std = _chunked_eager(
+        env_a, 6, 3, env_a.state, env_a.steps, key
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_std["rewards"]), np.asarray(traj_rows["rewards"]),
+        atol=3e-5, rtol=0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(traj_std["dones"]), np.asarray(traj_rows["dones"])
+    )
+    assert np.asarray(traj_rows["dones"])[2].all()  # boundary step
+    assert np.asarray(traj_rows["dones"])[5].all()
+    for a, b in zip(jax.tree_util.tree_leaves(traj_std["obs"]),
+                    jax.tree_util.tree_leaves(traj_rows["obs"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(s_std.pos), np.asarray(s_rows.pos)
+    )
+    np.testing.assert_array_equal(np.asarray(t_std), np.asarray(t_rows))
+
+
+def test_ppo_rows_reset_every_smoke():
+    """Episodic rows PPO: the update runs with reset_every and the
+    recorded dones mark every boundary."""
+    from vmas_tpu.parallel.ppo import (
+        init_actor_critic, make_ppo_update, obs_dim_of,
+    )
+
+    env = _envs(n_agents=3)
+    params = init_actor_critic(
+        jax.random.PRNGKey(0), obs_dim_of(env), env.agents[0].action_size
+    )
+    update, opt = make_ppo_update(
+        env, horizon=4, collect="rows", epochs=1, reset_every=2
+    )
+    opt_state = opt.init(params)
+    params2, _, _, _, metrics = jax.jit(update)(
+        params, opt_state, env.state, env.steps, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    # 2 boundaries in 4 steps -> at least half the dones are True
+    assert float(metrics["episode_done_frac"]) >= 0.5
+
+
 def test_rollout_convenience_upgrades_to_rows():
     """rollout() transparently selects the rows paths for eligible envs;
     the returned trajectory must equal a manual rollout_fn run bitwise

@@ -1494,13 +1494,12 @@ def rows_step_supported(world, outputs, agents) -> bool:
     for a in agents:
         if type(a.dynamics) is not Holonomic or a.action_script is not None:
             return False
-        if a.action_size != 2 or np.any(np.asarray(a.u_noise_array) > 0):
+        if a.action_size != 2:
             return False
-        # comm worlds are fine (physics ignores comm; the rollout hoists
-        # the comm decode and substitutes per-step uc into unpack) as
-        # long as the comm stream is noise-free
-        if world.dim_c > 0 and not a.silent and a.c_noise > 0:
-            return False
+        # u_noise / c_noise are fine since round 5: the rollout hoists the
+        # noise draws over the horizon with the step pipeline's own key
+        # schedule (parallel/rollout.py _noise_streams) — bitwise the
+        # per-step draws
     # non-policy SCRIPTED agents run their scripts in XLA per step — the
     # rows kernel would carry their stale force rows. They are eligible
     # ONLY when the scenario declares the script precomputable over the

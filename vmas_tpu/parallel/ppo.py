@@ -133,7 +133,8 @@ def make_gaussian_policy(env, params_holder=None, dtype=None):
 def make_ppo_update(env, horizon=32, lr=3e-4, gamma=0.99, lam=0.95,
                     clip=0.2, epochs=4, vf_coeff=0.5, ent_coeff=0.0,
                     collect="auto", compute_dtype=None,
-                    rollout_unroll: Optional[int] = None):
+                    rollout_unroll: Optional[int] = None,
+                    reset_every: Optional[int] = None):
     """Build ``(params, opt_state, state, steps, key) ->
     (params', opt_state', state', steps', metrics)`` — fully jittable,
     shards over the env-axis mesh like everything else.
@@ -141,8 +142,11 @@ def make_ppo_update(env, horizon=32, lr=3e-4, gamma=0.99, lam=0.95,
     One shared actor-critic for all agents (parameter sharing, the standard
     VMAS baseline): the agent axis is folded into the batch for both the
     rollout and the update. See the module docstring for the ``collect``
-    modes; ``compute_dtype=jnp.bfloat16`` runs the MLP matmuls in bf16 with
-    f32 accumulation.
+    modes; ``compute_dtype=jnp.bfloat16`` keeps the MLP hidden activations
+    in bf16 (measured 1.53x on the update — docs/PERFORMANCE.md round 5).
+    ``reset_every=N`` (rows mode): synchronized episodic resets every N
+    collection steps — fixed-length episodes at rows speed, with boundary
+    obs/done following the gymnasium-vec convention so GAE cuts correctly.
     """
     import optax
 
@@ -214,6 +218,7 @@ def make_ppo_update(env, horizon=32, lr=3e-4, gamma=0.99, lam=0.95,
             run = rows_policy_rollout_fn(
                 env, lambda obs, k: policy(params, obs, k), horizon,
                 unroll=rollout_unroll, policy_aux=True,
+                reset_every=reset_every,
             )
             state, steps, traj = run(state, steps, key)
             obs_emitted = jnp.stack(traj["obs"], axis=2)  # [T, B, A, O]

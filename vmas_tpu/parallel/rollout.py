@@ -263,7 +263,7 @@ def rows_rollout_supported(env) -> bool:
         # per-step states post-scan — navigation's Lidar; the policy path
         # refuses "state", see rows_policy_rollout_fn)
         and set(getattr(env._fused_outputs, "unpack_reads", ()))
-        <= {"u", "c", "state"}
+        <= {"u", "c", "state", "obs_key"}
         # a "c" read is substituted from the hoisted comm decode, which only
         # exists when some policy agent actually emits comm — otherwise the
         # rows paths would hit a trace-time assert instead of falling back
@@ -337,8 +337,57 @@ def _decode_u_horizon(env, agent, raw):
     return _decode_horizon(env, agent, raw)[0]
 
 
+def _needs_decode_noise(env):
+    import numpy as np
+
+    return any(
+        np.any(np.asarray(a.u_noise_array) > 0)
+        or (env.world.dim_c > 0 and not a.silent and a.c_noise > 0)
+        for a in env.agents
+    )
+
+
+def _noise_streams(env, k_step, horizon):
+    """Per-step decode-noise agent keys and observation keys, derived
+    EXACTLY as the step pipeline derives them (environment.step_fn:
+    ``key, obs_key = split(step_key); keys = split(key, n_agents)``), so
+    hoisted noise draws are bitwise the per-step draws."""
+    step_keys = jax.random.split(k_step, horizon)
+
+    def per_step(k):
+        key, obs_key = jax.random.split(k)
+        return jax.random.split(key, max(env.n_agents, 1)), obs_key
+
+    return jax.vmap(per_step)(step_keys)  # [T, A] keys, [T] keys
+
+
+def _apply_decode_noise(env, agents, us, ucs, agent_keys):
+    """Hoisted u/comm noise — the decode's ``u += normal(key)*u_noise`` and
+    ``comm += normal(fold_in(key,1))*c_noise`` (environment.py
+    _decode_action), vectorized over the horizon with the per-step keys."""
+    import numpy as np
+
+    B = env.num_envs
+    us, ucs = list(us), list(ucs)
+    for i, a in enumerate(agents):
+        if np.any(np.asarray(a.u_noise_array) > 0):
+            nz = jax.vmap(
+                lambda k: jax.random.normal(k, (B, a.action_size))
+            )(agent_keys[:, i])
+            us[i] = us[i] + nz * jnp.asarray(a.u_noise_array)[None, None]
+        if ucs[i] is not None and a.c_noise > 0:
+            ck = jax.vmap(lambda k: jax.random.fold_in(k, 1))(
+                agent_keys[:, i]
+            )
+            cz = jax.vmap(
+                lambda k: jax.random.normal(k, (B, env.world.dim_c))
+            )(ck)
+            ucs[i] = ucs[i] + cz * a.c_noise
+    return us, ucs
+
+
 def _vmapped_unpack(env, fo, agents, extras, us, state, carries_t=None,
-                    uc_t=None):
+                    uc_t=None, obs_keys_t=None):
     """One vmapped ``unpack`` over the recorded emit rows. Declared
     step-varying reads are substituted so unpack sees exactly what the
     standard per-step path saw: ``"u"`` from the per-step decoded actions
@@ -351,12 +400,18 @@ def _vmapped_unpack(env, fo, agents, extras, us, state, carries_t=None,
 
     reads = set(getattr(fo, "unpack_reads", ()))
 
-    def unp(e, c, comm, *uts):
+    def unp(e, c, comm, ok, *uts):
         st = state if c is None else F.unpack_carry(env.world, c, state)
         if comm is not None:
             # physics copies uc -> state.c for non-silent agents each step
             # (physics.py); comm_t is that post-step comm state
             st = st.replace(c=comm)
+        if ok is not None:
+            # per-step observation-noise key — the step pipeline injects
+            # it as scenario["__obs_key"] before unpack (environment.py
+            # outputs()); substituting the same per-step keys makes noisy
+            # observations bitwise the hook pipeline's
+            st = st.replace(scenario={**st.scenario, "__obs_key": ok})
         if "u" in reads:
             for a, ut in zip(agents, uts):
                 st = a.set_u(st, ut)
@@ -364,14 +419,19 @@ def _vmapped_unpack(env, fo, agents, extras, us, state, carries_t=None,
 
     c_ax = 0 if "state" in reads else None
     uc_ax = 0 if "c" in reads else None
+    ok_ax = 0 if "obs_key" in reads else None
     if c_ax is None:
         carries_t = None
     if uc_ax is None:
         uc_t = None
     else:
         assert uc_t is not None
-    return jax.vmap(unp, in_axes=(0, c_ax, uc_ax) + (0,) * len(us))(
-        extras, carries_t, uc_t, *us
+    if ok_ax is None:
+        obs_keys_t = None
+    else:
+        assert obs_keys_t is not None
+    return jax.vmap(unp, in_axes=(0, c_ax, uc_ax, ok_ax) + (0,) * len(us))(
+        extras, carries_t, uc_t, obs_keys_t, *us
     )
 
 
@@ -446,8 +506,56 @@ def _finish_rows_rollout(env, agents, state_out, us_last, uc_last, updates,
     }
 
 
+def _chunked_reset_rollout(env, run_chunk, horizon, reset_every):
+    """Wrap a rows-rollout chunk runner with synchronized episodic resets
+    every ``reset_every`` steps (the rows analog of in-scan autoreset —
+    reference environment.py:131-148 resets per-index on done; the rows
+    carry cannot reset mid-scan, so episodes are FIXED-LENGTH and
+    synchronized: every env resets at the statically-known boundary,
+    matching max_steps-truncated training setups). Boundary-step
+    observations are the post-reset observations and the boundary done
+    flag is True for every env (the gymnasium-vec convention rollout_fn's
+    autoreset uses), so GAE masks and PPO's obs/action alignment work
+    unchanged across chunks."""
+    assert horizon % reset_every == 0, (
+        "reset_every must divide horizon"
+    )
+    n_chunks = horizon // reset_every
+
+    def run(state, steps, key):
+        parts = []
+        for c in range(n_chunks):
+            kc = jax.random.fold_in(key, 2 * c)
+            kr = jax.random.fold_in(key, 2 * c + 1)
+            state, steps, traj = run_chunk(state, steps, kc)
+            state, steps, obs_reset, _, _, _ = env._reset_masked(
+                state, steps, kr, None
+            )
+            traj["obs"] = jax.tree_util.tree_map(
+                lambda o, r: o.at[-1].set(r), traj["obs"], obs_reset
+            )
+            traj["dones"] = traj["dones"].at[-1].set(True)
+            parts.append(traj)
+        out = {
+            k: jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0),
+                *[p[k] for p in parts],
+            )
+            for k in ("rewards", "dones", "obs")
+        }
+        if "policy_aux" in parts[0]:
+            out["policy_aux"] = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0),
+                *[p["policy_aux"] for p in parts],
+            )
+            out["obs0"] = parts[0]["obs0"]
+        return state, steps, out
+
+    return run
+
+
 def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None,
-                    k_steps: int = 1):
+                    k_steps: int = 1, reset_every: Optional[int] = None):
     """Rows-carried compiled rollout — same contract and BITWISE the same
     trajectory as ``rollout_fn(env, horizon=...)`` with random actions
     (asserted by tests/test_rows_rollout.py), restructured so the scan body
@@ -464,8 +572,15 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None,
 
     Measured (round 4, same session as the splits above): transport@4096
     went ~57 -> ~21 us/step. Eligibility is strict (rows_rollout_supported);
-    ineligible envs should use ``rollout_fn``."""
+    ineligible envs should use ``rollout_fn``.
+
+    ``reset_every=N`` adds synchronized episodic resets every N steps
+    (see _chunked_reset_rollout): fixed-length episodes at rows speed."""
     from vmas_tpu.core import fused as F
+
+    if reset_every is not None:
+        chunk = rows_rollout_fn(env, reset_every, unroll, k_steps)
+        return _chunked_reset_rollout(env, chunk, horizon, reset_every)
 
     assert rows_rollout_supported(env), (
         "rows_rollout_fn: env not eligible — needs fused_physics=True, a "
@@ -510,8 +625,16 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None,
         # only feed unpack and the final state.
         dec = [_decode_horizon(env, a, acts[i]) for i, a in enumerate(agents)]
         us = [d[0] for d in dec]
+        ucs = [d[1] for d in dec]
+        reads = set(getattr(fo, "unpack_reads", ()))
+        obs_keys_t = None
+        if _needs_decode_noise(env) or "obs_key" in reads:
+            # hoisted decode-noise draws + per-step obs keys, bitwise the
+            # step pipeline's key schedule (_noise_streams)
+            agent_keys, obs_keys_t = _noise_streams(env, k_step, horizon)
+            us, ucs = _apply_decode_noise(env, agents, us, ucs, agent_keys)
         uc_slots = [
-            (a.slot, d[1]) for a, d in zip(agents, dec) if d[1] is not None
+            (a.slot, u) for a, u in zip(agents, ucs) if u is not None
         ]
         uc_t = None
         if uc_slots and "c" in getattr(fo, "unpack_reads", ()):
@@ -578,7 +701,7 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None,
             extras = extras.reshape(horizon, n_tot, extras.shape[2])
         extras = extras[..., :B]  # [T, n_out, B]
         obs, rews, terminated, updates = _vmapped_unpack(
-            env, fo, agents, extras, us, state, carries, uc_t
+            env, fo, agents, extras, us, state, carries, uc_t, obs_keys_t
         )
         state_out = _apply_ctrl_finish(env, fo, state_out, carryT, state)
         us_last = _last_us(fo, [u[-1] for u in all_us], extras)
@@ -593,7 +716,8 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None,
 
 def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
                            unroll: Optional[int] = None,
-                           policy_aux: bool = False):
+                           policy_aux: bool = False,
+                           reset_every: Optional[int] = None):
     """Rows-carried POLICY rollout — same contract and BITWISE the same
     trajectory as ``rollout_fn(env, policy, horizon=...)`` for rows-eligible
     envs (tests/test_rows_rollout.py): the scan body is the policy applied
@@ -613,8 +737,19 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
     ``traj["policy_aux"]`` and the initial observations in
     ``traj["obs0"]`` (what PPO needs: raw samples + log-probs captured at
     sampling time; values are better recomputed post-hoc in one batched
-    matmul over T*B — see parallel/ppo.py)."""
+    matmul over T*B — see parallel/ppo.py).
+
+    ``reset_every=N``: synchronized episodic resets every N steps
+    (see _chunked_reset_rollout) — episodic PPO collection at rows speed;
+    boundary-step obs are post-reset, so the aux/obs alignment PPO relies
+    on holds across chunks."""
     from vmas_tpu.core import fused as F
+
+    if reset_every is not None:
+        chunk = rows_policy_rollout_fn(
+            env, policy, reset_every, unroll, policy_aux
+        )
+        return _chunked_reset_rollout(env, chunk, horizon, reset_every)
 
     assert rows_rollout_supported(env), (
         "rows_policy_rollout_fn: env not eligible — use rollout_fn"
@@ -644,13 +779,23 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
     # for configs with cheaper policies.
     unroll_ = 1 if unroll is None else unroll
 
+    import numpy as np
+
+    noisy_u = [bool(np.any(np.asarray(a.u_noise_array) > 0)) for a in agents]
+    need_noise = _needs_decode_noise(env)
+
     def run(state, steps, key):
         k_pol, k_step, k_obs0 = jax.random.split(key, 3)
         pol_keys = jax.random.split(k_pol, horizon)
 
         reads = set(getattr(fo, "unpack_reads", ()))
+        if need_noise or "obs_key" in reads:
+            agent_keys_t, obs_keys_t = _noise_streams(env, k_step, horizon)
+        else:
+            agent_keys_t = obs_keys_t = None
 
-        def one_step(carry, pol_key):
+        def one_step(carry, xs):
+            pol_key, akeys, okey = xs
             rows, obs = carry
             if policy_aux:
                 raw, aux = policy(obs, pol_key)
@@ -661,6 +806,19 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
                 for a, r in zip(agents, raw)
             ]
             us = [u[0] for u, _ in dec]
+            ucs = [None if uc is None else uc[0] for _, uc in dec]
+            if need_noise:
+                # the decode's per-step noise draws, same keys as the step
+                # pipeline (_noise_streams)
+                for i, a in enumerate(agents):
+                    if noisy_u[i]:
+                        us[i] = us[i] + jax.random.normal(
+                            akeys[i], us[i].shape
+                        ) * jnp.asarray(a.u_noise_array)[None]
+                    if ucs[i] is not None and a.c_noise > 0:
+                        ucs[i] = ucs[i] + jax.random.normal(
+                            jax.random.fold_in(akeys[i], 1), ucs[i].shape
+                        ) * a.c_noise
             act = jnp.concatenate(
                 [jnp.stack([u[:, 0] for u in us], 0),
                  jnp.stack([u[:, 1] for u in us], 0)], 0)  # [2A, B]
@@ -671,21 +829,26 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
             # its reward/termination math out of the in-scan instance
             st_t = state
             c_t = state.c
-            for a, (_, uc) in zip(agents, dec):
+            for a, uc in zip(agents, ucs):
                 if uc is not None:
-                    c_t = c_t.at[:, a.slot].set(uc[0])
+                    c_t = c_t.at[:, a.slot].set(uc)
             if "c" in reads:
                 st_t = st_t.replace(c=c_t)
             if "u" in reads:
                 for a, u in zip(agents, us):
                     st_t = a.set_u(st_t, u)
+            if "obs_key" in reads:
+                st_t = st_t.replace(
+                    scenario={**st_t.scenario, "__obs_key": okey}
+                )
             obs_next = fo.unpack(extra[:, :B], st_t)[0]
             return (rows, obs_next), (extra, act, c_t, aux)
 
         obs0 = env._obs_fn_raw(state, k_obs0)
         carry0 = (F.pack_carry(world, state, fo, bp), obs0)
         (carryT, _), (extras, acts, c_ts, auxs) = jax.lax.scan(
-            one_step, carry0, pol_keys, unroll=unroll_
+            one_step, carry0, (pol_keys, agent_keys_t, obs_keys_t),
+            unroll=unroll_,
         )
 
         state_out = F.unpack_carry(world, carryT, state)
@@ -697,6 +860,7 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
         obs, rews, terminated, updates = _vmapped_unpack(
             env, fo, agents, extras, us_t, state,
             uc_t=c_ts if "c" in reads else None,
+            obs_keys_t=obs_keys_t,
         )
         comm_agents = [
             a for a in agents if world.dim_c > 0 and not a.silent

@@ -361,12 +361,12 @@ class Scenario(BaseScenario):
         class GiveWayOutputs(F_.FusedOutputs):
             n_scratch_in = A  # previous shaping columns
             n_out = A * obs_w + A + 3
-            # rows-carried rollout: with the velocity controller disabled
-            # process_action is a no-op; next scratch = the emitted shaping
-            # rows. Obs noise keys are step-varying, so noise-free only.
+            # rows-carried rollout: next scratch = the emitted shaping
+            # rows; noisy-obs configs declare the per-step obs-key read
+            # (the rollout substitutes the step pipeline's keys).
             process_action_noop = not scenario.use_velocity_controller
-            if noise == 0:
-                carry_extra_idx = tuple(range(A * obs_w, A * obs_w + A))
+            carry_extra_idx = tuple(range(A * obs_w, A * obs_w + A))
+            unpack_reads = ("obs_key",) if noise > 0 else ()
             if ctrl_in_kernel:
                 # the DEFAULT config's PID velocity controller, realized
                 # in-kernel (reference velocity_controller.py:29-124): the

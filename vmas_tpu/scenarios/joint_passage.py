@@ -454,8 +454,14 @@ class Scenario(BaseScenario):
             # shaping/passed rows. Obs noise keys are step-varying state,
             # so declare only for the noise-free configs.
             process_action_noop = not scenario.use_controller
-            if noise == 0 and j_noise == 0:
-                carry_extra_idx = tuple(A * obs_w + 3 + k for k in range(5))
+            # noisy-obs / noisy-joint-angle configs declare the per-step
+            # obs-key read (the rollout substitutes the step pipeline's
+            # keys into unpack)
+            carry_extra_idx = tuple(A * obs_w + 3 + k for k in range(5))
+            unpack_reads = (
+                ("obs_key",) if (noise > 0 or j_noise > 0) else ()
+            )
+            if True:  # (indent kept)
                 if scenario.use_controller:
                     # the PID velocity controller realized in-kernel
                     # (process_action above: masked PID-memory reset +

@@ -417,11 +417,16 @@ class Scenario(BaseScenario):
             # sets it to t0 + horizon at the end (bitwise the hook path's
             # unit increments — exact integer f32 adds)
             step_count_keys = ("t",)
-            if noise == 0 and j_noise == 0:
-                carry_extra_idx = (
-                    A * obs_w + 3, A * obs_w + 4, A * obs_w + 5,
-                    A * obs_w + 6,
-                ) + (None,) * 7
+            # noisy-obs / noisy-joint-angle configs declare the per-step
+            # obs-key read
+            carry_extra_idx = (
+                A * obs_w + 3, A * obs_w + 4, A * obs_w + 5,
+                A * obs_w + 6,
+            ) + (None,) * 7
+            unpack_reads = (
+                ("obs_key",) if (noise > 0 or j_noise > 0) else ()
+            )
+            if True:  # (indent kept)
                 if scenario.use_vel_controller:
                     # PID velocity controller realized in-kernel, exactly
                     # like joint_passage's (process_action above: masked

@@ -257,24 +257,26 @@ class Scenario(BaseScenario):
         class MultiGiveWayOutputs(F_.FusedOutputs):
             n_scratch_in = A + 1  # shaping columns + reached_goal
             n_out = A * obs_w + 3 * A + 2
-            if noise == 0:
-                # rows-carried rollout: next scratch = emitted shaping rows
-                # + the reached_goal latch; the (always-on) PID velocity
-                # controller is realized in-kernel exactly like give_way's
-                # (same reference semantics) — 4 carry rows per agent, raw
-                # controller u emitted for the final state
-                carry_extra_idx = tuple(
-                    range(A * obs_w + 2 * A, A * obs_w + 3 * A)
-                ) + (A * obs_w + 3 * A + 1,)
-                n_ctrl = 4 * A
-                n_ctrl_out = 2 * A
-                ctrl_u_idx = tuple(
-                    (
-                        A * obs_w + 3 * A + 2 + 2 * i,
-                        A * obs_w + 3 * A + 2 + 2 * i + 1,
-                    )
-                    for i in range(A)
+            # rows-carried rollout: next scratch = emitted shaping rows
+            # + the reached_goal latch; the (always-on) PID velocity
+            # controller is realized in-kernel exactly like give_way's
+            # (same reference semantics) — 4 carry rows per agent, raw
+            # controller u emitted for the final state. Noisy-obs configs
+            # declare the per-step obs-key read.
+            carry_extra_idx = tuple(
+                range(A * obs_w + 2 * A, A * obs_w + 3 * A)
+            ) + (A * obs_w + 3 * A + 1,)
+            unpack_reads = ("obs_key",) if noise > 0 else ()
+            n_ctrl = 4 * A
+            n_ctrl_out = 2 * A
+            ctrl_u_idx = tuple(
+                (
+                    A * obs_w + 3 * A + 2 + 2 * i,
+                    A * obs_w + 3 * A + 2 + 2 * i + 1,
                 )
+                for i in range(A)
+            )
+            if True:  # (indent kept: the controller helpers below)
 
                 @staticmethod
                 def ctrl_rows(state):

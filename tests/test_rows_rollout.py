@@ -134,6 +134,10 @@ def test_rows_rollout_matches_standard(n_agents, horizon):
         # (process_act_rows + 4 ctrl carry rows per agent + raw-u emit)
         ("give_way", dict()),
         ("multi_give_way", dict()),
+        # football two-policy-team config: ball anti-stall script runs
+        # IN-KERNEL (process_act_rows), red policy agents' x-mirror is a
+        # decode transform, dense shaping rides the carry
+        ("football", dict(ai_red_agents=False)),
         # comm worlds: per-step uc substituted into unpack
         ("simple_reference", dict()),
         ("simple_speaker_listener", dict()),

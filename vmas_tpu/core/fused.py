@@ -1509,10 +1509,15 @@ def rows_step_supported(world, outputs, agents) -> bool:
     # agents' per-step u on the action rows exactly like policy actions.
     scripted = [a for a in world.agents if a.action_script is not None]
     if scripted:
-        slots = tuple(getattr(outputs, "script_slots", ()))
-        if {a.index for a in scripted} != set(slots) or not callable(
-            getattr(outputs, "script_us", None)
-        ):
+        pre_slots = set(getattr(outputs, "script_slots", ()))
+        kern_slots = set(getattr(outputs, "kernel_script_slots", ()))
+        if {a.index for a in scripted} != pre_slots | kern_slots:
+            return False
+        if pre_slots and not callable(getattr(outputs, "script_us", None)):
+            return False
+        # kernel scripts (football's state-dependent ball anti-stall
+        # impulses) run INSIDE process_act_rows each step
+        if kern_slots and getattr(outputs, "process_act_rows", None) is None:
             return False
         for a in scripted:
             if (

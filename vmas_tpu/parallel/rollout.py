@@ -252,7 +252,12 @@ def rows_rollout_supported(env) -> bool:
             or getattr(env._fused_outputs, "process_act_rows", None)
             is not None
         )
-        and sc.pre_step is BaseScenario.pre_step
+        and (
+            sc.pre_step is BaseScenario.pre_step
+            # overridden but provably identity for this config (football's
+            # pre_step only acts under enable_shooting)
+            or getattr(env._fused_outputs, "pre_step_noop", False)
+        )
         and sc.post_step is BaseScenario.post_step
         and type(env._fused_outputs).finish_obs
         is F.FusedOutputs.finish_obs
@@ -467,6 +472,19 @@ def _last_us(fo, us_last, extras):
     return us_last
 
 
+def _kernel_script_us(env, fo, extras):
+    """Final-step u for IN-KERNEL scripted agents (football's ball): the
+    hook emits their per-step u rows; ``kernel_script_u`` names
+    ``(entity_index, ix, iy)`` per agent."""
+    out = []
+    for aidx, ix, iy in getattr(fo, "kernel_script_u", ()):
+        agent = next(a for a in env.world.agents if a.index == int(aidx))
+        out.append(
+            (agent, jnp.stack([extras[-1, int(ix)], extras[-1, int(iy)]], -1))
+        )
+    return out
+
+
 def _finish_rows_rollout(env, agents, state_out, us_last, uc_last, updates,
                          terminated, steps, k_step, horizon, rews, obs):
     """Shared finale of the rows rollouts: truncation flags, and a final
@@ -633,6 +651,12 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None,
             # step pipeline's key schedule (_noise_streams)
             agent_keys, obs_keys_t = _noise_streams(env, k_step, horizon)
             us, ucs = _apply_decode_noise(env, agents, us, ucs, agent_keys)
+        tr = getattr(fo, "decode_transform", None)
+        if tr is not None:
+            # the scenario's process_action rewrite of the DECODED action
+            # itself (football's red-team x mirror) — static elementwise,
+            # applied after noise exactly where the hook pipeline flips
+            us = list(tr(us))
         uc_slots = [
             (a.slot, u) for a, u in zip(agents, ucs) if u is not None
         ]
@@ -705,8 +729,11 @@ def rows_rollout_fn(env, horizon: int = 100, unroll: Optional[int] = None,
         )
         state_out = _apply_ctrl_finish(env, fo, state_out, carryT, state)
         us_last = _last_us(fo, [u[-1] for u in all_us], extras)
+        ks = _kernel_script_us(env, fo, extras)
         return _finish_rows_rollout(
-            env, list(agents) + script_agents, state_out, us_last,
+            env,
+            list(agents) + script_agents + [a for a, _ in ks],
+            state_out, us_last + [u for _, u in ks],
             [(slot, v[-1]) for slot, v in uc_slots], updates, terminated,
             steps, k_step, horizon, rews, obs,
         )
@@ -819,6 +846,9 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
                         ucs[i] = ucs[i] + jax.random.normal(
                             jax.random.fold_in(akeys[i], 1), ucs[i].shape
                         ) * a.c_noise
+            tr = getattr(fo, "decode_transform", None)
+            if tr is not None:
+                us = list(tr(us))
             act = jnp.concatenate(
                 [jnp.stack([u[:, 0] for u in us], 0),
                  jnp.stack([u[:, 1] for u in us], 0)], 0)  # [2A, B]
@@ -868,8 +898,10 @@ def rows_policy_rollout_fn(env, policy: Callable, horizon: int = 100,
         uc_last = [(a.slot, c_ts[-1, :, a.slot]) for a in comm_agents]
         state_out = _apply_ctrl_finish(env, fo, state_out, carryT, state)
         us_last = _last_us(fo, [u[-1] for u in us_t], extras)
+        ks = _kernel_script_us(env, fo, extras)
         state_fin, steps_fin, traj = _finish_rows_rollout(
-            env, agents, state_out, us_last, uc_last, updates,
+            env, list(agents) + [a for a, _ in ks], state_out,
+            us_last + [u for _, u in ks], uc_last, updates,
             terminated, steps, k_step, horizon, rews, obs,
         )
         if policy_aux:

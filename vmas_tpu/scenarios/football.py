@@ -1002,9 +1002,66 @@ class Scenario(BaseScenario):
         n_dense_rows = 5 * (int(dense_blue_on) + int(dense_red_on))
         total_out = sum(widths) + 4 + n_dense_rows
 
+        # rows-carried rollout declarations (round 5): the dense shaping
+        # scratch refeeds from the emitted shaping rows; the BALL's
+        # anti-stall script runs IN-KERNEL (process_act_rows — it is a pure
+        # elementwise function of the ball's pos/vel rows, mirroring
+        # ball_action_script above op for op); red POLICY agents' x-mirror
+        # (process_action above) is a static decode transform. The AI-red
+        # config stays on the hook pipeline (its scripted red agents are
+        # state-dependent XLA work the kernel does not cover).
+        _ce = []
+        _o0 = sum(widths) + 4
+        if dense_blue_on:
+            _ce += [_o0 + 2, _o0 + 3]
+            _o0 += 5
+        if dense_red_on:
+            _ce += [_o0 + 2, _o0 + 3]
+        red_pos = [i for i, b in enumerate(is_blue) if not b]
+        dist_thres = float(self.agent_size * 2)
+        vel_thres, impulse = 0.3, 0.05
+        pw_half = float(self.pitch_width / 2)
+        pl_half = float(self.pitch_length / 2)
+
         class FootballOutputs(F.FusedOutputs):
             n_scratch_in = 2 * (int(dense_blue_on) + int(dense_red_on))
             n_out = total_out
+            carry_extra_idx = tuple(_ce)
+            pre_step_noop = True  # pre_step only acts under enable_shooting
+            kernel_script_slots = (bi,)
+            n_ctrl_out = 2
+            kernel_script_u = ((bi, total_out, total_out + 1),)
+
+            @staticmethod
+            def process_act_rows(ctx):
+                # ball_action_script as kernel-row ops (anti-stall
+                # impulses; reference football.py:1617-1677)
+                px, py, vy = ctx["px"], ctx["py"], ctx["vy"]
+                fx, fy = ctx["fx"], ctx["fy"]
+                pos_x, pos_y, vel_y = px[bi], py[bi], vy[bi]
+                upper = 1 - jnp.minimum(pw_half - pos_y, dist_thres) / dist_thres
+                lower = 1 - jnp.minimum(pw_half + pos_y, dist_thres) / dist_thres
+                right = 1 - jnp.minimum(pl_half - pos_x, dist_thres) / dist_thres
+                left = 1 - jnp.minimum(pl_half + pos_x, dist_thres) / dist_thres
+                vertical_vel = 1 - jnp.minimum(jnp.abs(vel_y), vel_thres) / vel_thres
+                ax_ = (left - right) * vertical_vel * impulse
+                ay_ = (lower - upper) * vertical_vel * impulse
+                goal_mask = (pos_y < y_goal) & (pos_y > -y_goal)
+                ax_ = jnp.where(goal_mask, 0.0, ax_)
+                fx[bi], fy[bi] = ax_, ay_
+                return [ax_, ay_]
+
+            if red_pos:
+
+                @staticmethod
+                def decode_transform(us):
+                    # red POLICY agents act in their own mirrored frame:
+                    # process_action negates u.x (reference
+                    # football.py:1361-1366)
+                    us = list(us)
+                    for i in red_pos:
+                        us[i] = us[i].at[..., 0].set(-us[i][..., 0])
+                    return us
 
             @staticmethod
             def scratch_rows(state):

@@ -194,11 +194,20 @@ def rollout(env, policy=None, horizon: int = 100, key=None):
     if fn is None:
         if len(cache) >= _ROLLOUT_CACHE_MAX:
             cache.pop(next(iter(cache)))
-        rows_ok = rows_rollout_supported(env) and (
-            policy is None
-            or (
-                "state" not in getattr(env._fused_outputs, "unpack_reads", ())
-                and not getattr(env._fused_outputs, "script_slots", ())
+        rows_ok = (
+            rows_rollout_supported(env)
+            # a scenario may declare the rows path a measured perf LOSS for
+            # its shape (football: ~350 emit rows/step make recording the
+            # dominant cost — 0.91x, tests/golden/time_football_ab.py);
+            # rows_rollout_fn stays available explicitly
+            and getattr(env._fused_outputs, "rows_auto", True)
+            and (
+                policy is None
+                or (
+                    "state"
+                    not in getattr(env._fused_outputs, "unpack_reads", ())
+                    and not getattr(env._fused_outputs, "script_slots", ())
+                )
             )
         )
         if rows_ok:

@@ -131,6 +131,12 @@ class AgentPolicy:
             # replay-harness slot (see __init__ forced_objectives); always
             # present so the scratch pytree structure is config-independent
             "forced_best_pos": z(B, A, 2),
+            # one BATCHED candidate-offset draw per step for ALL agents
+            # (consumed by check_better_positions): per-agent tiny
+            # fold_in+normal chains in-scan measured +106 us/step of
+            # football-AI's 216 — scalar-shape threefry key schedules are
+            # latency-bound on TPU (tests/golden/time_football_ai_split.py)
+            "cbp_samples": z(B, A, self.nsamples, 2),
         }
 
     # -- helpers ----------------------------------------------------------
@@ -384,10 +390,10 @@ class AgentPolicy:
         # unsqueeze(0) index (football.py:2170-2177) so every env receives
         # env 0's best candidate — an indexing bug we intentionally fix by
         # selecting each env's own argmax below
-        k = self._ai_key(state, 500 + i)
-        samples = jax.random.normal(k, (B, self.nsamples, 2)) * self.sigma * (
-            1 + 3 * (1 - self.decision_strength)
-        )
+        # the offsets were drawn ONCE for the whole team this step (run(),
+        # slot 0) — same distribution as the reference's per-agent draws
+        # (football.py:2147-2177), one threefry chain instead of 2 per agent
+        samples = ai["cbp_samples"][:, i]
         samples = samples.at[:, ::2].add(ball_pos[:, None])
         samples = samples.at[:, 1::2].add(agent.pos(state)[:, None])
         test_pos = jnp.concatenate([curr_target[:, None, :], samples], axis=1)
@@ -423,6 +429,12 @@ class AgentPolicy:
         ai = dict(scratch[self.key])
         if self.slot_in_team(agent) == 0:
             ai = self.check_possession(state, ai)
+            if not self.forced_objectives:
+                B = state.batch_dim
+                A = len(self.teammates)
+                ai["cbp_samples"] = jax.random.normal(
+                    self._ai_key(state, 500), (B, A, self.nsamples, 2)
+                ) * self.sigma * (1 + 3 * (1 - self.decision_strength))
         ai = self.dribble_policy(state, ai, agent)
         control = self.get_action(state, ai, agent)
         control = jnp.clip(control, -agent.u_range_array[None], agent.u_range_array[None])
@@ -1028,6 +1040,11 @@ class Scenario(BaseScenario):
             n_out = total_out
             carry_extra_idx = tuple(_ce)
             pre_step_noop = True  # pre_step only acts under enable_shooting
+            # measured 0.91x on chip (tests/golden/time_football_ab.py):
+            # football's ~350 emit rows/step make recording the dominant
+            # cost, so rollout() does NOT auto-upgrade; the rows paths stay
+            # available explicitly (and matter for rows-PPO collection)
+            rows_auto = False
             kernel_script_slots = (bi,)
             n_ctrl_out = 2
             kernel_script_u = ((bi, total_out, total_out + 1),)

@@ -392,16 +392,35 @@ class AgentPolicy:
         # selecting each env's own argmax below
         # the offsets were drawn ONCE for the whole team this step (run(),
         # slot 0) — same distribution as the reference's per-agent draws
-        # (football.py:2147-2177), one threefry chain instead of 2 per agent
+        # (football.py:2147-2177), one threefry chain instead of 2 per agent.
+        # All index ops below are scatter/gather-FREE: strided .at[].add,
+        # .at[:,0].add and take_along_axis on tiny [B, S] shapes measured
+        # ~70 us/step of latency-bound scatter/gather work
+        # (tests/golden/time_football_cbp.py) — the static even/odd mean
+        # stack, constant-row add and one-hot sum below are bitwise equal
+        # (each element receives exactly the same single add; the one-hot
+        # sum has one exact-1.0 term).
         samples = ai["cbp_samples"][:, i]
-        samples = samples.at[:, ::2].add(ball_pos[:, None])
-        samples = samples.at[:, 1::2].add(agent.pos(state)[:, None])
+        agent_pos = agent.pos(state)
+        means = jnp.stack(
+            [
+                ball_pos if j % 2 == 0 else agent_pos
+                for j in range(self.nsamples)
+            ],
+            axis=1,
+        )
+        samples = samples + means
         test_pos = jnp.concatenate([curr_target[:, None, :], samples], axis=1)
         test_pos = self.clamp_pos(test_pos)
         values = self.get_pos_value(state, ai, test_pos, agent)
-        values = values.at[:, 0].add(self.replan_margin + 3 * (1 - self.decision_strength))
+        margin = np.zeros(self.nsamples + 1, np.float32)
+        margin[0] = self.replan_margin + 3 * (1 - self.decision_strength)
+        values = values + jnp.asarray(margin)[None]
         best = jnp.argmax(values, axis=1)
-        return jnp.take_along_axis(test_pos, best[:, None, None], axis=1)[:, 0]
+        sel = (
+            best[:, None] == jnp.arange(test_pos.shape[1])[None]
+        ).astype(test_pos.dtype)
+        return jnp.sum(sel[..., None] * test_pos, axis=1)
 
     def get_action(self, state, ai, agent):
         """football.py:1990-2038."""

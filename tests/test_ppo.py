@@ -143,6 +143,17 @@ def test_ppo_rows_bf16_runs():
     assert np.isfinite(flat).all()
 
 
+def test_evaluate_runs():
+    from vmas_tpu.parallel.ppo import make_evaluate
+
+    env = _env()
+    params = _params(env)
+    ev = jax.jit(make_evaluate(env, horizon=4))
+    _, _, metrics = ev(params, env.state, env.steps, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["mean_reward"]))
+    assert 0.0 <= float(metrics["episode_done_frac"]) <= 1.0
+
+
 def test_ppo_rows_sharded():
     """The rows-collected PPO update runs under the env-axis mesh (the
     multichip training topology: env-sharded collection, replicated params,

@@ -307,6 +307,51 @@ def make_ppo_update(env, horizon=32, lr=3e-4, gamma=0.99, lam=0.95,
     return update, opt
 
 
+def make_evaluate(env, horizon=100):
+    """Deterministic evaluation rollout: ``(params, state, steps, key) ->
+    (state', steps', metrics)`` running the policy MEAN (no sampling)
+    through the fastest eligible rollout path; metrics hold the mean
+    per-step reward and the fraction of envs that finished an episode.
+    Use a fresh ``env.reset()`` state for comparable numbers."""
+    from vmas_tpu.parallel.rollout import (
+        rollout_fn, rows_policy_rollout_fn, rows_rollout_supported,
+    )
+
+    _check_homogeneous(env)
+    agents = env.agents
+    ranges = [jnp.asarray(a.u_range_array) for a in agents]
+
+    def policy_of(params):
+        def policy(obs, key):
+            x = jnp.stack(obs, axis=1)
+            mean, _ = policy_dist(params, x)
+            return tuple(
+                mean[:, i] * ranges[i][None] for i in range(len(agents))
+            )
+
+        return policy
+
+    rows_ok = rows_rollout_supported(env) and (
+        "state" not in getattr(env._fused_outputs, "unpack_reads", ())
+        and not getattr(env._fused_outputs, "script_slots", ())
+    )
+
+    def run(params, state, steps, key):
+        pol = policy_of(params)
+        build = (
+            rows_policy_rollout_fn(env, pol, horizon)
+            if rows_ok else rollout_fn(env, pol, horizon)
+        )
+        state, steps, traj = build(state, steps, key)
+        metrics = {
+            "mean_reward": traj["rewards"].mean(),
+            "episode_done_frac": traj["dones"].any(axis=0).mean(),
+        }
+        return state, steps, metrics
+
+    return run
+
+
 def obs_dim_of(env, key=None):
     """The (asserted homogeneous) per-agent observation width."""
     if key is None:

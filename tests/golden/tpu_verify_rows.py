@@ -12,6 +12,10 @@ the process small):
   python tests/golden/tpu_verify_rows.py simple_spread --discrete
   python tests/golden/tpu_verify_rows.py ball_passage
   python tests/golden/tpu_verify_rows.py simple_reference
+  # round-5 eligibility classes:
+  python tests/golden/tpu_verify_rows.py give_way            # PID in-kernel
+  python tests/golden/tpu_verify_rows.py flocking            # script + clock rows
+  python tests/golden/tpu_verify_rows.py football --kw ai_red_agents=0
 """
 
 from __future__ import annotations

@@ -369,6 +369,46 @@ def test_rows_policy_rollout_comm():
         )
 
 
+def test_rows_policy_rollout_controller():
+    """POLICY rollout through the in-kernel PID controller class (the PPO
+    collection path for give_way's default config): the ctrl carry rows
+    and the controller's raw-u emit must replay the standard policy
+    rollout, including the final controller memory."""
+    kw = dict(num_envs=16, seed=0, fused_physics=True)
+    env_a = make_env("give_way", **kw)
+    env_b = make_env("give_way", **kw)
+    obs_w = int(np.asarray(env_a.reset(seed=0)[0]).shape[-1])
+    env_a.reset(seed=0)
+    W = jnp.asarray(np.ones((obs_w, 2), np.float32) * 0.3)
+    policy = lambda obs, key: tuple(jnp.tanh(o @ W) for o in obs)
+    key = jax.random.PRNGKey(29)
+    s_std, _, tr_std = jax.jit(rollout_fn(env_a, policy, horizon=5))(
+        env_a.state, env_a.steps, key
+    )
+    s_rows, _, tr_rows = jax.jit(
+        rows_policy_rollout_fn(env_b, policy, horizon=5)
+    )(env_b.state, env_b.steps, key)
+    np.testing.assert_allclose(
+        np.asarray(tr_std["rewards"]), np.asarray(tr_rows["rewards"]),
+        atol=3e-5, rtol=0,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(tr_std["obs"]),
+                    jax.tree_util.tree_leaves(tr_rows["obs"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=0)
+    for ua, ub in zip(s_std.u, s_rows.u):
+        np.testing.assert_allclose(np.asarray(ua), np.asarray(ub),
+                                   atol=1e-6, rtol=0, err_msg="final u")
+    for a in env_a.agents:
+        k = f"__vel_ctrl_{a.name}"
+        for f in ("accum_errs", "prev_err"):
+            np.testing.assert_allclose(
+                np.asarray(s_std.scenario[k][f]),
+                np.asarray(s_rows.scenario[k][f]),
+                atol=1e-6, rtol=0, err_msg=f"{k}.{f}",
+            )
+
+
 def test_rows_policy_rollout_discrete():
     """Discrete policy (obs-dependent integer actions) through the rows
     path — exercises the per-step mixed-radix decode inside the scan."""

@@ -688,6 +688,27 @@ def test_rollout_convenience_upgrades_to_rows():
     assert np.isfinite(np.asarray(traj_n["obs"][0])).all()
 
 
+def test_rollout_honors_rows_auto_optout(monkeypatch):
+    """football declares rows_auto=False (rows measured 0.91x for its
+    emit-row width): rollout() must keep the standard path even though
+    rows_rollout_supported is True."""
+    import sys
+
+    mod = sys.modules["vmas_tpu.parallel.rollout"]
+    from vmas_tpu.parallel.rollout import rollout
+
+    env = make_env("football", num_envs=8, seed=0, fused_physics=True,
+                   ai_red_agents=False)
+    assert rows_rollout_supported(env)
+
+    def boom(*a, **k):
+        raise AssertionError("rollout() must not auto-pick rows here")
+
+    monkeypatch.setattr(mod, "rows_rollout_fn", boom)
+    traj = rollout(env, horizon=2, key=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(traj["rewards"])).all()
+
+
 def test_rows_rollout_sharded():
     """The carry rows are [Rc, B] with envs on the minor axis; under an
     env-axis mesh the pallas grid blocks that axis, so pjit partitions it

@@ -30,7 +30,11 @@ from vmas_tpu.parallel.rollout import rollout_fn
 from vmas_tpu.scenarios.road_traffic import Scenario
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-HORIZON = 50
+# 500-step calls: the ~5.4 ms per-dispatch tunnel cost is ~11 us/step here
+# (round-4 measurement) — at the original horizon 50 it was ~108 us/step,
+# i.e. bigger than the layers being attributed. Differences cancel it, but
+# the absolute C (phys+glue) number is only honest at long horizons.
+HORIZON = 500
 KW = dict(is_add_noise=False)
 
 
@@ -68,11 +72,17 @@ class StubObs(Scenario):
         )
 
 
-class StubAll(StubObs):
-    def pre_rewards(self, state):
-        return state
+class StubPost(StubObs):
+    """obs=0 AND post_rewards=identity: B-D = short-term path refresh +
+    action buffers (post_rewards), D-C = pre_rewards (sweep kernel +
+    agent interX + reward math) + done."""
 
     def post_rewards(self, state):
+        return state
+
+
+class StubAll(StubPost):
+    def pre_rewards(self, state):
         return state
 
     def done(self, state):
@@ -81,14 +91,21 @@ class StubAll(StubObs):
 
 def main():
     results = {}
-    for name, cls in (("A full", Scenario), ("B obs=0", StubObs), ("C hooks=0", StubAll)):
+    for name, cls in (
+        ("A full", Scenario),
+        ("B obs=0", StubObs),
+        ("D post=0", StubPost),
+        ("C hooks=0", StubAll),
+    ):
         env = Environment(cls(), num_envs=B, seed=0, **KW)
         results[name] = measure(env)
         print(f"  {name:10s} {results[name]*1e6:8.1f} us/step", flush=True)
-    a, b, c = results["A full"], results["B obs=0"], results["C hooks=0"]
-    print(f"  obs layer   {(a-b)*1e6:8.1f} us/step (A-B)")
-    print(f"  reward layer{(b-c)*1e6:8.1f} us/step (B-C)")
-    print(f"  phys+glue   {c*1e6:8.1f} us/step (C)")
+    a, b = results["A full"], results["B obs=0"]
+    d, c = results["D post=0"], results["C hooks=0"]
+    print(f"  obs layer    {(a-b)*1e6:8.1f} us/step (A-B)")
+    print(f"  post_rewards {(b-d)*1e6:8.1f} us/step (B-D)")
+    print(f"  pre_rew+done {(d-c)*1e6:8.1f} us/step (D-C)")
+    print(f"  phys+glue    {c*1e6:8.1f} us/step (C)")
 
 
 if __name__ == "__main__":
